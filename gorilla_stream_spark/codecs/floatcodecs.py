@@ -1,0 +1,156 @@
+"""Gorilla-family float64 codecs: XOR-window (gxor) and a Chimp-style variant.
+
+Reimagines the reference's value compression
+(``/root/reference/lib/gorilla_stream/compression/encoder/
+value_compression.ex:30-166`` and Chimp ``c_src/gorilla_nif.cpp:412-519``)
+for vectorized execution: instead of per-value variable-length prefix codes
+(control bit + reused leading/trailing window, inherently sequential), each
+block stores a fixed 2-bit class-tag stream plus per-class fixed-width
+payload streams, with the two (leading, significant-bits) windows chosen per
+block by cost search over the observed leading/trailing-zero distribution.
+Same information content, but both encode and decode are pure numpy.
+
+Classes: 0 = XOR==0 (identical value, reference's '0' control bit);
+1 = fits window1; 2 = fits window2; 3 = raw 64 bits (reference's '11' path).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from gorilla_stream_spark.codecs import bitio
+
+__all__ = ["gxor_encode", "gxor_decode", "leading_zeros64", "trailing_zeros64"]
+
+_U64 = np.uint64
+
+
+def leading_zeros64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (0 -> 64)."""
+    from gorilla_stream_spark.codecs.intcodecs import value_bit_widths
+
+    return (64 - value_bit_widths(v)).astype(np.uint8)
+
+
+def trailing_zeros64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros for uint64 (0 -> 64)."""
+    v = v.astype(_U64, copy=False)
+    iso = v & (~v + _U64(1))  # isolate lowest set bit
+    from gorilla_stream_spark.codecs.intcodecs import value_bit_widths
+
+    w = value_bit_widths(iso).astype(np.int16)  # position of lowest bit, 0 if v==0
+    out = np.where(v == 0, 64, w - 1).astype(np.uint8)
+    return out
+
+
+def _choose_windows(lz: np.ndarray, tz: np.ndarray) -> tuple[tuple[int, int], tuple[int, int]]:
+    """Pick two (lead, sigbits) windows minimizing total payload bits.
+
+    A value with leading zeros ``l`` and trailing zeros ``t`` fits window
+    (L, S) iff L <= l and L + S >= 64 - t.  Candidate leads are the
+    reference Chimp lead buckets (gorilla_nif.cpp:424-430) extended; best
+    single window first, then best second window on the residual — greedy
+    but evaluated on exact counts.
+    """
+    if lz.size == 0:
+        return (0, 64), (0, 64)
+    span_end = 64 - tz.astype(np.int16)  # exclusive end of meaningful bits
+    leads = np.array(sorted({0, 4, 8, 12, 16, 18, 20, 22, 24, 28, 32, 36, 40, 48, int(lz.min())}), dtype=np.int16)
+    sig_cands = np.array(sorted({4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64}), dtype=np.int16)
+
+    def best_window(mask: np.ndarray) -> tuple[int, int, int, np.ndarray]:
+        best = (1 << 62, 0, 64)
+        l_sel = lz[mask].astype(np.int16)
+        e_sel = span_end[mask]
+        n_rest = int(mask.sum())
+        for L in leads:
+            fit_l = l_sel >= L
+            need = e_sel - L  # sig bits needed given L
+            for S in sig_cands:
+                if L + S > 64:
+                    continue
+                fits = fit_l & (need <= S)
+                nf = int(fits.sum())
+                cost = nf * int(S) + (n_rest - nf) * 64
+                if cost < best[0]:
+                    best = (cost, int(L), int(S))
+        L, S = best[1], best[2]
+        fits_full = (lz.astype(np.int16) >= L) & (span_end - L <= S) & mask
+        return best[0], L, S, fits_full
+
+    nonzero = span_end > 0  # xor != 0
+    _, l1, s1, fit1 = best_window(nonzero)
+    rest = nonzero & ~fit1
+    if rest.any():
+        _, l2, s2, _ = best_window(rest)
+    else:
+        l2, s2 = 0, 64
+    return (l1, s1), (l2, s2)
+
+
+def gxor_encode(vals: np.ndarray) -> bytes:
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n = vals.size
+    if n == 0:
+        return struct.pack("<IQ", 0, 0)
+    bits = vals.view(_U64)
+    head = struct.pack("<IQ", n, int(bits[0]))
+    if n == 1:
+        return head
+    xor = np.bitwise_xor(bits[1:], bits[:-1])
+    lz = leading_zeros64(xor)
+    tz = trailing_zeros64(xor)
+    (l1, s1), (l2, s2) = _choose_windows(lz, tz)
+    span_end = 64 - tz.astype(np.int16)
+    lzi = lz.astype(np.int16)
+    cls = np.full(xor.size, 3, dtype=_U64)
+    cls[(lzi >= l2) & (span_end - l2 <= s2)] = 2
+    cls[(lzi >= l1) & (span_end - l1 <= s1)] = 1
+    cls[xor == 0] = 0
+    head += struct.pack("<BBBB", l1, s1 % 256, l2, s2 % 256)  # 64 stored as 0
+    parts = [head, bitio.pack(cls, 2)]
+    for c, (L, S) in ((1, (l1, s1)), (2, (l2, s2)), (3, (0, 64))):
+        sel = xor[cls == c]
+        shift = _U64(64 - L - S)
+        payload = sel >> shift if S < 64 else sel
+        parts.append(struct.pack("<I", sel.size))
+        parts.append(bitio.pack(payload, S))
+    return b"".join(parts)
+
+
+def gxor_decode(buf: bytes) -> np.ndarray:
+    n, first = struct.unpack_from("<IQ", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    out_bits = np.empty(n, dtype=_U64)
+    out_bits[0] = first
+    if n == 1:
+        return out_bits.view(np.float64)
+    mv = memoryview(buf)
+    l1, s1, l2, s2 = struct.unpack_from("<BBBB", mv, 12)
+    s1 = s1 or 64
+    s2 = s2 or 64
+    off = 16
+    m = n - 1
+    tag_bytes = (m * 2 + 7) // 8
+    cls = bitio.unpack(mv[off : off + tag_bytes], 2, m)
+    off += tag_bytes
+    xor = np.zeros(m, dtype=_U64)
+    for c, (L, S) in ((1, (l1, s1)), (2, (l2, s2)), (3, (0, 64))):
+        (cnt,) = struct.unpack_from("<I", mv, off)
+        off += 4
+        nbytes = (cnt * S + 7) // 8
+        if cnt:
+            payload = bitio.unpack(mv[off : off + nbytes], S, cnt)
+            shift = _U64(64 - L - S)
+            xor[cls == c] = payload << shift if S < 64 else payload
+        off += nbytes
+    # XOR prefix-chain reconstruction: cumulative xor is associative -> use
+    # np.bitwise_xor.accumulate (vectorized inverse of the reference's
+    # sequential reconstruct, decoder/value_decompression.ex:103-119)
+    chain = np.empty(n, dtype=_U64)
+    chain[0] = first
+    chain[1:] = xor
+    return np.bitwise_xor.accumulate(chain).view(np.float64)

@@ -1,0 +1,138 @@
+"""FSST-style symbol-table codec for token arrays.
+
+FSST (Boncz/Neumann/Leis, VLDB 2020) compresses strings by replacing
+frequent substrings with 1-byte codes from a trained symbol table.  Our
+payload is int32 token streams, so the analog is a trained table of frequent
+*token pairs*: each table hit replaces two tokens with one super-symbol, and
+the rewritten stream is then dict/FOR bit-packed.  The precedent in the
+reference is the trained-dictionary zstd path
+(``/root/reference/lib/gorilla_stream/compression/container.ex:312-362``) —
+train once on a sample, apply everywhere — and Chimp128's
+value-revisit exploitation (``c_src/gorilla_nif.cpp:577-588``).
+
+Everything is vectorized: pair counting via ``np.unique`` on packed
+(hi<<32|lo) keys, greedy non-overlapping match selection via run-parity
+(within any maximal run of consecutive match positions, greedy
+left-to-right keeps exactly the even offsets), and decode via offset
+scatter.  One rewrite pass only (no recursive pairing) — bounded, cheap,
+and already captures most bigram redundancy.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from gorilla_stream_spark.codecs import intcodecs
+
+__all__ = ["train_pair_table", "fsst_encode", "fsst_decode"]
+
+_I64 = np.int64
+MAX_TABLE = 4096
+
+
+def _pair_keys(a: np.ndarray) -> np.ndarray:
+    """Pack adjacent token pairs into uint64 keys (tokens must fit uint32)."""
+    u = a.astype(np.uint64, copy=False)
+    return (u[:-1] << np.uint64(32)) | u[1:]
+
+
+def train_pair_table(sample: np.ndarray, table_size: int = 1024, min_count: int = 4) -> np.ndarray:
+    """Return sorted uint64 pair-keys of the most frequent adjacent pairs.
+
+    Deterministic given the sample (ties broken by key order), which keeps
+    resumed runs bit-identical — the same requirement the reference's
+    trained zstd dict has (container.ex:322-335).
+    """
+    if sample.size < 2:
+        return np.empty(0, dtype=np.uint64)
+    keys, counts = np.unique(_pair_keys(_as_tokens(sample)), return_counts=True)
+    good = counts >= min_count
+    keys, counts = keys[good], counts[good]
+    if keys.size > table_size:
+        # top-k by count, ties by key for determinism
+        order = np.lexsort((keys, -counts))[:table_size]
+        keys = keys[order]
+    return np.sort(keys)
+
+
+def _as_tokens(a: np.ndarray) -> np.ndarray:
+    a = np.ascontiguousarray(a, dtype=_I64)
+    if a.size and (a.min() < 0 or a.max() > 0xFFFFFFFF - 1):
+        raise ValueError("fsst codec requires tokens in [0, 2^32-1)")
+    return a
+
+
+def _greedy_matches(match: np.ndarray) -> np.ndarray:
+    """Boolean mask of greedily-selected non-overlapping match positions.
+
+    Greedy left-to-right over pair positions: a match is taken iff the
+    previous position was not taken.  Within each maximal run of True, that
+    selects even offsets — computable vectorized from run starts.
+    """
+    if match.size == 0:
+        return match
+    pos = np.flatnonzero(match)
+    if pos.size == 0:
+        return np.zeros_like(match)
+    # run starts: first position, or position whose predecessor isn't a match
+    new_run = np.empty(pos.size, dtype=bool)
+    new_run[0] = True
+    np.not_equal(pos[1:], pos[:-1] + 1, out=new_run[1:])
+    run_id = np.cumsum(new_run) - 1
+    run_start = pos[new_run][run_id]
+    taken = ((pos - run_start) & 1) == 0
+    out = np.zeros(match.size, dtype=bool)
+    out[pos[taken]] = True
+    return out
+
+
+def fsst_encode(a: np.ndarray, table: np.ndarray | None = None) -> bytes:
+    """Encode with a pair table (trained on the block itself if not given)."""
+    a = _as_tokens(a)
+    n = a.size
+    if table is None:
+        table = train_pair_table(a)
+    table = np.asarray(table, dtype=np.uint64)
+    if n < 2 or table.size == 0:
+        body = intcodecs.dict_encode(a)
+        return struct.pack("<IIH", n, 0, 0) + body
+    keys = _pair_keys(a)
+    idx = np.searchsorted(table, keys)
+    idx_c = np.minimum(idx, table.size - 1)
+    match = table[idx_c] == keys
+    taken = _greedy_matches(match)
+    base = int(a.max()) + 1 if n else 1
+    # rewrite: at taken pair-start positions emit base+table_index, drop the
+    # follower token (taken is over the n-1 pair positions)
+    take_pos = np.flatnonzero(taken)
+    out = a.copy()
+    out[take_pos] = base + idx_c[take_pos].astype(_I64)
+    drop = np.zeros(n, dtype=bool)
+    drop[take_pos + 1] = True
+    rewritten = out[~drop]
+    body = intcodecs.dict_encode(rewritten)
+    tbuf = table.astype("<u8").tobytes()
+    return struct.pack("<IIH", n, base, table.size) + tbuf + body
+
+
+def fsst_decode(buf: bytes) -> np.ndarray:
+    n, base, tsize = struct.unpack_from("<IIH", buf, 0)
+    mv = memoryview(buf)
+    off = 10 + tsize * 8
+    body = intcodecs.dict_decode(mv[off:])
+    if tsize == 0:
+        return body
+    table = np.frombuffer(mv[10:off], dtype="<u8")
+    is_pair = body >= base
+    m = body.size
+    out_pos = np.arange(m) + np.concatenate(([0], np.cumsum(is_pair[:-1])))
+    out = np.empty(n, dtype=_I64)
+    keys = np.empty(m, dtype=np.uint64)
+    keys[is_pair] = table[(body[is_pair] - base).astype(np.intp)]
+    out[out_pos[~is_pair]] = body[~is_pair]
+    pp = out_pos[is_pair]
+    out[pp] = (keys[is_pair] >> np.uint64(32)).astype(_I64)
+    out[pp + 1] = (keys[is_pair] & np.uint64(0xFFFFFFFF)).astype(_I64)
+    return out

@@ -1,0 +1,322 @@
+"""Integer-array codecs: RAW, frame-of-reference, RLE, dict, delta, DoD.
+
+Each codec is a pure-numpy ``encode(np.int64[]) -> bytes`` /
+``decode(buf) -> np.int64[]`` pair.  Buffers are self-describing (count and
+all parameters live in the buffer header), mirroring the reference's
+self-describing block format where decode needs no options
+(``/root/reference/c_src/gorilla_nif.cpp:1417-1425`` — decoder dispatches on
+header flags alone).
+
+The delta-of-delta codec reimagines the reference's Gorilla timestamp
+encoding (``/root/reference/lib/gorilla_stream/compression/encoder/
+delta_encoding.ex:27-111``): instead of per-value variable-length prefix
+codes (inherently sequential to decode), values are partitioned into four
+bit-width *classes* chosen per block by exact cost minimization; class tags
+are a fixed-width 2-bit stream and each class's payload is a fixed-width
+stream — every stage vectorizes in both directions.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from gorilla_stream_spark.codecs import bitio
+
+__all__ = [
+    "raw_encode",
+    "raw_decode",
+    "for_encode",
+    "for_decode",
+    "rle_encode",
+    "rle_decode",
+    "dict_encode",
+    "dict_decode",
+    "delta_encode",
+    "delta_decode",
+    "dod_encode",
+    "dod_decode",
+    "value_bit_widths",
+    "choose_class_widths",
+]
+
+_I64 = np.int64
+_U64 = np.uint64
+
+
+def _as_i64(a: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=_I64)
+
+
+# ---------------------------------------------------------------------------
+# RAW — exact little-endian dump at minimal signed item size (fallback codec;
+# the selector guarantees encoded size never exceeds this + header, the
+# analog of the reference's "not optimal for random data" guidance,
+# /root/reference/README.md:166-168).
+# ---------------------------------------------------------------------------
+
+def raw_encode(a: np.ndarray) -> bytes:
+    a = _as_i64(a)
+    n = a.size
+    if n == 0:
+        return struct.pack("<IB", 0, 8)
+    lo = int(a.min())
+    hi = int(a.max())
+    for size, dt in ((1, "<i1"), (2, "<i2"), (4, "<i4"), (8, "<i8")):
+        info = np.iinfo(dt.replace("<", ""))
+        if lo >= info.min and hi <= info.max:
+            return struct.pack("<IB", n, size) + a.astype(dt).tobytes()
+    raise AssertionError("unreachable")
+
+
+def raw_decode(buf: bytes) -> np.ndarray:
+    n, size = struct.unpack_from("<IB", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    return np.frombuffer(buf, dtype=f"<i{size}", count=n, offset=5).astype(_I64)
+
+
+# ---------------------------------------------------------------------------
+# Frame-of-reference + bit-pack — generalizes the reference's
+# scale-floats-to-int preprocessing (enhancements.ex:19-28): subtract the
+# block min, pack at the residual bit width.
+# ---------------------------------------------------------------------------
+
+def for_encode(a: np.ndarray) -> bytes:
+    a = _as_i64(a)
+    n = a.size
+    if n == 0:
+        return struct.pack("<IqB", 0, 0, 0)
+    ref = int(a.min())
+    resid = (a - ref).view(_U64)
+    width = bitio.max_bit_width(resid)
+    return struct.pack("<IqB", n, ref, width) + bitio.pack(resid, width)
+
+
+def for_decode(buf: bytes) -> np.ndarray:
+    n, ref, width = struct.unpack_from("<IqB", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    resid = bitio.unpack(memoryview(buf)[13:], width, n)
+    return resid.view(_I64) + ref
+
+
+def for_encoded_size(n: int, value_range: int) -> int:
+    """Exact encoded byte size of FOR without encoding (selector cost)."""
+    if n == 0:
+        return 13
+    return 13 + (n * bitio.bit_width(value_range) + 7) // 8
+
+
+# ---------------------------------------------------------------------------
+# RLE — run values + run lengths, each FOR-packed.  Triggered by the
+# constant/step patterns the reference compresses 40x
+# (/root/reference/docs/performance_guide.md:35-36).
+# ---------------------------------------------------------------------------
+
+def _runs(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = a.size
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    np.not_equal(a[1:], a[:-1], out=change[1:])
+    starts = np.flatnonzero(change)
+    lens = np.diff(starts, append=n)
+    return a[starts], lens
+
+
+def rle_encode(a: np.ndarray) -> bytes:
+    a = _as_i64(a)
+    n = a.size
+    if n == 0:
+        return struct.pack("<III", 0, 0, 0)
+    vals, lens = _runs(a)
+    vbuf = for_encode(vals)
+    lbuf = for_encode(lens)
+    return struct.pack("<III", n, vals.size, len(vbuf)) + vbuf + lbuf
+
+
+def rle_decode(buf: bytes) -> np.ndarray:
+    n, nruns, vlen = struct.unpack_from("<III", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    mv = memoryview(buf)
+    vals = for_decode(mv[12 : 12 + vlen])
+    lens = for_decode(mv[12 + vlen :])
+    return np.repeat(vals, lens)
+
+
+# ---------------------------------------------------------------------------
+# Dict-encode — sorted-unique vocabulary + fixed-width codes.  The Spark-
+# first generalization of Chimp128's ring-buffer-of-recent-values
+# (/root/reference/c_src/gorilla_nif.cpp:577-588): a block-local dictionary
+# instead of a sliding 128-slot one.
+# ---------------------------------------------------------------------------
+
+def dict_encode(a: np.ndarray) -> bytes:
+    a = _as_i64(a)
+    n = a.size
+    if n == 0:
+        return struct.pack("<IIIB", 0, 0, 0, 0)
+    vocab, codes = np.unique(a, return_inverse=True)
+    dbuf = delta_encode(vocab)  # sorted -> small positive gaps
+    cw = bitio.bit_width(vocab.size - 1)
+    cbuf = bitio.pack(codes.astype(_U64), cw)
+    return struct.pack("<IIIB", n, vocab.size, len(dbuf), cw) + dbuf + cbuf
+
+
+def dict_decode(buf: bytes) -> np.ndarray:
+    n, card, dlen, cw = struct.unpack_from("<IIIB", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    mv = memoryview(buf)
+    vocab = delta_decode(mv[13 : 13 + dlen])
+    codes = bitio.unpack(mv[13 + dlen :], cw, n)
+    return vocab[codes.astype(np.intp)]
+
+
+# ---------------------------------------------------------------------------
+# Delta — first value raw, zigzagged diffs FOR-packed.  Counter-delta
+# preprocessing (enhancements.ex:57-78) promoted to a first-class codec.
+# ---------------------------------------------------------------------------
+
+def delta_encode(a: np.ndarray) -> bytes:
+    a = _as_i64(a)
+    n = a.size
+    if n == 0:
+        return struct.pack("<IqB", 0, 0, 0)
+    zz = bitio.zigzag(np.diff(a))
+    width = bitio.max_bit_width(zz)
+    return struct.pack("<IqB", n, int(a[0]), width) + bitio.pack(zz, width)
+
+
+def delta_decode(buf: bytes) -> np.ndarray:
+    n, first, width = struct.unpack_from("<IqB", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    diffs = bitio.unzigzag(bitio.unpack(memoryview(buf)[13:], width, n - 1))
+    out = np.empty(n, dtype=_I64)
+    out[0] = first
+    np.cumsum(diffs, out=out[1:])
+    out[1:] += first
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Delta-of-delta with cost-optimal width classes.
+# ---------------------------------------------------------------------------
+
+def value_bit_widths(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for a uint64 array (0 -> 0)."""
+    v = v.astype(_U64, copy=True)
+    w = np.zeros(v.size, dtype=np.uint8)
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = v >= (_U64(1) << _U64(shift))
+        w[mask] += shift
+        v[mask] >>= _U64(shift)
+    w[v > 0] += 1
+    return w
+
+
+def choose_class_widths(widths: np.ndarray) -> list[int]:
+    """Pick 4 ascending class widths [0, a, b, m] minimizing total payload
+    bits, by exact scan over the width histogram (the vectorizable analog of
+    the reference's fixed DoD buckets 7/9/12/32,
+    delta_encoding.ex:43-63)."""
+    if widths.size == 0:
+        return [0, 0, 0, 0]
+    m = int(widths.max())
+    if m == 0:
+        return [0, 0, 0, 0]
+    hist = np.bincount(widths, minlength=m + 1).astype(np.int64)
+    # candidates: observed widths only
+    cand = np.flatnonzero(hist[1:]) + 1
+    csum = np.cumsum(hist)  # counts of width <= i
+    best = (float("inf"), m, m)
+    for a in cand:
+        if a == m:
+            cost = int(csum[m] - csum[0]) * m
+            if cost < best[0]:
+                best = (cost, m, m)
+            continue
+        n_a = int(csum[a] - csum[0])
+        for b in cand[cand > a]:
+            n_b = int(csum[b] - csum[a])
+            n_m = int(csum[m] - csum[b])
+            cost = n_a * int(a) + n_b * int(b) + n_m * m
+            if cost < best[0]:
+                best = (cost, int(a), int(b))
+    return [0, best[1], best[2], m]
+
+
+def _pack_classed(vals: np.ndarray) -> bytes:
+    """Pack uint64s as (2-bit class tags ++ per-class fixed-width payloads)."""
+    n = vals.size
+    widths = value_bit_widths(vals)
+    cw = choose_class_widths(widths)
+    bounds = np.array(cw, dtype=np.uint8)
+    # class index = first class whose width >= value width
+    cls = np.searchsorted(bounds, widths, side="left").astype(_U64)
+    header = struct.pack("<IBBBB", n, *cw)
+    parts = [header, bitio.pack(cls, 2)]
+    for c in range(4):
+        sel = vals[cls == c]
+        parts.append(struct.pack("<I", sel.size))
+        parts.append(bitio.pack(sel, cw[c]))
+    return b"".join(parts)
+
+
+def _unpack_classed(buf: memoryview) -> np.ndarray:
+    n = struct.unpack_from("<I", buf, 0)[0]
+    cw = struct.unpack_from("<BBBB", buf, 4)
+    if n == 0:
+        return np.empty(0, dtype=_U64)
+    off = 8
+    tag_bytes = (n * 2 + 7) // 8
+    cls = bitio.unpack(buf[off : off + tag_bytes], 2, n)
+    off += tag_bytes
+    out = np.zeros(n, dtype=_U64)
+    for c in range(4):
+        (cnt,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        nbytes = (cnt * cw[c] + 7) // 8
+        if cnt:
+            out[cls == c] = bitio.unpack(buf[off : off + nbytes], cw[c], cnt)
+        off += nbytes
+    return out
+
+
+def dod_encode(a: np.ndarray) -> bytes:
+    a = _as_i64(a)
+    n = a.size
+    if n == 0:
+        return struct.pack("<Iqq", 0, 0, 0)
+    first = int(a[0])
+    first_delta = int(a[1]) - first if n > 1 else 0
+    head = struct.pack("<Iqq", n, first, first_delta)
+    if n <= 2:
+        return head
+    deltas = np.diff(a)
+    dod = bitio.zigzag(np.diff(deltas))
+    return head + _pack_classed(dod)
+
+
+def dod_decode(buf: bytes) -> np.ndarray:
+    n, first, first_delta = struct.unpack_from("<Iqq", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    out = np.empty(n, dtype=_I64)
+    out[0] = first
+    if n == 1:
+        return out
+    if n == 2:
+        out[1] = first + first_delta
+        return out
+    dod = bitio.unzigzag(_unpack_classed(memoryview(buf)[20:]))
+    deltas = np.empty(n - 1, dtype=_I64)
+    deltas[0] = first_delta
+    np.cumsum(dod, out=deltas[1:])
+    deltas[1:] += first_delta
+    np.cumsum(deltas, out=out[1:])
+    out[1:] += first
+    return out

@@ -1,0 +1,376 @@
+"""Block encode/decode over Spark DataFrames via Arrow-vectorized mapInPandas.
+
+The distribution story (what the reference leaves to the user via
+``Task.async_stream``, ``/root/reference/docs/performance_guide.md:157-178``)
+is Spark's: an explicit salted repartition assigns docs to partitions
+deterministically by ``xxhash64(doc_id)``, rows are sorted within partitions,
+and each Arrow batch is re-chunked into *blocks* of ~``block_tokens`` tokens
+— the analog of the reference's 5,000-point streaming chunks
+(``lib/gorilla_stream/stream.ex:39-42``), sized for Arrow instead of the BEAM.
+
+Each block row carries the encoded buffer plus its inline manifest (codec,
+counts, sizes, crc32s, doc ids + lengths) — the analog of the reference's
+outer header + per-chunk metadata (``lib/gorilla_stream/compression/encoder/
+metadata.ex:55-125``, ``stream.ex:75-82``).  Buffers are self-describing:
+decode takes no options.
+
+No per-row Python: token lists arrive as numpy arrays inside Arrow batches,
+are flattened once per block with ``np.concatenate``, and all bit-level work
+is vectorized numpy (SURVEY.md §7 'hard parts').
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark import TaskContext
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gorilla_stream_spark.codecs import CODEC_NAMES, decode_array, encode_array
+from gorilla_stream_spark.skew import salted_repartition
+
+__all__ = [
+    "ENCODED_SCHEMA",
+    "encode",
+    "decode",
+    "estimate",
+    "encode_timeseries",
+    "decode_timeseries",
+    "manifest",
+]
+
+DEFAULT_BLOCK_TOKENS = 1 << 20  # ~4 MiB of raw int32 per block
+
+ENCODED_SCHEMA = StructType(
+    [
+        StructField("block_id", LongType(), False),
+        StructField("part_id", IntegerType(), False),
+        StructField("seq_in_part", IntegerType(), False),
+        StructField("n_docs", IntegerType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("doc_ids", ArrayType(StringType(), False), False),
+        StructField("doc_lens", ArrayType(IntegerType(), False), False),
+        StructField("sources", ArrayType(StringType(), True), True),
+        StructField("codec", StringType(), False),
+        StructField("raw_bytes", LongType(), False),
+        StructField("enc_bytes", LongType(), False),
+        StructField("crc32_raw", LongType(), False),
+        StructField("crc32_buf", LongType(), False),
+        StructField("buffer", BinaryType(), False),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("tokens", ArrayType(IntegerType(), False), False),
+        StructField("n_tok", IntegerType(), False),
+        StructField("source", StringType(), True),
+    ]
+)
+
+
+def _flatten(tokens_cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten a column of per-row numpy arrays into (flat int64, lens)."""
+    n = len(tokens_cells)
+    lens = np.fromiter((len(c) for c in tokens_cells), count=n, dtype=np.int64)
+    if n == 0 or lens.sum() == 0:
+        return np.empty(0, dtype=np.int64), lens
+    flat = np.concatenate([np.asarray(c) for c in tokens_cells]).astype(np.int64, copy=False)
+    return flat, lens
+
+
+def _block_bounds(lens: np.ndarray, block_tokens: int) -> list[tuple[int, int]]:
+    """Split rows into contiguous blocks of <= block_tokens tokens (>=1 row).
+
+    Loop is over *blocks*, not rows: each step jumps via searchsorted on the
+    cumulative token count.
+    """
+    n = len(lens)
+    if n == 0:
+        return []
+    csum = np.cumsum(lens)
+    bounds: list[tuple[int, int]] = []
+    start = 0
+    while start < n:
+        base = csum[start - 1] if start else 0
+        end = int(np.searchsorted(csum, base + block_tokens, side="right"))
+        end = max(end, start + 1)  # a single over-long doc still forms a block
+        bounds.append((start, min(end, n)))
+        start = min(end, n) if end > start else start + 1
+    return bounds
+
+
+def _encode_fn(tokens_col: str, id_col: str, source_col: str | None, codec: str, block_tokens: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf[tokens_col].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            srcs = pdf[source_col].to_numpy() if source_col else None
+            flat_all, lens = _flatten(cells)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            for lo, hi in _block_bounds(lens, block_tokens):
+                flat = flat_all[offs[lo] : offs[hi]]
+                buf = encode_array(flat, codec=codec)
+                raw = flat.astype("<i4").tobytes()
+                yield pd.DataFrame(
+                    {
+                        "block_id": [(pid << 24) | seq],
+                        "part_id": [pid],
+                        "seq_in_part": [seq],
+                        "n_docs": [hi - lo],
+                        "n_tokens": [int(flat.size)],
+                        "doc_ids": [list(ids[lo:hi])],
+                        "doc_lens": [lens[lo:hi].astype(np.int32)],
+                        "sources": [list(srcs[lo:hi]) if srcs is not None else None],
+                        "codec": [CODEC_NAMES[buf[0]]],
+                        "raw_bytes": [len(raw)],
+                        "enc_bytes": [len(buf)],
+                        "crc32_raw": [zlib.crc32(raw)],
+                        "crc32_buf": [zlib.crc32(buf)],
+                        "buffer": [buf],
+                    }
+                )
+                seq += 1
+
+    return fn
+
+
+def encode(
+    df: DataFrame,
+    codec: str = "auto",
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+    num_partitions: int | None = None,
+    block_tokens: int = DEFAULT_BLOCK_TOKENS,
+    repartition: bool = True,
+) -> DataFrame:
+    """Encode a tokens table into self-describing compressed blocks.
+
+    Analog of ``GorillaStream.Stream.compress_stream/2``
+    (``/root/reference/lib/gorilla_stream/stream.ex:62-86``): chunk, encode
+    each chunk independently, emit buffer + per-chunk metadata.
+    """
+    if source_col and source_col not in df.columns:
+        source_col = None
+    cols = [id_col, tokens_col] + ([source_col] if source_col else [])
+    slim = df.select(*cols)  # column pruning before the Arrow hop
+    if repartition:
+        slim = salted_repartition(slim, num_partitions=num_partitions, id_col=id_col)
+    return slim.mapInPandas(
+        _encode_fn(tokens_col, id_col, source_col, codec, block_tokens), ENCODED_SCHEMA
+    )
+
+
+def _decode_fn(strict: bool):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                flat = decode_array(row.buffer)
+                if strict:
+                    crc = zlib.crc32(flat.astype("<i4").tobytes())
+                    if crc != row.crc32_raw:
+                        raise ValueError(
+                            f"crc32 mismatch on block {row.block_id}: {crc} != {row.crc32_raw}"
+                        )
+                lens = np.asarray(row.doc_lens, dtype=np.int64)
+                parts = np.split(flat.astype(np.int32), np.cumsum(lens)[:-1]) if lens.size else []
+                srcs = row.sources if row.sources is not None else [None] * len(lens)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": list(row.doc_ids),
+                        "tokens": parts,
+                        "n_tok": lens.astype(np.int32),
+                        "source": list(srcs),
+                    }
+                )
+
+    return fn
+
+
+def decode(enc_df: DataFrame, strict: bool = True) -> DataFrame:
+    """Decode blocks back to rows; bit-identical token arrays per doc.
+
+    ``strict=True`` makes checksum mismatch fatal (the reference tolerates
+    and flags it, ``decoder/metadata.ex:41-44`` — we default to strict and
+    let callers opt out, recording nothing silently).
+    """
+    return enc_df.mapInPandas(_decode_fn(strict), DECODED_SCHEMA)
+
+
+def manifest(enc_df: DataFrame) -> DataFrame:
+    """Manifest view: everything except the payload buffer (header-only
+    reads, analog of ``GorillaStream.File.get_file_info/1``,
+    ``/root/reference/lib/gorilla_stream/file.ex:121-148``)."""
+    return enc_df.drop("buffer", "doc_ids", "doc_lens", "sources")
+
+
+ESTIMATE_SCHEMA = StructType(
+    [
+        StructField("part_id", IntegerType(), False),
+        StructField("n_tokens", LongType(), False),
+        StructField("card", LongType(), False),
+        StructField("n_runs", LongType(), False),
+        StructField("is_sorted", IntegerType(), False),
+        StructField("delta_width", IntegerType(), False),
+        StructField("codec", StringType(), False),
+        StructField("raw_bytes", LongType(), False),
+        StructField("est_bytes", LongType(), False),
+        StructField("est_ratio", DoubleType(), False),
+    ]
+)
+
+
+def estimate(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    block_tokens: int = DEFAULT_BLOCK_TOKENS,
+) -> DataFrame:
+    """Per-block codec-selector features + predicted size, without encoding.
+
+    Analog of ``Encoder.estimate_compression_ratio/1``
+    (``/root/reference/lib/gorilla_stream/compression/gorilla/
+    encoder.ex:197-359``).
+    """
+    from gorilla_stream_spark.selector import candidate_sizes, features
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            flat_all, lens = _flatten(pdf[tokens_col].to_numpy())
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            for lo, hi in _block_bounds(lens, block_tokens):
+                flat = flat_all[offs[lo] : offs[hi]]
+                f = features(flat)
+                sizes = candidate_sizes(flat, feats=f)
+                best = min(sizes, key=sizes.get)
+                raw = 4 * int(flat.size)
+                yield pd.DataFrame(
+                    {
+                        "part_id": [pid],
+                        "n_tokens": [int(flat.size)],
+                        "card": [f.get("card", 0)],
+                        "n_runs": [f.get("n_runs", 0)],
+                        "is_sorted": [int(f.get("sorted", False))],
+                        "delta_width": [f.get("delta_width", 0)],
+                        "codec": [best],
+                        "raw_bytes": [raw],
+                        "est_bytes": [sizes[best]],
+                        "est_ratio": [sizes[best] / raw if raw else 1.0],
+                    }
+                )
+
+    return df.select(tokens_col).mapInPandas(fn, ESTIMATE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Time-series API — the direct Gorilla analog on (ts:int64, value:float64)
+# streams (``GorillaStream.compress/2``, lib/gorilla_stream.ex:74-119).
+# ---------------------------------------------------------------------------
+
+TS_ENCODED_SCHEMA = StructType(
+    [
+        StructField("block_id", LongType(), False),
+        StructField("n_points", LongType(), False),
+        StructField("ts_codec", StringType(), False),
+        StructField("val_codec", StringType(), False),
+        StructField("raw_bytes", LongType(), False),
+        StructField("enc_bytes", LongType(), False),
+        StructField("ts_min", LongType(), True),
+        StructField("ts_max", LongType(), True),
+        StructField("ts_buffer", BinaryType(), False),
+        StructField("val_buffer", BinaryType(), False),
+    ]
+)
+
+
+def encode_timeseries(
+    df: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Gorilla-style encode of a (timestamp, value) stream.
+
+    Timestamps: delta-of-delta (reference ``encoder/delta_encoding.ex``);
+    values: XOR windows (``encoder/value_compression.ex``).  Rows are
+    range-partitioned and sorted by timestamp so each block covers a
+    contiguous time range — the manifest's (ts_min, ts_max) then supports
+    partition pruning on time predicates.
+    """
+    slim = df.select(F.col(ts_col).cast("long").alias("__ts"), F.col(val_col).cast("double").alias("__val"))
+    if num_partitions:
+        slim = slim.repartitionByRange(num_partitions, "__ts")
+    slim = slim.sortWithinPartitions("__ts")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ts = pdf["__ts"].to_numpy(dtype=np.int64)
+            vals = pdf["__val"].to_numpy(dtype=np.float64)
+            # counts must match across encoded columns — reference invariant
+            # (encoder/bit_packing.ex:30-36)
+            assert ts.size == vals.size
+            tbuf = encode_array(ts, codec="dod")
+            vbuf = encode_array(vals, codec="gxor")
+            yield pd.DataFrame(
+                {
+                    "block_id": [(pid << 24) | seq],
+                    "n_points": [int(ts.size)],
+                    "ts_codec": ["dod"],
+                    "val_codec": ["gxor"],
+                    "raw_bytes": [int(ts.size) * 16],
+                    "enc_bytes": [len(tbuf) + len(vbuf)],
+                    "ts_min": [int(ts.min()) if ts.size else None],
+                    "ts_max": [int(ts.max()) if ts.size else None],
+                    "ts_buffer": [tbuf],
+                    "val_buffer": [vbuf],
+                }
+            )
+            seq += 1
+
+    return slim.mapInPandas(fn, TS_ENCODED_SCHEMA)
+
+
+def decode_timeseries(enc_df: DataFrame) -> DataFrame:
+    out_schema = StructType(
+        [StructField("ts", LongType(), False), StructField("value", DoubleType(), False)]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                ts = decode_array(row.ts_buffer)
+                vals = decode_array(row.val_buffer)
+                if ts.size != vals.size:
+                    raise ValueError("ts/value count mismatch")  # reference invariant
+                yield pd.DataFrame({"ts": ts, "value": vals})
+
+    return enc_df.mapInPandas(fn, out_schema)

@@ -1,0 +1,109 @@
+"""Per-block codec auto-selection from sampled value-distribution features.
+
+Spark-first reimagining of the reference's compression-ratio estimator and
+pattern analyzer (``/root/reference/lib/gorilla_stream/compression/gorilla/
+encoder.ex:197-359``, ``lib/gorilla_stream/config.ex:26-172``): the reference
+predicts Gorilla's size from the delta-bucket distribution to *advise*; we
+compute the exact encoded size of every candidate codec from cheap features
+(no trial encoding except FSST's sampled gain) and *pick the argmin*.  Lives
+inside ``mapInPandas`` — data-dependent per partition, invisible to Catalyst
+by design (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gorilla_stream_spark.codecs import bitio, fsst, intcodecs
+
+__all__ = ["features", "candidate_sizes", "select_codec"]
+
+_FSST_SAMPLE = 65536
+_FSST_MIN_N = 1024
+
+
+def _pack_size(n: int, width: int) -> int:
+    return (n * width + 7) // 8
+
+
+def features(a: np.ndarray) -> dict:
+    """Cheap distribution features of one int64 array (one pass + one sort)."""
+    n = int(a.size)
+    if n == 0:
+        return {"n": 0}
+    vmin, vmax = int(a.min()), int(a.max())
+    run_vals, run_lens = intcodecs._runs(a)
+    vocab = np.unique(run_vals)  # unique of run heads == unique of a
+    diffs = np.diff(a) if n > 1 else np.empty(0, dtype=np.int64)
+    zz = bitio.zigzag(diffs)
+    return {
+        "n": n,
+        "min": vmin,
+        "max": vmax,
+        "card": int(vocab.size),
+        "n_runs": int(run_vals.size),
+        "sorted": bool(n < 2 or (diffs >= 0).all()),
+        "_vocab": vocab,
+        "_run_vals": run_vals,
+        "_run_lens": run_lens,
+        "_zz": zz,
+        "delta_width": bitio.max_bit_width(zz),
+    }
+
+
+def _delta_size_of(vals: np.ndarray) -> int:
+    if vals.size == 0:
+        return 13
+    zz = bitio.zigzag(np.diff(vals))
+    return 13 + _pack_size(vals.size - 1, bitio.max_bit_width(zz))
+
+
+def candidate_sizes(a: np.ndarray, feats: dict | None = None, try_fsst: bool = True) -> dict[str, int]:
+    """Exact encoded byte size per codec, computed from features only."""
+    f = feats or features(a)
+    n = f["n"]
+    if n == 0:
+        return {"raw": 5}
+    sizes: dict[str, int] = {}
+    vrange = f["max"] - f["min"]
+    # raw: minimal item size
+    item = next(s for s, dt in ((1, np.int8), (2, np.int16), (4, np.int32), (8, np.int64))
+                if f["min"] >= np.iinfo(dt).min and f["max"] <= np.iinfo(dt).max)
+    sizes["raw"] = 5 + n * item
+    sizes["for"] = 13 + _pack_size(n, bitio.bit_width(vrange))
+    # rle
+    rv, rl = f["_run_vals"], f["_run_lens"]
+    sizes["rle"] = (12 + intcodecs.for_encoded_size(rv.size, int(rv.max() - rv.min()))
+                    + intcodecs.for_encoded_size(rl.size, int(rl.max() - rl.min())))
+    # dict
+    vocab = f["_vocab"]
+    sizes["dict"] = 13 + _delta_size_of(vocab) + _pack_size(n, bitio.bit_width(vocab.size - 1))
+    # delta
+    sizes["delta"] = 13 + _pack_size(n - 1, f["delta_width"])
+    # dod
+    if n > 2:
+        dod_zz = bitio.zigzag(np.diff(np.diff(a)))
+        widths = intcodecs.value_bit_widths(dod_zz)
+        cw = intcodecs.choose_class_widths(widths)
+        hist = np.bincount(widths, minlength=65).astype(np.int64)
+        bounds = np.array(cw)
+        cls_of_w = np.searchsorted(bounds, np.arange(hist.size), side="left").clip(max=3)
+        size = 20 + 8 + _pack_size(dod_zz.size, 2)
+        for c in range(4):
+            cnt = int(hist[cls_of_w == c].sum())
+            size += 4 + _pack_size(cnt, cw[c])
+        sizes["dod"] = size
+    # fsst: trial-encode a sample (cheap, bounded) and extrapolate
+    if try_fsst and n >= _FSST_MIN_N and 0 <= f["min"] and f["max"] < 0xFFFFFFFF - 1:
+        s = a[:_FSST_SAMPLE]
+        trial = len(fsst.fsst_encode(s))
+        sizes["fsst"] = int(trial * (n / s.size)) if s.size else trial
+    return sizes
+
+
+def select_codec(a: np.ndarray, try_fsst: bool = True) -> str:
+    """Argmin-size codec for an int64 array."""
+    sizes = candidate_sizes(np.ascontiguousarray(a, dtype=np.int64), try_fsst=try_fsst)
+    # deterministic tie-break: cheapest decode first
+    order = {"raw": 0, "for": 1, "rle": 2, "delta": 3, "dict": 4, "dod": 5, "fsst": 6}
+    return min(sizes.items(), key=lambda kv: (kv[1], order[kv[0]]))[0]

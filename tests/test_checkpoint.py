@@ -1,0 +1,92 @@
+"""Checkpointed encode: lineage, idempotent resume, crash recovery."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark import decode
+from gorilla_stream_spark.checkpoint import CheckpointedEncode
+from gorilla_stream_spark.generator import tokens_df
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    df = tokens_df(spark, 400, seed=7)
+    df.cache().count()
+    return df
+
+
+def _job(out, ckpt, P=4):
+    return CheckpointedEncode(output_path=out, checkpoint_path=ckpt, run_id="t", num_partitions=P)
+
+
+def _roundtrip_ok(spark, toks, out):
+    enc = spark.read.parquet(out)
+    dec = decode(enc)
+    joined = toks.alias("s").join(dec.alias("d"), "doc_id", "full_outer")
+    bad = joined.filter(
+        (F.col("s.tokens") != F.col("d.tokens")) | F.col("s.tokens").isNull() | F.col("d.tokens").isNull()
+    )
+    assert bad.count() == 0
+    assert dec.count() == toks.count()  # no dup docs from resume
+
+
+def test_full_run_and_noop_rerun(spark, toks, paths):
+    out, ckpt = paths
+    job = _job(out, ckpt)
+    job.run(spark, toks)
+    m1 = job.metrics(spark)
+    assert m1["parts_committed"] == 4
+    assert m1["docs"] == 400
+    assert m1["ratio"] < 1.0
+    _roundtrip_ok(spark, toks, out)
+    # re-run: all partitions committed -> no-op, no duplicates
+    job.run(spark, toks)
+    m2 = job.metrics(spark)
+    assert m2 == m1
+    _roundtrip_ok(spark, toks, out)
+
+
+def test_crash_resume(spark, toks, paths):
+    out, ckpt = paths
+    job = _job(out, ckpt)
+    job.run(spark, toks)
+    # simulate a crash that lost partitions 2,3's checkpoint rows AND
+    # partition 3's data (partition 2: data written, commit lost)
+    cp = spark.read.parquet(ckpt).filter(F.col("part_id") < 2).toPandas()
+    shutil.rmtree(ckpt)
+    spark.createDataFrame(cp).write.parquet(ckpt)
+    for d in glob.glob(os.path.join(out, "part_id=3")):
+        shutil.rmtree(d)
+    job2 = _job(out, ckpt)
+    assert sorted(job2.committed_parts(spark)) == [0, 1]
+    job2.run(spark, toks)
+    assert sorted(job2.committed_parts(spark)) == [0, 1, 2, 3]
+    _roundtrip_ok(spark, toks, out)
+
+
+def test_resume_skips_committed_input(spark, toks, paths):
+    """Committed partitions must not be re-encoded (input pruned)."""
+    out, ckpt = paths
+    job = _job(out, ckpt)
+    job.run(spark, toks)
+    before = {
+        (r["part_id"], r["crc_sum"])
+        for r in spark.read.parquet(ckpt).select("part_id", "crc_sum").collect()
+    }
+    job.run(spark, toks)
+    after = {
+        (r["part_id"], r["crc_sum"])
+        for r in spark.read.parquet(ckpt).select("part_id", "crc_sum").collect()
+    }
+    assert before == after  # bit-identical blocks, no recommit

@@ -1,0 +1,160 @@
+"""End-to-end Spark round-trip: encode -> decode == original, bit-identical.
+
+The core invariant of the reference's suite ("original and decompressed
+streams are identical", `/root/reference/test/gorilla_stream/compression/
+gorilla_compression_test.exs:136-141`) applied per doc_id on the tokens
+table, via a join of decoded against source.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark import decode, encode, estimate
+from gorilla_stream_spark.engine import decode_timeseries, encode_timeseries, manifest
+from gorilla_stream_spark.generator import tokens_df
+from gorilla_stream_spark.skew import skew_stats
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    df = tokens_df(spark, 600, seed=42)
+    df.cache().count()
+    return df
+
+
+def _assert_roundtrip(spark, src_df, enc_df):
+    dec = decode(enc_df)
+    joined = (
+        src_df.alias("s")
+        .join(dec.alias("d"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.col("s.tokens") == F.col("d.tokens")).alias("same"),
+            F.col("s.source") == F.col("d.source"),
+        )
+    )
+    bad = joined.filter(~F.col("same") | F.col("same").isNull())
+    assert bad.count() == 0
+
+
+def test_roundtrip_auto(spark, toks):
+    enc = encode(toks, codec="auto", num_partitions=4)
+    enc.cache().count()
+    _assert_roundtrip(spark, toks, enc)
+    # every doc exactly once across blocks
+    total_docs = enc.agg(F.sum("n_docs")).first()[0]
+    assert total_docs == toks.count()
+    # compression must win overall on the fixture mix
+    m = enc.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+    assert m["e"] < m["r"]
+    enc.unpersist()
+
+
+@pytest.mark.parametrize("codec", ["raw", "for", "rle", "dict", "delta", "dod", "fsst"])
+def test_roundtrip_fixed_codec(spark, toks, codec):
+    small = toks.limit(120)
+    enc = encode(small, codec=codec, num_partitions=2)
+    _assert_roundtrip(spark, small, enc)
+    assert set(r["codec"] for r in enc.select("codec").distinct().collect()) == {codec}
+
+
+def test_auto_picks_expected_codec_per_stratum(spark, toks):
+    enc = encode(
+        toks.filter(F.col("source") == "constant"),
+        codec="auto",
+        num_partitions=1,
+        block_tokens=1 << 16,
+    )
+    codecs = {r["codec"] for r in enc.select("codec").collect()}
+    assert codecs <= {"for", "rle", "dict", "fsst"}  # never raw on constant docs
+
+
+def test_empty_input(spark, toks):
+    empty = toks.filter(F.lit(False))
+    enc = encode(empty, num_partitions=2)
+    assert enc.count() == 0  # empty -> empty (gorilla.ex:74-75)
+    assert decode(enc).count() == 0
+
+
+def test_block_determinism_across_parallelism(spark, toks):
+    """Same input -> same blocks regardless of input partitioning (lineage)."""
+    a = encode(toks.repartition(7), codec="auto", num_partitions=4)
+    b = encode(toks.repartition(3), codec="auto", num_partitions=4)
+    ha = sorted(r["crc32_buf"] for r in a.select("crc32_buf").collect())
+    hb = sorted(r["crc32_buf"] for r in b.select("crc32_buf").collect())
+    assert ha == hb
+
+
+def test_strict_decode_detects_corruption(spark, toks):
+    enc = encode(toks.limit(50), num_partitions=1)
+    corrupted = enc.withColumn("crc32_raw", F.col("crc32_raw") + 1)
+    with pytest.raises(Exception, match="crc32 mismatch"):
+        decode(corrupted, strict=True).count()
+    # tolerant mode mirrors the reference's checksum tolerance
+    # (decoder/metadata.ex:41-44)
+    assert decode(corrupted, strict=False).count() == 50
+
+
+def test_manifest_and_estimate(spark, toks):
+    enc = encode(toks, num_partitions=4)
+    man = manifest(enc)
+    assert "buffer" not in man.columns
+    est = estimate(toks)
+    rows = est.collect()
+    assert all(r["est_bytes"] > 0 for r in rows)
+    # estimator ratio should correlate with reality: overall est within 2x
+    est_total = est.agg(F.sum("est_bytes")).first()[0]
+    real_total = enc.agg(F.sum("enc_bytes")).first()[0]
+    assert 0.5 < est_total / real_total < 2.0
+
+
+def test_skew_stats_balanced(spark, toks):
+    from gorilla_stream_spark.skew import salted_repartition
+
+    stats = skew_stats(salted_repartition(toks, num_partitions=4)).collect()
+    rows = [r["rows"] for r in stats]
+    tokens = [r["tokens"] for r in stats]
+    assert len(rows) == 4  # no empty partitions from salt collisions
+    assert max(rows) < 2 * min(rows)  # doc counts hash-uniform
+    assert max(tokens) < 6 * min(tokens)  # heavy tail bounded at tiny scale
+
+
+def test_timeseries_roundtrip(spark):
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    ts = 1_609_459_200 + np.cumsum(rng.integers(50, 70, n))
+    vals = np.round(np.cumsum(rng.normal(0, 0.5, n)) + 20.0, 2)
+    pdf = pd.DataFrame({"ts": ts.astype(np.int64), "value": vals})
+    df = spark.createDataFrame(pdf)
+    enc = encode_timeseries(df, num_partitions=3)
+    dec = decode_timeseries(enc)
+    out = dec.orderBy("ts").toPandas()
+    src = pdf.sort_values("ts").reset_index(drop=True)
+    np.testing.assert_array_equal(out["ts"].to_numpy(), src["ts"].to_numpy())
+    np.testing.assert_array_equal(out["value"].to_numpy(), src["value"].to_numpy())
+    # compression wins on gauge-like data (reference ratio anchors,
+    # docs/performance_guide.md:33-40)
+    m = enc.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+    assert m["e"] < 0.8 * m["r"]
+
+
+def test_validate_and_clean(spark, toks):
+    from gorilla_stream_spark import clean, validate
+
+    dirty = toks.unionByName(toks.limit(3)).unionByName(  # dupes
+        spark.createDataFrame(
+            [("docBAD", [1, 2], 99, "manual")],
+            schema="doc_id string, tokens array<int>, n_tok int, source string",
+        )
+    )
+    issues = validate(dirty)
+    kinds = {r["issue"] for r in issues.collect()}
+    assert "duplicate_doc_id" in kinds and "n_tok_mismatch" in kinds
+    cleaned = clean(dirty)
+    assert cleaned.count() == toks.count() + 1  # dupes dropped, n_tok fixed
+    assert validate(cleaned).count() == 0
