@@ -76,7 +76,8 @@ class CheckpointedEncode:
         if done:
             pid_expr = F.pmod(F.hash(F.xxhash64("doc_id")), F.lit(P))
             pruned = df.filter(~pid_expr.isin(*sorted(done)))
-        salted = salted_repartition(pruned, num_partitions=P)
+        sort_cols = (["source"] if "source" in df.columns else []) + ["doc_id"]
+        salted = salted_repartition(pruned, num_partitions=P, sort_cols=sort_cols)
         fp = self._config_fingerprint()
         enc = encode(
             salted,

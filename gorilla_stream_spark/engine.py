@@ -40,7 +40,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from gorilla_stream_spark.codecs import CODEC_NAMES, decode_array, encode_array
+from gorilla_stream_spark.codecs import decode_array, encode_array, encode_paged
 from gorilla_stream_spark.skew import salted_repartition
 
 __all__ = [
@@ -54,6 +54,7 @@ __all__ = [
 ]
 
 DEFAULT_BLOCK_TOKENS = 1 << 20  # ~4 MiB of raw int32 per block
+DEFAULT_PAGE_TOKENS = 1 << 16  # codec-selection granularity inside a block
 
 ENCODED_SCHEMA = StructType(
     [
@@ -115,7 +116,14 @@ def _block_bounds(lens: np.ndarray, block_tokens: int) -> list[tuple[int, int]]:
     return bounds
 
 
-def _encode_fn(tokens_col: str, id_col: str, source_col: str | None, codec: str, block_tokens: int):
+def _encode_fn(
+    tokens_col: str,
+    id_col: str,
+    source_col: str | None,
+    codec: str,
+    block_tokens: int,
+    page_tokens: int = DEFAULT_PAGE_TOKENS,
+):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -130,7 +138,7 @@ def _encode_fn(tokens_col: str, id_col: str, source_col: str | None, codec: str,
             offs = np.concatenate(([0], np.cumsum(lens)))
             for lo, hi in _block_bounds(lens, block_tokens):
                 flat = flat_all[offs[lo] : offs[hi]]
-                buf = encode_array(flat, codec=codec)
+                buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
                 raw = flat.astype("<i4").tobytes()
                 yield pd.DataFrame(
                     {
@@ -142,7 +150,7 @@ def _encode_fn(tokens_col: str, id_col: str, source_col: str | None, codec: str,
                         "doc_ids": [list(ids[lo:hi])],
                         "doc_lens": [lens[lo:hi].astype(np.int32)],
                         "sources": [list(srcs[lo:hi]) if srcs is not None else None],
-                        "codec": [CODEC_NAMES[buf[0]]],
+                        "codec": [codec_name],
                         "raw_bytes": [len(raw)],
                         "enc_bytes": [len(buf)],
                         "crc32_raw": [zlib.crc32(raw)],
@@ -163,22 +171,30 @@ def encode(
     source_col: str | None = "source",
     num_partitions: int | None = None,
     block_tokens: int = DEFAULT_BLOCK_TOKENS,
+    page_tokens: int = DEFAULT_PAGE_TOKENS,
     repartition: bool = True,
 ) -> DataFrame:
     """Encode a tokens table into self-describing compressed blocks.
 
     Analog of ``GorillaStream.Stream.compress_stream/2``
     (``/root/reference/lib/gorilla_stream/stream.ex:62-86``): chunk, encode
-    each chunk independently, emit buffer + per-chunk metadata.
+    each chunk independently, emit buffer + per-chunk metadata.  Codec
+    selection is per *page* (``page_tokens``) inside each block; partitions
+    are sorted by (source, doc_id) when a source column exists so pages stay
+    stratum-homogeneous after the shuffle.
     """
     if source_col and source_col not in df.columns:
         source_col = None
     cols = [id_col, tokens_col] + ([source_col] if source_col else [])
     slim = df.select(*cols)  # column pruning before the Arrow hop
     if repartition:
-        slim = salted_repartition(slim, num_partitions=num_partitions, id_col=id_col)
+        sort_cols = ([source_col] if source_col else []) + [id_col]
+        slim = salted_repartition(
+            slim, num_partitions=num_partitions, id_col=id_col, sort_cols=sort_cols
+        )
     return slim.mapInPandas(
-        _encode_fn(tokens_col, id_col, source_col, codec, block_tokens), ENCODED_SCHEMA
+        _encode_fn(tokens_col, id_col, source_col, codec, block_tokens, page_tokens),
+        ENCODED_SCHEMA,
     )
 
 

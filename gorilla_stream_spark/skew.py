@@ -28,6 +28,7 @@ def salted_repartition(
     num_partitions: int | None = None,
     id_col: str = "doc_id",
     sort_within: bool = True,
+    sort_cols: list[str] | None = None,
 ) -> DataFrame:
     """Repartition by a deterministic salt of the doc id.
 
@@ -41,7 +42,9 @@ def salted_repartition(
     """
     P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     salted = df.repartition(P, F.xxhash64(F.col(id_col)))
-    return salted.sortWithinPartitions(id_col) if sort_within else salted
+    if not sort_within:
+        return salted
+    return salted.sortWithinPartitions(*(sort_cols or [id_col]))
 
 
 def skew_stats(df: DataFrame, size_col: str = "n_tok") -> DataFrame:

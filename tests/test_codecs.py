@@ -163,3 +163,29 @@ def test_candidate_sizes_are_exact():
         sizes = candidate_sizes(a, try_fsst=False)
         for name, (enc, _) in INT_CODECS.items():
             assert sizes[name] == len(enc(a)), f"{case}/{name}"
+
+
+def test_paged_roundtrip_and_majority():
+    from gorilla_stream_spark.codecs import decode_array, encode_paged
+
+    # heterogeneous stretches: constant ++ random ++ sorted
+    a = np.concatenate(
+        [
+            np.full(70000, 5, dtype=np.int64),
+            RNG.integers(0, 2**30, 70000).astype(np.int64),
+            np.cumsum(RNG.integers(0, 4, 70000)).astype(np.int64),
+        ]
+    )
+    buf, name = encode_paged(a, codec="auto", page_tokens=1 << 16)
+    np.testing.assert_array_equal(decode_array(buf), a)
+    # paged selection must beat single-codec whole-block encoding
+    single = encode_array(a, codec="auto")
+    assert len(buf) < len(single)
+
+
+def test_paged_small_block_is_unpaged():
+    from gorilla_stream_spark.codecs import codec_of, encode_paged
+
+    a = RNG.integers(0, 100, 1000).astype(np.int64)
+    buf, name = encode_paged(a, codec="auto", page_tokens=1 << 16)
+    assert codec_of(buf) == name  # no paging overhead below one page
