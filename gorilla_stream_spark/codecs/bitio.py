@@ -44,6 +44,11 @@ def pack(values: np.ndarray, width: int) -> bytes:
 
     ``values`` may be any unsigned-representable integer dtype; every value
     must be < 2**width.  width == 0 encodes a run of zeros as zero bytes.
+
+    Word-wise layout trick: every group of 8 values occupies exactly
+    ``width`` output bytes, so the stream is built as a (groups, width) byte
+    matrix with 8 vectorized shift-and-OR passes (one per lane) instead of a
+    (n, 64) bit matrix — O(n*width/8) byte traffic, not O(64n).
     """
     n = values.size
     if n == 0 or width == 0:
@@ -51,9 +56,30 @@ def pack(values: np.ndarray, width: int) -> bytes:
     if width > 64:
         raise ValueError(f"width {width} > 64")
     v = np.ascontiguousarray(values, dtype=np.uint64)
-    # big-endian byte view -> (n, 64) bit matrix -> keep low `width` bits
-    bits = np.unpackbits(v.astype(">u8").view(np.uint8).reshape(n, 8), axis=1)
-    return np.packbits(bits[:, 64 - width :].ravel()).tobytes()
+    if width == 64:
+        return v.astype(">u8").tobytes()
+    ngroups = (n + 7) >> 3
+    if ngroups << 3 != n:
+        v = np.concatenate([v, np.zeros((ngroups << 3) - n, dtype=np.uint64)])
+    v = v.reshape(ngroups, 8)
+    out = np.zeros((ngroups, width), dtype=np.uint8)
+    for lane in range(8):
+        bitpos = lane * width
+        b0 = bitpos >> 3
+        nbits = (bitpos & 7) + width  # window bits from the start of byte b0
+        nbytes = (nbits + 7) >> 3
+        col = v[:, lane]
+        if nbytes <= 8:
+            shifted = col << np.uint64((nbytes << 3) - nbits)
+            win = shifted.astype(">u8").view(np.uint8).reshape(ngroups, 8)
+            out[:, b0 : b0 + nbytes] |= win[:, 8 - nbytes :]
+        else:  # nbytes == 9: split into an 8-byte-aligned head + low-bit tail
+            lowb = np.uint64(nbits - 64)
+            hi = col >> lowb  # exactly fills bits (bitpos&7)..64 of the window
+            out[:, b0 : b0 + 8] |= hi.astype(">u8").view(np.uint8).reshape(ngroups, 8)
+            lo = col & ((np.uint64(1) << lowb) - np.uint64(1))
+            out[:, b0 + 8] |= (lo << (np.uint64(8) - lowb)).astype(np.uint8)
+    return out.tobytes()[: (n * width + 7) >> 3]
 
 
 def unpack(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
@@ -62,12 +88,33 @@ def unpack(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
-    raw = np.frombuffer(buf, dtype=np.uint8) if isinstance(buf, (bytes, bytearray, memoryview)) else buf
-    bits = np.unpackbits(raw, count=n * width).reshape(n, width)
-    full = np.zeros((n, 64), dtype=np.uint8)
-    full[:, 64 - width :] = bits
-    packed = np.packbits(full.reshape(-1)).reshape(n, 8)
-    return packed.view(">u8").ravel().astype(np.uint64)
+    raw = np.frombuffer(buf, dtype=np.uint8, count=(n * width + 7) >> 3) if isinstance(
+        buf, (bytes, bytearray, memoryview)
+    ) else np.asarray(buf, dtype=np.uint8)[: (n * width + 7) >> 3]
+    if width == 64:
+        return raw.view(">u8").astype(np.uint64)
+    ngroups = (n + 7) >> 3
+    mat = np.zeros(ngroups * width, dtype=np.uint8)
+    mat[: raw.size] = raw
+    mat = mat.reshape(ngroups, width)
+    out = np.empty((ngroups, 8), dtype=np.uint64)
+    vmask = (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+    for lane in range(8):
+        bitpos = lane * width
+        b0 = bitpos >> 3
+        nbits = (bitpos & 7) + width
+        nbytes = (nbits + 7) >> 3
+        if nbytes <= 8:
+            win = np.zeros((ngroups, 8), dtype=np.uint8)
+            win[:, 8 - nbytes :] = mat[:, b0 : b0 + nbytes]
+            vals = np.ascontiguousarray(win).view(">u8").ravel().astype(np.uint64)
+            out[:, lane] = (vals >> np.uint64((nbytes << 3) - nbits)) & vmask
+        else:  # nbytes == 9
+            lowb = np.uint64(nbits - 64)
+            hi = np.ascontiguousarray(mat[:, b0 : b0 + 8]).view(">u8").ravel().astype(np.uint64)
+            lo = mat[:, b0 + 8].astype(np.uint64) >> (np.uint64(8) - lowb)
+            out[:, lane] = (((hi << lowb) | lo) & vmask)
+    return out.ravel()[:n]
 
 
 def zigzag(values: np.ndarray) -> np.ndarray:

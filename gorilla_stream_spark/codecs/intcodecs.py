@@ -206,16 +206,17 @@ def delta_decode(buf: bytes) -> np.ndarray:
 # Delta-of-delta with cost-optimal width classes.
 # ---------------------------------------------------------------------------
 
+_POW2 = np.uint64(1) << np.arange(64, dtype=np.uint64)  # [1, 2, 4, ..., 2^63]
+
+
 def value_bit_widths(v: np.ndarray) -> np.ndarray:
-    """Vectorized bit_length for a uint64 array (0 -> 0)."""
-    v = v.astype(_U64, copy=True)
-    w = np.zeros(v.size, dtype=np.uint8)
-    for shift in (32, 16, 8, 4, 2, 1):
-        mask = v >= (_U64(1) << _U64(shift))
-        w[mask] += shift
-        v[mask] >>= _U64(shift)
-    w[v > 0] += 1
-    return w
+    """Vectorized bit_length for a uint64 array (0 -> 0).
+
+    One binary search over the 64-entry power table per element (tight C
+    loop, no temporaries) — width(v) = #{powers <= v}.
+    """
+    v = v.astype(_U64, copy=False)
+    return np.searchsorted(_POW2, v, side="right").astype(np.uint8)
 
 
 def choose_class_widths(widths: np.ndarray) -> list[int]:

@@ -18,7 +18,7 @@ from gorilla_stream_spark.codecs import bitio, fsst, intcodecs
 
 __all__ = ["features", "candidate_sizes", "select_codec"]
 
-_FSST_SAMPLE = 65536
+_FSST_SAMPLE = 16384  # < page_tokens so the trial never re-encodes a full page
 _FSST_MIN_N = 1024
 
 
