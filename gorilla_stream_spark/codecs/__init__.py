@@ -11,7 +11,7 @@ import numpy as np
 
 from gorilla_stream_spark.codecs import floatcodecs, fsst, intcodecs
 
-RAW, FOR, RLE, DICT, DELTA, DOD, FSST, GXOR, PAGED = range(9)
+RAW, FOR, RLE, DICT, DELTA, DOD, FSST, GXOR, PAGED, SCALEDF, XORLAG, CONTAINER = range(12)
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -23,6 +23,9 @@ CODEC_NAMES = {
     FSST: "fsst",
     GXOR: "gxor",
     PAGED: "paged",
+    SCALEDF: "scaledf",
+    XORLAG: "xorlag",
+    CONTAINER: "container",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -44,20 +47,58 @@ DECODERS = {
     DOD: intcodecs.dod_decode,
     FSST: fsst.fsst_decode,
     GXOR: floatcodecs.gxor_decode,
+    SCALEDF: floatcodecs.scaledf_decode,
+    XORLAG: floatcodecs.xorlag_decode,
 }
+
+FLOAT_CODECS = {"gxor", "xorlag", "scaledf", "fauto"}
+
+
+def encode_float_array(a: np.ndarray, codec: str = "fauto") -> bytes:
+    """Encode a float64 array; 'fauto' picks scaledf/gxor/xorlag by size.
+
+    The fauto order mirrors the reference's default pipeline: VictoriaMetrics
+    decimal scaling first when exactly reversible
+    (``/root/reference/lib/gorilla_stream/compression/gorilla.ex:83-87``,
+    victoria_metrics defaults true), else the XOR family with per-block
+    algorithm choice (the ``algorithm`` option, ``gorilla_nif.cpp:1036-1043``,
+    made automatic).
+    """
+    if codec == "scaledf":
+        body = floatcodecs.scaledf_try_encode(a)
+        if body is None:
+            raise ValueError("scaledf not exactly reversible for this data")
+        return bytes([SCALEDF]) + body
+    if codec == "gxor":
+        return bytes([GXOR]) + floatcodecs.gxor_encode(a)
+    if codec == "xorlag":
+        return bytes([XORLAG]) + floatcodecs.xorlag_encode(a)
+    if codec != "fauto":
+        raise KeyError(codec)
+    cands: list[bytes] = []
+    scaled = floatcodecs.scaledf_try_encode(a)
+    if scaled is not None:
+        cands.append(bytes([SCALEDF]) + scaled)
+    gx = bytes([GXOR]) + floatcodecs.gxor_encode(a)
+    cands.append(gx)
+    bits = np.ascontiguousarray(a, dtype=np.float64).view(np.uint64)
+    lag = floatcodecs.choose_lag(bits) if a.size > 2 else 1
+    if lag > 1:
+        cands.append(bytes([XORLAG]) + floatcodecs.xorlag_encode(a, lag=lag))
+    return min(cands, key=len)
 
 
 def encode_array(a: np.ndarray, codec: str = "auto", **kwargs) -> bytes:
-    """Encode an int64 array (or float64 for 'gxor') into a framed buffer."""
+    """Encode an int64 array (or float64 via the float codecs) into a
+    framed self-describing buffer."""
+    if codec in FLOAT_CODECS:
+        return encode_float_array(a, codec=codec)
     if codec == "auto":
         from gorilla_stream_spark.selector import select_codec
 
         codec = select_codec(a)
     cid = CODEC_IDS[codec]
-    if cid == GXOR:
-        body = floatcodecs.gxor_encode(a)
-    else:
-        body = INT_ENCODERS[cid](a, **kwargs) if cid == FSST else INT_ENCODERS[cid](a)
+    body = INT_ENCODERS[cid](a, **kwargs) if cid == FSST else INT_ENCODERS[cid](a)
     return bytes([cid]) + body
 
 
@@ -85,12 +126,68 @@ def encode_paged(
     return head + directory + b"".join(bufs), majority
 
 
+# ---------------------------------------------------------------------------
+# Container layer — general-purpose secondary compression over a framed
+# buffer, the analog of the reference's zlib/zstd/auto container
+# (``/root/reference/lib/gorilla_stream/compression/container.ex:107-132``).
+# In the engine the Parquet/Iceberg sink already zstd-compresses pages, so
+# this layer is opt-in for buffer-level control (e.g. non-Parquet sinks).
+# ---------------------------------------------------------------------------
+
+_ZLIB, _ZSTD = 1, 2
+
+try:  # zstd via pyarrow's bundled codec; no extra install
+    import pyarrow as _pa
+
+    _ZSTD_CODEC = _pa.Codec("zstd")
+except Exception:  # pragma: no cover
+    _ZSTD_CODEC = None
+
+
+def wrap_container(buf: bytes, method: str = "auto") -> bytes:
+    """Wrap a framed buffer in a compressed container (self-describing).
+
+    ``auto`` = zstd if available else zlib, and keeps the wrapper only when
+    it actually shrinks the buffer (the reference's :auto semantics,
+    ``container.ex:126-132``).
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    if method == "none":
+        return buf
+    use_zstd = _ZSTD_CODEC is not None and method in ("auto", "zstd")
+    if method == "zstd" and _ZSTD_CODEC is None:
+        raise ValueError("zstd codec unavailable")
+    if use_zstd:
+        comp, mid = bytes(_ZSTD_CODEC.compress(buf)), _ZSTD
+    else:
+        comp, mid = _zlib.compress(buf, 6), _ZLIB
+    wrapped = bytes([CONTAINER, mid]) + _struct.pack("<I", len(buf)) + comp
+    if method == "auto" and len(wrapped) >= len(buf):
+        return buf
+    return wrapped
+
+
 def decode_array(buf: bytes | memoryview) -> np.ndarray:
     """Decode any framed buffer (dispatches on the codec id byte)."""
     import struct as _struct
 
     mv = memoryview(buf)
     cid = mv[0]
+    if cid == CONTAINER:
+        import zlib as _zlib
+
+        mid = mv[1]
+        (orig_len,) = _struct.unpack_from("<I", mv, 2)
+        body = bytes(mv[6:])
+        if mid == _ZSTD:
+            if _ZSTD_CODEC is None:
+                raise ValueError("zstd container but codec unavailable")
+            inner = bytes(_ZSTD_CODEC.decompress(body, orig_len))
+        else:
+            inner = _zlib.decompress(body)
+        return decode_array(inner)
     if cid == PAGED:
         npages, _page_tokens = _struct.unpack_from("<II", mv, 1)
         off = 9 + 4 * npages

@@ -1,4 +1,5 @@
-"""Gorilla-family float64 codecs: XOR-window (gxor) and a Chimp-style variant.
+"""Gorilla-family float64 codecs: XOR-window (gxor), Chimp128-style lagged
+XOR (xorlag), and VictoriaMetrics-style scaled-decimal (scaledf).
 
 Reimagines the reference's value compression
 (``/root/reference/lib/gorilla_stream/compression/encoder/
@@ -154,3 +155,162 @@ def gxor_decode(buf: bytes) -> np.ndarray:
     chain[0] = first
     chain[1:] = xor
     return np.bitwise_xor.accumulate(chain).view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# xorlag — Chimp128 reimagined for vectorized execution.  The reference keeps
+# a 128-slot ring of recent values and XORs each value against the ring entry
+# maximizing trailing zeros (/root/reference/c_src/gorilla_nif.cpp:577-713,
+# hash-indexed ring :588-607).  Per-value best-reference lookups are
+# inherently sequential, so instead ONE lag is chosen per block from a
+# candidate set by exact sampled cost — periodic series (the case where
+# Chimp128 wins big) XOR near-zero at their period — and both the encode XOR
+# and the decode reconstruction vectorize per residue class.
+# ---------------------------------------------------------------------------
+
+_LAG_CANDIDATES = (1, 2, 3, 4, 6, 8, 12, 16, 24, 32, 48, 64, 96, 128)
+_LAG_SAMPLE = 16384
+
+
+def _lag_cost(bits: np.ndarray, lag: int) -> int:
+    """Approx payload bits of XOR-at-lag: meaningful span of nonzero xors."""
+    if bits.size <= lag:
+        return 1 << 62
+    xor = np.bitwise_xor(bits[lag:], bits[:-lag])
+    nz = xor != 0
+    span = np.zeros(xor.size, dtype=np.int16)
+    span[nz] = 64 - leading_zeros64(xor[nz]).astype(np.int16) - trailing_zeros64(xor[nz]).astype(np.int16)
+    # ~2 tag bits per value + 64 raw bits per leading value
+    return int(span.sum()) + 2 * xor.size + 64 * lag
+
+
+def choose_lag(vals_bits: np.ndarray) -> int:
+    s = vals_bits[: _LAG_SAMPLE + 128]
+    costs = {lag: _lag_cost(s, lag) for lag in _LAG_CANDIDATES if lag < s.size}
+    if not costs:
+        return 1
+    return min(costs, key=lambda k: (costs[k], k))
+
+
+def xorlag_encode(vals: np.ndarray, lag: int | None = None) -> bytes:
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n = vals.size
+    bits = vals.view(_U64)
+    if lag is None:
+        lag = choose_lag(bits) if n > 2 else 1
+    lag = max(1, min(lag, 255, max(n, 1)))
+    head = struct.pack("<IB", n, lag)
+    k = min(lag, n)
+    head += bits[:k].astype("<u8").tobytes()  # leading values raw
+    if n <= lag:
+        return head
+    xor = np.bitwise_xor(bits[lag:], bits[:-lag])
+    lz = leading_zeros64(xor)
+    tz = trailing_zeros64(xor)
+    (l1, s1), (l2, s2) = _choose_windows(lz, tz)
+    span_end = 64 - tz.astype(np.int16)
+    lzi = lz.astype(np.int16)
+    cls = np.full(xor.size, 3, dtype=_U64)
+    cls[(lzi >= l2) & (span_end - l2 <= s2)] = 2
+    cls[(lzi >= l1) & (span_end - l1 <= s1)] = 1
+    cls[xor == 0] = 0
+    head += struct.pack("<BBBB", l1, s1 % 256, l2, s2 % 256)
+    parts = [head, bitio.pack(cls, 2)]
+    for c, (L, S) in ((1, (l1, s1)), (2, (l2, s2)), (3, (0, 64))):
+        sel = xor[cls == c]
+        shift = _U64(64 - L - S)
+        payload = sel >> shift if S < 64 else sel
+        parts.append(struct.pack("<I", sel.size))
+        parts.append(bitio.pack(payload, S))
+    return b"".join(parts)
+
+
+def xorlag_decode(buf: bytes | memoryview) -> np.ndarray:
+    mv = memoryview(buf)
+    n, lag = struct.unpack_from("<IB", mv, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    k = min(lag, n)
+    firsts = np.frombuffer(mv, dtype="<u8", count=k, offset=5).astype(_U64)
+    if n <= lag:
+        return firsts[:n].view(np.float64)
+    off = 5 + 8 * k
+    l1, s1, l2, s2 = struct.unpack_from("<BBBB", mv, off)
+    s1 = s1 or 64
+    s2 = s2 or 64
+    off += 4
+    m = n - lag
+    tag_bytes = (m * 2 + 7) // 8
+    cls = bitio.unpack(mv[off : off + tag_bytes], 2, m)
+    off += tag_bytes
+    xor = np.zeros(m, dtype=_U64)
+    for c, (L, S) in ((1, (l1, s1)), (2, (l2, s2)), (3, (0, 64))):
+        (cnt,) = struct.unpack_from("<I", mv, off)
+        off += 4
+        nbytes = (cnt * S + 7) // 8
+        if cnt:
+            payload = bitio.unpack(mv[off : off + nbytes], S, cnt)
+            shift = _U64(64 - L - S)
+            xor[cls == c] = payload << shift if S < 64 else payload
+        off += nbytes
+    chain = np.empty(n, dtype=_U64)
+    chain[:lag] = firsts
+    chain[lag:] = xor
+    if lag == 1:
+        return np.bitwise_xor.accumulate(chain).view(np.float64)
+    # per-residue XOR chains: out[i] = out[i-lag] ^ xor[i], vectorized as one
+    # accumulate per residue class (<=255 calls, each over n/lag values)
+    for r in range(lag):
+        chain[r::lag] = np.bitwise_xor.accumulate(chain[r::lag])
+    return chain.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# scaledf — VictoriaMetrics-style decimal scaling promoted to a codec.  The
+# reference multiplies values by 10^N (N = detected decimal places, capped 6)
+# and encodes the resulting integers, recording N in the header flags
+# (/root/reference/lib/gorilla_stream/compression/enhancements.ex:19-50,
+# c_src/gorilla_nif.cpp:889-922).  Here the integers go through the full int
+# codec auto-selector (nested self-describing buffer), and applicability is
+# gated by an EXACT bitwise reconstruction check at encode time — never
+# trust the tolerance heuristic with the round-trip invariant.
+# ---------------------------------------------------------------------------
+
+_SCALE_MAX = 6
+
+
+def scaledf_try_encode(vals: np.ndarray, codec: str = "auto") -> bytes | None:
+    """Encode floats as scaled ints if EXACTLY reversible, else None."""
+    from gorilla_stream_spark.codecs import encode_array
+
+    vals = np.ascontiguousarray(vals, dtype=np.float64)
+    n = vals.size
+    if n == 0:
+        return struct.pack("<IB", 0, 0)
+    if not np.isfinite(vals).all():
+        return None
+    vbits = vals.view(_U64)
+    for k in range(_SCALE_MAX + 1):
+        scale = 10.0**k
+        scaled = vals * scale
+        if np.abs(scaled).max() >= 2**53:  # beyond exact-integer float range
+            return None
+        ints = np.rint(scaled)
+        if np.abs(scaled - ints).max() > 1e-9 * max(1.0, np.abs(scaled).max()):
+            continue
+        i64 = ints.astype(np.int64)
+        recon = (i64.astype(np.float64) / scale).view(_U64)
+        if (recon == vbits).all():
+            return struct.pack("<IB", n, k) + encode_array(i64, codec=codec)
+    return None
+
+
+def scaledf_decode(buf: bytes | memoryview) -> np.ndarray:
+    from gorilla_stream_spark.codecs import decode_array
+
+    mv = memoryview(buf)
+    n, k = struct.unpack_from("<IB", mv, 0)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    ints = decode_array(mv[5:])
+    return ints.astype(np.float64) / (10.0**k)

@@ -123,7 +123,9 @@ def _encode_fn(
     codec: str,
     block_tokens: int,
     page_tokens: int = DEFAULT_PAGE_TOKENS,
+    container: str = "none",
 ):
+    from gorilla_stream_spark.codecs import wrap_container
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
@@ -139,6 +141,8 @@ def _encode_fn(
             for lo, hi in _block_bounds(lens, block_tokens):
                 flat = flat_all[offs[lo] : offs[hi]]
                 buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
+                if container != "none":
+                    buf = wrap_container(buf, method=container)
                 raw = flat.astype("<i4").tobytes()
                 yield pd.DataFrame(
                     {
@@ -173,6 +177,7 @@ def encode(
     block_tokens: int = DEFAULT_BLOCK_TOKENS,
     page_tokens: int = DEFAULT_PAGE_TOKENS,
     repartition: bool = True,
+    container: str = "none",
 ) -> DataFrame:
     """Encode a tokens table into self-describing compressed blocks.
 
@@ -193,7 +198,7 @@ def encode(
             slim, num_partitions=num_partitions, id_col=id_col, sort_cols=sort_cols
         )
     return slim.mapInPandas(
-        _encode_fn(tokens_col, id_col, source_col, codec, block_tokens, page_tokens),
+        _encode_fn(tokens_col, id_col, source_col, codec, block_tokens, page_tokens, container),
         ENCODED_SCHEMA,
     )
 
@@ -328,11 +333,18 @@ def encode_timeseries(
     ts_col: str = "ts",
     val_col: str = "value",
     num_partitions: int | None = None,
+    ts_codec: str = "auto",
+    val_codec: str = "fauto",
 ) -> DataFrame:
     """Gorilla-style encode of a (timestamp, value) stream.
 
-    Timestamps: delta-of-delta (reference ``encoder/delta_encoding.ex``);
-    values: XOR windows (``encoder/value_compression.ex``).  Rows are
+    Timestamps: int codec family, auto-selected (delta-of-delta wins on
+    regular intervals — reference ``encoder/delta_encoding.ex``); values:
+    float family, auto-selected per block among VictoriaMetrics-style
+    decimal scaling (``enhancements.ex:19-50``), Gorilla XOR windows
+    (``encoder/value_compression.ex``) and Chimp128-style lagged XOR
+    (``gorilla_nif.cpp:577-713``) — the reference's ``algorithm`` and
+    ``victoria_metrics`` options made automatic per block.  Rows are
     range-partitioned and sorted by timestamp so each block covers a
     contiguous time range — the manifest's (ts_min, ts_max) then supports
     partition pruning on time predicates.
@@ -354,14 +366,16 @@ def encode_timeseries(
             # counts must match across encoded columns — reference invariant
             # (encoder/bit_packing.ex:30-36)
             assert ts.size == vals.size
-            tbuf = encode_array(ts, codec="dod")
-            vbuf = encode_array(vals, codec="gxor")
+            from gorilla_stream_spark.codecs import codec_of
+
+            tbuf = encode_array(ts, codec=ts_codec)
+            vbuf = encode_array(vals, codec=val_codec)
             yield pd.DataFrame(
                 {
                     "block_id": [(pid << 24) | seq],
                     "n_points": [int(ts.size)],
-                    "ts_codec": ["dod"],
-                    "val_codec": ["gxor"],
+                    "ts_codec": [codec_of(tbuf)],
+                    "val_codec": [codec_of(vbuf)],
                     "raw_bytes": [int(ts.size) * 16],
                     "enc_bytes": [len(tbuf) + len(vbuf)],
                     "ts_min": [int(ts.min()) if ts.size else None],

@@ -117,6 +117,68 @@ def test_gxor_beats_raw_on_stable_series():
     assert len(floatcodecs.gxor_encode(a)) < a.nbytes / 4
 
 
+@pytest.mark.parametrize("case", FLOAT_ARRAYS)
+@pytest.mark.parametrize("lag", [1, 3, 24])
+def test_xorlag_roundtrip(case, lag):
+    a = FLOAT_ARRAYS[case]
+    out = floatcodecs.xorlag_decode(floatcodecs.xorlag_encode(a, lag=lag))
+    np.testing.assert_array_equal(out.view(np.uint64), a.view(np.uint64))
+
+
+def test_xorlag_beats_gxor_on_periodic():
+    a = np.tile(RNG.normal(50, 5, 24), 500)  # exact period-24 signal
+    lag_buf = floatcodecs.xorlag_encode(a)
+    assert len(lag_buf) < len(floatcodecs.gxor_encode(a)) / 5
+
+
+def test_scaledf_roundtrip_and_gating():
+    prices = FLOAT_ARRAYS["gauge_2dp"]
+    buf = floatcodecs.scaledf_try_encode(prices)
+    assert buf is not None
+    out = floatcodecs.scaledf_decode(buf)
+    np.testing.assert_array_equal(out.view(np.uint64), prices.view(np.uint64))
+    # non-finite and signed-zero inputs must refuse (exact-reversibility gate)
+    assert floatcodecs.scaledf_try_encode(FLOAT_ARRAYS["nan"]) is None
+    assert floatcodecs.scaledf_try_encode(FLOAT_ARRAYS["signed_zero"]) is None
+    # full-precision randoms refuse too (no decimal scale fits)
+    assert floatcodecs.scaledf_try_encode(FLOAT_ARRAYS["walk"]) is None
+
+
+@pytest.mark.parametrize("case", FLOAT_ARRAYS)
+def test_fauto_roundtrip(case):
+    from gorilla_stream_spark.codecs import decode_array, encode_array
+
+    a = FLOAT_ARRAYS[case]
+    out = decode_array(encode_array(a, codec="fauto"))
+    np.testing.assert_array_equal(out.view(np.uint64), a.view(np.uint64))
+
+
+def test_fauto_picks_specialist_codecs():
+    from gorilla_stream_spark.codecs import codec_of, encode_array
+
+    periodic = np.tile(RNG.normal(50, 5, 24), 500)
+    assert codec_of(encode_array(periodic, codec="fauto")) == "xorlag"
+    assert codec_of(encode_array(FLOAT_ARRAYS["gauge_2dp"], codec="fauto")) == "scaledf"
+
+
+@pytest.mark.parametrize("method", ["zlib", "zstd", "auto"])
+def test_container_roundtrip(method):
+    from gorilla_stream_spark.codecs import decode_array, encode_array, wrap_container
+
+    a = RNG.integers(0, 100, 20000).astype(np.int64)
+    inner = encode_array(a, codec="raw")
+    wrapped = wrap_container(inner, method)
+    np.testing.assert_array_equal(decode_array(wrapped), a)
+
+
+def test_container_auto_never_grows():
+    from gorilla_stream_spark.codecs import encode_array, wrap_container
+
+    a = RNG.integers(0, 2**31 - 1, 20000).astype(np.int64)  # incompressible
+    inner = encode_array(a, codec="raw")
+    assert len(wrap_container(inner, "auto")) <= len(inner)
+
+
 def test_bitio_roundtrip():
     for width in [0, 1, 2, 3, 7, 8, 13, 31, 32, 33, 63, 64]:
         vals = RNG.integers(0, 2 ** min(width, 63), 1000).astype(np.uint64) if width else np.zeros(5, np.uint64)

@@ -158,3 +158,15 @@ def test_validate_and_clean(spark, toks):
     cleaned = clean(dirty)
     assert cleaned.count() == toks.count() + 1  # dupes dropped, n_tok fixed
     assert validate(cleaned).count() == 0
+
+
+def test_encode_with_container_roundtrip(spark, toks):
+    enc = encode(toks, codec="auto", num_partitions=4, container="auto")
+    dec = decode(enc)
+    joined = toks.alias("s").join(dec.alias("d"), "doc_id", "full_outer")
+    bad = joined.filter(
+        F.col("s.tokens").isNull()
+        | F.col("d.tokens").isNull()
+        | (F.col("s.tokens") != F.col("d.tokens"))
+    ).count()
+    assert bad == 0
