@@ -95,6 +95,18 @@ def _flatten(tokens_cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return flat, lens
 
 
+def _flatten_arrow(tok_arr) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy flatten of an Arrow list<int> array -> (flat int64, lens).
+
+    ``flatten()`` returns the child values view (no per-row Python objects —
+    the whole point of the mapInArrow path); the only copy is the int64
+    widening the codecs operate in.
+    """
+    lens = tok_arr.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = tok_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return flat, lens
+
+
 def _block_bounds(lens: np.ndarray, block_tokens: int) -> list[tuple[int, int]]:
     """Split rows into contiguous blocks of <= block_tokens tokens (>=1 row).
 
@@ -125,44 +137,81 @@ def _encode_fn(
     page_tokens: int = DEFAULT_PAGE_TOKENS,
     container: str = "none",
 ):
+    """Arrow-native encode kernel (``mapInArrow``).
+
+    The JVM->Python hop moves whole Arrow record batches (the analog of the
+    reference's bulk BEAM->NIF crossing, SURVEY.md §3.1); ``list<int32>``
+    token arrays are flattened zero-copy via the Arrow child-values buffer —
+    no pandas Series-of-ndarrays materialization, which profiling showed
+    cost as much as the codecs themselves.
+    """
+    import pyarrow as pa
+
     from gorilla_stream_spark.codecs import wrap_container
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+    out_schema = pa.schema(
+        [
+            ("block_id", pa.int64()),
+            ("part_id", pa.int32()),
+            ("seq_in_part", pa.int32()),
+            ("n_docs", pa.int32()),
+            ("n_tokens", pa.int64()),
+            ("doc_ids", pa.list_(pa.string())),
+            ("doc_lens", pa.list_(pa.int32())),
+            ("sources", pa.list_(pa.string())),
+            ("codec", pa.string()),
+            ("raw_bytes", pa.int64()),
+            ("enc_bytes", pa.int64()),
+            ("crc32_raw", pa.int64()),
+            ("crc32_buf", pa.int64()),
+            ("buffer", pa.binary()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         seq = 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            cells = pdf[tokens_col].to_numpy()
-            ids = pdf[id_col].to_numpy()
-            srcs = pdf[source_col].to_numpy() if source_col else None
-            flat_all, lens = _flatten(cells)
+            tok_arr = rb.column(rb.schema.get_field_index(tokens_col))
+            ids_arr = rb.column(rb.schema.get_field_index(id_col))
+            src_arr = rb.column(rb.schema.get_field_index(source_col)) if source_col else None
+            flat_all, lens = _flatten_arrow(tok_arr)
             offs = np.concatenate(([0], np.cumsum(lens)))
+            cols: dict[str, list] = {name: [] for name in out_schema.names}
             for lo, hi in _block_bounds(lens, block_tokens):
                 flat = flat_all[offs[lo] : offs[hi]]
                 buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
                 if container != "none":
                     buf = wrap_container(buf, method=container)
                 raw = flat.astype("<i4").tobytes()
-                yield pd.DataFrame(
-                    {
-                        "block_id": [(pid << 24) | seq],
-                        "part_id": [pid],
-                        "seq_in_part": [seq],
-                        "n_docs": [hi - lo],
-                        "n_tokens": [int(flat.size)],
-                        "doc_ids": [list(ids[lo:hi])],
-                        "doc_lens": [lens[lo:hi].astype(np.int32)],
-                        "sources": [list(srcs[lo:hi]) if srcs is not None else None],
-                        "codec": [codec_name],
-                        "raw_bytes": [len(raw)],
-                        "enc_bytes": [len(buf)],
-                        "crc32_raw": [zlib.crc32(raw)],
-                        "crc32_buf": [zlib.crc32(buf)],
-                        "buffer": [buf],
-                    }
+                cols["block_id"].append((pid << 24) | seq)
+                cols["part_id"].append(pid)
+                cols["seq_in_part"].append(seq)
+                cols["n_docs"].append(hi - lo)
+                cols["n_tokens"].append(int(flat.size))
+                cols["doc_ids"].append(ids_arr.slice(lo, hi - lo).to_pylist())
+                cols["doc_lens"].append(lens[lo:hi].astype(np.int32))
+                cols["sources"].append(
+                    src_arr.slice(lo, hi - lo).to_pylist() if src_arr is not None else None
                 )
+                cols["codec"].append(codec_name)
+                cols["raw_bytes"].append(len(raw))
+                cols["enc_bytes"].append(len(buf))
+                cols["crc32_raw"].append(zlib.crc32(raw))
+                cols["crc32_buf"].append(zlib.crc32(buf))
+                cols["buffer"].append(buf)
                 seq += 1
+            if cols["block_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[name], type=out_schema.field(name).type)
+                        for name in out_schema.names
+                    ],
+                    schema=out_schema,
+                )
 
     return fn
 
@@ -197,33 +246,62 @@ def encode(
         slim = salted_repartition(
             slim, num_partitions=num_partitions, id_col=id_col, sort_cols=sort_cols
         )
-    return slim.mapInPandas(
+    return slim.mapInArrow(
         _encode_fn(tokens_col, id_col, source_col, codec, block_tokens, page_tokens, container),
         ENCODED_SCHEMA,
     )
 
 
 def _decode_fn(strict: bool):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                flat = decode_array(row.buffer)
+    """Arrow-native decode kernel: rebuilds each block's ``list<int32>``
+    token column directly from the decoded flat array + offsets
+    (``ListArray.from_arrays`` — no per-row np.split / pandas objects)."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("tokens", pa.list_(pa.int32())),
+            ("n_tok", pa.int32()),
+            ("source", pa.string()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        for rb in batches:
+            names = rb.schema.names
+            col = {n: rb.column(i) for i, n in enumerate(names)}
+            for i in range(rb.num_rows):
+                flat = decode_array(col["buffer"][i].as_py())
                 if strict:
                     crc = zlib.crc32(flat.astype("<i4").tobytes())
-                    if crc != row.crc32_raw:
+                    expect = col["crc32_raw"][i].as_py()
+                    if crc != expect:
                         raise ValueError(
-                            f"crc32 mismatch on block {row.block_id}: {crc} != {row.crc32_raw}"
+                            f"crc32 mismatch on block {col['block_id'][i].as_py()}:"
+                            f" {crc} != {expect}"
                         )
-                lens = np.asarray(row.doc_lens, dtype=np.int64)
-                parts = np.split(flat.astype(np.int32), np.cumsum(lens)[:-1]) if lens.size else []
-                srcs = row.sources if row.sources is not None else [None] * len(lens)
-                yield pd.DataFrame(
-                    {
-                        "doc_id": list(row.doc_ids),
-                        "tokens": parts,
-                        "n_tok": lens.astype(np.int32),
-                        "source": list(srcs),
-                    }
+                lens = col["doc_lens"][i].values.to_numpy(zero_copy_only=False).astype(np.int64)
+                offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+                tokens = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(flat.astype(np.int32), type=pa.int32()),
+                )
+                ids = col["doc_ids"][i].values
+                srcs_cell = col["sources"][i]
+                srcs = (
+                    srcs_cell.values
+                    if srcs_cell.is_valid
+                    else pa.nulls(len(lens), type=pa.string())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.cast(pa.string()),
+                        tokens,
+                        pa.array(lens.astype(np.int32), type=pa.int32()),
+                        srcs.cast(pa.string()),
+                    ],
+                    schema=out_schema,
                 )
 
     return fn
@@ -236,7 +314,7 @@ def decode(enc_df: DataFrame, strict: bool = True) -> DataFrame:
     and flags it, ``decoder/metadata.ex:41-44`` — we default to strict and
     let callers opt out, recording nothing silently).
     """
-    return enc_df.mapInPandas(_decode_fn(strict), DECODED_SCHEMA)
+    return enc_df.mapInArrow(_decode_fn(strict), DECODED_SCHEMA)
 
 
 def manifest(enc_df: DataFrame) -> DataFrame:
@@ -278,10 +356,10 @@ def estimate(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            flat_all, lens = _flatten(pdf[tokens_col].to_numpy())
+            flat_all, lens = _flatten_arrow(rb.column(0))
             offs = np.concatenate(([0], np.cumsum(lens)))
             for lo, hi in _block_bounds(lens, block_tokens):
                 flat = flat_all[offs[lo] : offs[hi]]
@@ -289,22 +367,24 @@ def estimate(
                 sizes = candidate_sizes(flat, feats=f)
                 best = min(sizes, key=sizes.get)
                 raw = 4 * int(flat.size)
-                yield pd.DataFrame(
+                import pyarrow as pa
+
+                yield pa.RecordBatch.from_pydict(
                     {
-                        "part_id": [pid],
-                        "n_tokens": [int(flat.size)],
-                        "card": [f.get("card", 0)],
-                        "n_runs": [f.get("n_runs", 0)],
-                        "is_sorted": [int(f.get("sorted", False))],
-                        "delta_width": [f.get("delta_width", 0)],
-                        "codec": [best],
-                        "raw_bytes": [raw],
-                        "est_bytes": [sizes[best]],
-                        "est_ratio": [sizes[best] / raw if raw else 1.0],
+                        "part_id": pa.array([pid], pa.int32()),
+                        "n_tokens": pa.array([int(flat.size)], pa.int64()),
+                        "card": pa.array([int(f.get("card", 0))], pa.int64()),
+                        "n_runs": pa.array([int(f.get("n_runs", 0))], pa.int64()),
+                        "is_sorted": pa.array([int(f.get("sorted", False))], pa.int32()),
+                        "delta_width": pa.array([int(f.get("delta_width", 0))], pa.int32()),
+                        "codec": pa.array([best], pa.string()),
+                        "raw_bytes": pa.array([raw], pa.int64()),
+                        "est_bytes": pa.array([int(sizes[best])], pa.int64()),
+                        "est_ratio": pa.array([sizes[best] / raw if raw else 1.0], pa.float64()),
                     }
                 )
 
-    return df.select(tokens_col).mapInPandas(fn, ESTIMATE_SCHEMA)
+    return df.select(tokens_col).mapInArrow(fn, ESTIMATE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
