@@ -344,12 +344,15 @@ def estimate(
     df: DataFrame,
     tokens_col: str = "tokens",
     block_tokens: int = DEFAULT_BLOCK_TOKENS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Per-block codec-selector features + predicted size, without encoding.
 
     Analog of ``Encoder.estimate_compression_ratio/1``
     (``/root/reference/lib/gorilla_stream/compression/gorilla/
-    encoder.ex:197-359``).
+    encoder.ex:197-359``).  ``num_partitions`` forces a round-robin
+    repartition when the input has too few splits to use the cluster
+    (estimation is split-agnostic — no salted shuffle needed).
     """
     from gorilla_stream_spark.selector import candidate_sizes, features
 
@@ -384,7 +387,10 @@ def estimate(
                     }
                 )
 
-    return df.select(tokens_col).mapInArrow(fn, ESTIMATE_SCHEMA)
+    slim = df.select(tokens_col)
+    if num_partitions:
+        slim = slim.repartition(num_partitions)
+    return slim.mapInArrow(fn, ESTIMATE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -434,23 +440,29 @@ def encode_timeseries(
         slim = slim.repartitionByRange(num_partitions, "__ts")
     slim = slim.sortWithinPartitions("__ts")
 
+    block_points = 1 << 20
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from gorilla_stream_spark.codecs import codec_of
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         seq = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            ts = pdf["__ts"].to_numpy(dtype=np.int64)
-            vals = pdf["__val"].to_numpy(dtype=np.float64)
+        ts_acc: list[np.ndarray] = []
+        val_acc: list[np.ndarray] = []
+        n_acc = 0
+
+        def flush():
+            nonlocal seq, ts_acc, val_acc, n_acc
+            ts = np.concatenate(ts_acc) if len(ts_acc) > 1 else ts_acc[0]
+            vals = np.concatenate(val_acc) if len(val_acc) > 1 else val_acc[0]
+            ts_acc, val_acc, n_acc = [], [], 0
             # counts must match across encoded columns — reference invariant
             # (encoder/bit_packing.ex:30-36)
             assert ts.size == vals.size
-            from gorilla_stream_spark.codecs import codec_of
-
             tbuf = encode_array(ts, codec=ts_codec)
             vbuf = encode_array(vals, codec=val_codec)
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "block_id": [(pid << 24) | seq],
                     "n_points": [int(ts.size)],
@@ -465,6 +477,18 @@ def encode_timeseries(
                 }
             )
             seq += 1
+            return out
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ts_acc.append(pdf["__ts"].to_numpy(dtype=np.int64))
+            val_acc.append(pdf["__val"].to_numpy(dtype=np.float64))
+            n_acc += len(pdf)
+            if n_acc >= block_points:  # Arrow batches accumulate into
+                yield flush()  # reference-chunk-style blocks (stream.ex:70)
+        if n_acc:
+            yield flush()
 
     return slim.mapInPandas(fn, TS_ENCODED_SCHEMA)
 
