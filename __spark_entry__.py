@@ -45,12 +45,12 @@ def _tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _roundtrip(codec: str):
+def _roundtrip(codec: str, container: str = "none"):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from gorilla_stream_spark import decode, encode
 
         src = _tokens_from_documents(spark, sf_dir)
-        enc = encode(src, codec=codec, num_partitions=4)
+        enc = encode(src, codec=codec, num_partitions=4, container=container)
         dec = decode(enc)
         return (
             src.alias("s")
@@ -247,6 +247,44 @@ def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_stats(salted_repartition(_tokens_from_documents(spark, sf_dir), num_partitions=4))
 
 
+def q_scaledf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 2-decimal prices -> scaledf (VictoriaMetrics-style decimal scaling)
+    # must reconstruct values exactly; aggregate checked against source SQL
+    from gorilla_stream_spark.engine import decode_timeseries, encode_timeseries
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").cast("long").alias("ts"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    dec = decode_timeseries(encode_timeseries(li, num_partitions=4))
+    # integer-cent sum: float addition is order-dependent across engines
+    return dec.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).cast("long").alias("sum_cents"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
+def q_xorlag_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # periodic float series -> lagged-XOR codec; exact reconstruction checked
+    # via sum/min/max of the decoded stream against SQL recomputation
+    from gorilla_stream_spark.engine import decode_timeseries, encode_timeseries
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("long").alias("ts"),
+        F.round(F.sin(F.col("event_id") % 24 / 24 * 6.283185307179586), 6).alias("value"),
+    )
+    dec = decode_timeseries(encode_timeseries(ev, num_partitions=4))
+    # integer micro-unit sum: float addition is order-dependent across engines
+    return dec.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.round(F.col("value") * 1000000).cast("long")).cast("long").alias("sum_micro"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -277,6 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_estimate": q_estimate,
         "q22_codec_mix": q_codec_mix,
         "q23_skew_stats": q_skew_stats,
+        "q24_roundtrip_container": _roundtrip("auto", container="auto"),
+        "q25_scaledf_roundtrip": q_scaledf_roundtrip,
+        "q26_xorlag_roundtrip": q_xorlag_roundtrip,
     }
 
 
@@ -357,6 +398,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "q20_validate": (
             "SELECT 'duplicate_doc_id' AS issue, CAST(5 AS BIGINT) AS n"
+        ),
+        "q24_roundtrip_container": _ROUNDTRIP_ORACLE,
+        "q25_scaledf_roundtrip": (
+            "SELECT CAST(count(*) AS BIGINT) AS cnt,"
+            " CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents,"
+            " min(l_extendedprice) AS min_val, max(l_extendedprice) AS max_val FROM lineitem"
+        ),
+        "q26_xorlag_roundtrip": (
+            "WITH v AS (SELECT round(sin(event_id % 24 / 24 * 6.283185307179586), 6) AS value"
+            " FROM events)"
+            " SELECT CAST(count(*) AS BIGINT) AS cnt,"
+            " CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,"
+            " min(value) AS min_val, max(value) AS max_val FROM v"
         ),
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.

@@ -70,6 +70,13 @@ def main() -> int:
     queries: dict[str, float] = {}
     extras: dict = {}
 
+    # warmup: spawn python workers, JIT the scan + arrow path, page-cache the
+    # input — recorded queries then measure steady state, not cold start
+    toks.agg(F.sum("n_tok")).first()
+    encode(toks.limit(2000), codec="auto", num_partitions=int(CPUS)).agg(
+        F.sum("enc_bytes")
+    ).first()
+
     # q1: encode auto (headline) — write blocks (realistic sink incl. I/O)
     t0 = time.time()
     enc = encode(toks, codec="auto", num_partitions=int(CPUS))
