@@ -42,10 +42,10 @@ def sf_of(path: str) -> float:
         return 0.1
 
 
-def ensure_tokens(spark, sf: float) -> str:
+def ensure_tokens(spark, sf: float, mult: int = 1) -> str:
     from gorilla_stream_spark.generator import tokens_df
 
-    n_docs = max(1000, int(DOCS_PER_SF_UNIT * sf))
+    n_docs = max(1000, int(DOCS_PER_SF_UNIT * sf) * mult)
     path = os.path.join(CACHE, f"tokens_n{n_docs}_seed42")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):

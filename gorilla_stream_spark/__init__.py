@@ -18,6 +18,7 @@ Public API (analog of ``GorillaStream.compress/decompress``,
     validate(df) / clean(df)
 """
 
+from gorilla_stream_spark.analyze import analyze_and_recommend
 from gorilla_stream_spark.engine import (
     decode,
     decode_timeseries,
@@ -35,6 +36,7 @@ __all__ = [
     "encode_timeseries",
     "decode_timeseries",
     "estimate",
+    "analyze_and_recommend",
     "validate",
     "clean",
     "__version__",

@@ -354,7 +354,7 @@ def estimate(
     repartition when the input has too few splits to use the cluster
     (estimation is split-agnostic — no salted shuffle needed).
     """
-    from gorilla_stream_spark.selector import candidate_sizes, features
+    from gorilla_stream_spark.selector import block_estimate
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
@@ -366,18 +366,24 @@ def estimate(
             offs = np.concatenate(([0], np.cumsum(lens)))
             for lo, hi in _block_bounds(lens, block_tokens):
                 flat = flat_all[offs[lo] : offs[hi]]
-                f = features(flat)
-                sizes = candidate_sizes(flat, feats=f)
+                f, sizes = block_estimate(flat)
                 best = min(sizes, key=sizes.get)
                 raw = 4 * int(flat.size)
+                # features may come from a sample — extrapolate counts
+                # (cardinality scales only when the sample looks high-card)
+                scale = flat.size / max(f.get("n", 1), 1)
+                card = int(f.get("card", 0))
+                if scale > 1 and card >= 0.25 * f.get("n", 1):
+                    card = min(int(flat.size), int(card * scale))
+                n_runs = int(f.get("n_runs", 0) * scale)
                 import pyarrow as pa
 
                 yield pa.RecordBatch.from_pydict(
                     {
                         "part_id": pa.array([pid], pa.int32()),
                         "n_tokens": pa.array([int(flat.size)], pa.int64()),
-                        "card": pa.array([int(f.get("card", 0))], pa.int64()),
-                        "n_runs": pa.array([int(f.get("n_runs", 0))], pa.int64()),
+                        "card": pa.array([card], pa.int64()),
+                        "n_runs": pa.array([n_runs], pa.int64()),
                         "is_sorted": pa.array([int(f.get("sorted", False))], pa.int32()),
                         "delta_width": pa.array([int(f.get("delta_width", 0))], pa.int32()),
                         "codec": pa.array([best], pa.string()),

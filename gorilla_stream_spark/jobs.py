@@ -91,6 +91,16 @@ def cmd_estimate(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Pattern analysis + config recommendation (reference Config analog)."""
+    from gorilla_stream_spark import analyze_and_recommend
+
+    spark = _spark("gss-analyze")
+    df = spark.read.parquet(args.input)
+    print(json.dumps(analyze_and_recommend(df)))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gorilla_stream_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -118,6 +128,10 @@ def main(argv: list[str] | None = None) -> int:
     s = sub.add_parser("estimate", help="codec selector preview, no encode")
     s.add_argument("--input", required=True)
     s.set_defaults(fn=cmd_estimate)
+
+    a = sub.add_parser("analyze", help="pattern analysis + config recommendation")
+    a.add_argument("--input", required=True)
+    a.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -27,13 +27,16 @@ def _pack_size(n: int, width: int) -> int:
 
 
 def features(a: np.ndarray) -> dict:
-    """Cheap distribution features of one int64 array (one pass + one sort)."""
+    """Cheap distribution features of one int64 array (hash-unique, no full
+    sort)."""
+    import pandas as pd
+
     n = int(a.size)
     if n == 0:
         return {"n": 0}
     vmin, vmax = int(a.min()), int(a.max())
     run_vals, run_lens = intcodecs._runs(a)
-    vocab = np.unique(run_vals)  # unique of run heads == unique of a
+    vocab = np.sort(pd.unique(run_vals))  # unique of run heads == unique of a
     diffs = np.diff(a) if n > 1 else np.empty(0, dtype=np.int64)
     zz = bitio.zigzag(diffs)
     return {
@@ -101,9 +104,88 @@ def candidate_sizes(a: np.ndarray, feats: dict | None = None, try_fsst: bool = T
     return sizes
 
 
+_SAMPLE_THRESHOLD = 32768
+_SAMPLE_CHUNK = 4096  # 3 contiguous chunks -> diffs/runs stay meaningful
+
+
+def _sample_chunks(a: np.ndarray) -> np.ndarray:
+    """Three contiguous chunks (head, middle, tail) — contiguity preserves
+    run/delta structure; only 2 chunk-join values are junk."""
+    n = a.size
+    c = _SAMPLE_CHUNK
+    mid = (n - c) // 2
+    return np.concatenate([a[:c], a[mid : mid + c], a[n - c :]])
+
+
+def sampled_sizes(a: np.ndarray, try_fsst: bool = True) -> dict[str, int]:
+    """Approximate per-codec sizes from a ~12K-token contiguous sample.
+
+    The reference's estimator is sampling-based too
+    (``/root/reference/lib/gorilla_stream/compression/gorilla/
+    encoder.ex:197-359`` predicts from distributions without encoding).
+    min/max are exact (cheap full passes); counts extrapolate linearly;
+    cardinality extrapolates only when the sample looks high-cardinality
+    (low-card vocabularies are fully visible in the sample).
+    """
+    n = int(a.size)
+    s = _sample_chunks(a)
+    f = features(s)
+    ns = f["n"]
+    scale = n / ns
+    vmin, vmax = int(a.min()), int(a.max())
+    sizes: dict[str, int] = {}
+    item = next(
+        sz
+        for sz, dt in ((1, np.int8), (2, np.int16), (4, np.int32), (8, np.int64))
+        if vmin >= np.iinfo(dt).min and vmax <= np.iinfo(dt).max
+    )
+    sizes["raw"] = 5 + n * item
+    sizes["for"] = 13 + _pack_size(n, bitio.bit_width(vmax - vmin))
+    rv, rl = f["_run_vals"], f["_run_lens"]
+    nruns = max(1, int(round(rv.size * scale)))
+    sizes["rle"] = (
+        12
+        + intcodecs.for_encoded_size(nruns, int(rv.max() - rv.min()))
+        + intcodecs.for_encoded_size(nruns, int(rl.max() - rl.min()))
+    )
+    card_s = f["card"]
+    card = card_s if card_s < 0.25 * ns else min(n, int(card_s * scale))
+    vocab_bytes = int(_delta_size_of(f["_vocab"]) * (card / max(card_s, 1)))
+    sizes["dict"] = 13 + vocab_bytes + _pack_size(n, bitio.bit_width(max(card - 1, 0)))
+    sizes["delta"] = 13 + _pack_size(n - 1, f["delta_width"])
+    if ns > 2:
+        dod_zz = bitio.zigzag(np.diff(np.diff(s)))
+        widths = intcodecs.value_bit_widths(dod_zz)
+        cw = intcodecs.choose_class_widths(widths)
+        bounds = np.array(cw, dtype=np.uint8)
+        cls = np.searchsorted(bounds, widths, side="left").clip(max=3)
+        payload_bits = sum(int((cls == c).sum()) * cw[c] for c in range(4))
+        bits_per_val = (payload_bits + 2 * dod_zz.size) / dod_zz.size
+        sizes["dod"] = 44 + int(bits_per_val * (n - 2) / 8)
+    if try_fsst and 0 <= vmin and vmax < 0xFFFFFFFF - 1:
+        est = int(len(fsst.fsst_encode(s)) * scale)
+        best_other = min(sizes.values())
+        # sample extrapolation is noisy for a trained-table codec (bias
+        # swings ~0.7-1.6x); when contested, pay one full-page trial
+        if 0.8 * best_other <= est <= 1.3 * best_other:
+            est = len(fsst.fsst_encode(a))
+        sizes["fsst"] = est
+    return sizes
+
+
+def block_estimate(a: np.ndarray, try_fsst: bool = True) -> tuple[dict, dict[str, int]]:
+    """(features, candidate sizes) — exact below _SAMPLE_THRESHOLD, sampled
+    above (selection only needs relative sizes; encode is always exact)."""
+    a = np.ascontiguousarray(a, dtype=np.int64)
+    if a.size <= _SAMPLE_THRESHOLD:
+        f = features(a)
+        return f, candidate_sizes(a, feats=f, try_fsst=try_fsst)
+    return features(_sample_chunks(a)), sampled_sizes(a, try_fsst=try_fsst)
+
+
 def select_codec(a: np.ndarray, try_fsst: bool = True) -> str:
     """Argmin-size codec for an int64 array."""
-    sizes = candidate_sizes(np.ascontiguousarray(a, dtype=np.int64), try_fsst=try_fsst)
+    _, sizes = block_estimate(np.ascontiguousarray(a, dtype=np.int64), try_fsst=try_fsst)
     # deterministic tie-break: cheapest decode first
     order = {"raw": 0, "for": 1, "rle": 2, "delta": 3, "dict": 4, "dod": 5, "fsst": 6}
     return min(sizes.items(), key=lambda kv: (kv[1], order[kv[0]]))[0]

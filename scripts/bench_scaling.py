@@ -92,7 +92,10 @@ def main() -> int:
     sf = bench.sf_of(sf_dir)
     spark = get_spark(app_name="gss-scaling-prep", master="local[8]")
     spark.sparkContext.setLogLevel("ERROR")
-    tokens_path = bench.ensure_tokens(spark, sf)
+    # 4x the bench table so per-run work (~20s at 4N) dwarfs fixed overhead
+    # (job scheduling, python worker round-trips) — the scaling number then
+    # measures the engine, not the harness
+    tokens_path = bench.ensure_tokens(spark, sf, mult=4)
     # bucket once, outside timing: hash(doc_id)-partitioned layout
     bucketed_path = tokens_path + "_bucketed"
     if not os.path.exists(os.path.join(bucketed_path, "_SUCCESS")):
@@ -107,16 +110,35 @@ def main() -> int:
         ).write.mode("overwrite").parquet(bucketed_path)
     spark.stop()
 
-    low = run_one(n_low, bucketed_path)
-    high = run_one(n_high, bucketed_path)
+    # interleaved A/B pairs: this sandbox host's absolute speed drifts over
+    # minutes (same run varies ~1.5x), so efficiency is computed per
+    # back-to-back pair and the median taken — pairing cancels slow-host
+    # windows that sequential AAAA/BBBB ordering folds into the ratio
     factor = n_high / n_low
-    eff = (high["tps"] / low["tps"]) / factor
+    pairs = []
+    lows, highs = [], []
+    n_pairs = int(os.environ.get("GSS_SCALING_PAIRS", "4"))
+    for _ in range(n_pairs):
+        lo = run_one(n_low, bucketed_path, repeats=1)
+        hi = run_one(n_high, bucketed_path, repeats=1)
+        lows.append(lo)
+        highs.append(hi)
+        pairs.append(round((hi["tps"] / lo["tps"]) / factor, 3))
+    import statistics
+
+    eff = statistics.median(pairs)
+    low = min(lows, key=lambda r: r["wall_sec"])
+    high = min(highs, key=lambda r: r["wall_sec"])
+    low["walls"] = [r["wall_sec"] for r in lows]
+    high["walls"] = [r["wall_sec"] for r in highs]
+    low["repeats"] = high["repeats"] = n_pairs
     kern = kernel_probe()
     result = {
         "sf": sf,
         "low": low,
         "high": high,
-        "scaling_efficiency": round(eff, 3),
+        "pair_efficiencies": pairs,
+        "scaling_efficiency": eff,
         "kernel_probe": kern,
     }
     print(json.dumps(result))
@@ -128,9 +150,9 @@ def main() -> int:
 Input: deterministic synthetic tokens table (FIXTURES.md strata), sf={sf}
 ({low['tokens']:,} tokens), codec=auto, pre-bucketed by hash(doc_id)
 (the production ingest layout — the encode job is shuffle-free), same
-input at both parallelism levels, fresh JVM each run, best of
-{low['repeats']} runs (local-mode scan I/O bursts add multi-second noise;
-walls listed below).
+input at both parallelism levels, fresh JVM each run, {low['repeats']}
+interleaved N/4N pairs (this host's absolute speed drifts ~1.5x over
+minutes, so efficiency is the median of per-pair ratios; walls below).
 
 No real cluster in this sandbox: N vs 4N executors is evidenced by
 local[{n_low}] vs local[{n_high}] (north-rule allowance — see task brief).
@@ -140,7 +162,8 @@ local[{n_low}] vs local[{n_high}] (north-rule allowance — see task brief).
 | local[{n_low}] (N) | {low['wall_sec']} | {low['walls']} | {low['tps']:,.0f} | {low['ratio']} |
 | local[{n_high}] (4N) | {high['wall_sec']} | {high['walls']} | {high['tps']:,.0f} | {high['ratio']} |
 
-**Scaling efficiency (tps_4N / tps_N) / {factor:.0f} = {eff:.3f}** (target >= 0.8)
+**Scaling efficiency median over pairs of (tps_4N / tps_N) / {factor:.0f} =
+{eff:.3f}** (target >= 0.8); per-pair: {pairs}
 
 ## Why N=2 -> 4N=8 (and not 8 -> 32) on this box
 

@@ -170,3 +170,15 @@ def test_encode_with_container_roundtrip(spark, toks):
         | (F.col("s.tokens") != F.col("d.tokens"))
     ).count()
     assert bad == 0
+
+
+def test_analyze_and_recommend(spark, toks):
+    from gorilla_stream_spark import analyze_and_recommend
+
+    rec = analyze_and_recommend(toks)
+    assert rec["n_docs"] == toks.count()
+    assert rec["total_tokens"] > 0
+    assert rec["recommended_partitions"] >= 1
+    assert 0 < rec["expected_ratio"] <= 1.1
+    assert rec["expected_codec_mix"]
+    assert rec["skew_handling"] in ("salted_repartition", "uniform_enough")
