@@ -47,6 +47,8 @@ def train_pair_table(sample: np.ndarray, table_size: int = 1024, min_count: int 
     """
     if sample.size < 2:
         return np.empty(0, dtype=np.uint64)
+    # np.unique (sort-based) beats hash factorize here: pair keys are
+    # near-unique (card ~ n), where hashing a million-entry table loses
     keys, counts = np.unique(_pair_keys(_as_tokens(sample)), return_counts=True)
     good = counts >= min_count
     keys, counts = keys[good], counts[good]

@@ -1,0 +1,119 @@
+"""Property-based round-trip invariants (hypothesis).
+
+The reference's core invariant is exact round-trip equality asserted on
+hand-picked edge cases (``/root/reference/test/gorilla_stream_test.exs:
+269-289``); hypothesis generalizes that to searched counterexamples over
+the full input space — widths 0..64, signed extremes, NaN payloads,
+arbitrary lags.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from gorilla_stream_spark.codecs import bitio, decode_array, encode_array, floatcodecs
+
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    width=st.integers(min_value=0, max_value=64),
+    n=st.integers(min_value=0, max_value=300),
+    data=st.data(),
+)
+def test_pack_unpack_roundtrip(width, n, data):
+    hi = (1 << width) - 1 if width else 0
+    vals = np.array(
+        data.draw(st.lists(st.integers(0, hi), min_size=n, max_size=n)), dtype=np.uint64
+    )
+    out = bitio.unpack(bitio.pack(vals, width), width, vals.size)
+    np.testing.assert_array_equal(out, vals)
+    # byte length contract
+    assert len(bitio.pack(vals, width)) == (vals.size * width + 7) // 8
+
+
+_INT_CODECS = ["raw", "for", "rle", "dict", "delta", "dod", "fsst"]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    codec=st.sampled_from(_INT_CODECS),
+    vals=arrays(
+        np.int64,
+        st.integers(min_value=0, max_value=400),
+        elements=st.integers(min_value=0, max_value=2**31 - 2),
+    ),
+)
+def test_int_codec_roundtrip(codec, vals):
+    out = decode_array(encode_array(vals, codec=codec))
+    np.testing.assert_array_equal(out, vals)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=arrays(
+        np.int64,
+        st.integers(min_value=0, max_value=300),
+        elements=st.integers(min_value=-(2**62), max_value=2**62),
+    ),
+)
+def test_wide_int_codecs_roundtrip(vals):
+    # signed / wide values (fsst+dict excluded: fsst requires uint32 range)
+    for codec in ("raw", "for", "rle", "delta", "dod"):
+        out = decode_array(encode_array(vals, codec=codec))
+        np.testing.assert_array_equal(out, vals, err_msg=codec)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=arrays(
+        np.float64,
+        st.integers(min_value=0, max_value=300),
+        elements=st.floats(allow_nan=True, allow_infinity=True, width=64),
+    ),
+    lag=st.integers(min_value=1, max_value=130),
+)
+def test_float_codecs_bitwise_roundtrip(vals, lag):
+    for buf in (
+        encode_array(vals, codec="gxor"),
+        encode_array(vals, codec="fauto"),
+        bytes([10]) + floatcodecs.xorlag_encode(vals, lag=lag),
+    ):
+        out = decode_array(buf)
+        np.testing.assert_array_equal(out.view(np.uint64), vals.view(np.uint64))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=arrays(
+        np.int64,
+        st.integers(min_value=2, max_value=400),
+        elements=st.integers(min_value=0, max_value=2**31 - 2),
+    ),
+)
+def test_auto_never_beats_raw_badly(vals):
+    # the selector's floor guarantee: auto <= raw + paging slack
+    auto = encode_array(vals, codec="auto")
+    raw = encode_array(vals, codec="raw")
+    assert len(auto) <= len(raw) + 16
+    np.testing.assert_array_equal(decode_array(auto), vals)
+
+
+@pytest.mark.parametrize("method", ["zlib", "auto"])
+@settings(max_examples=20, deadline=None)
+@given(
+    vals=arrays(
+        np.int64,
+        st.integers(min_value=0, max_value=300),
+        elements=st.integers(min_value=0, max_value=255),
+    )
+)
+def test_container_property_roundtrip(vals, method):
+    from gorilla_stream_spark.codecs import wrap_container
+
+    inner = encode_array(vals, codec="raw")
+    np.testing.assert_array_equal(decode_array(wrap_container(inner, method)), vals)
