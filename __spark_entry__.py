@@ -285,6 +285,28 @@ def q_xorlag_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_timerange_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # manifest-pruned time-range read: only blocks overlapping the range are
+    # decoded (Iceberg min/max-stats pattern on codec blocks)
+    from gorilla_stream_spark import read_timerange
+    from gorilla_stream_spark.engine import encode_timeseries
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        _epoch_us().alias("ts"), F.col("value")
+    )
+    lo_hi = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo = lo_hi["lo"] + (lo_hi["hi"] - lo_hi["lo"]) // 4
+    hi = lo_hi["lo"] + (lo_hi["hi"] - lo_hi["lo"]) // 2
+    enc = encode_timeseries(ev, num_partitions=8)
+    out = read_timerange(enc, lo, hi)
+    return out.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum(F.expr("ts div 1000")).cast("long").alias("sum_ts_ms"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -318,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q24_roundtrip_container": _roundtrip("auto", container="auto"),
         "q25_scaledf_roundtrip": q_scaledf_roundtrip,
         "q26_xorlag_roundtrip": q_xorlag_roundtrip,
+        "q27_timerange_read": q_timerange_read,
     }
 
 
@@ -411,6 +434,14 @@ def oracle_sql() -> dict[str, str]:
             " SELECT CAST(count(*) AS BIGINT) AS cnt,"
             " CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,"
             " min(value) AS min_val, max(value) AS max_val FROM v"
+        ),
+        "q27_timerange_read": (
+            "WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),"
+            " r AS (SELECT lo0 + (hi0 - lo0) // 4 AS lo, lo0 + (hi0 - lo0) // 2 AS hi FROM b)"
+            " SELECT CAST(count(*) AS BIGINT) AS cnt,"
+            " CAST(sum(epoch_us(ts) // 1000) AS BIGINT) AS sum_ts_ms,"
+            " min(value) AS min_val, max(value) AS max_val"
+            " FROM events, r WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi"
         ),
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.

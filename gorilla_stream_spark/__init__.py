@@ -21,10 +21,13 @@ Public API (analog of ``GorillaStream.compress/decompress``,
 from gorilla_stream_spark.analyze import analyze_and_recommend
 from gorilla_stream_spark.engine import (
     decode,
+    decode_docs,
     decode_timeseries,
     encode,
     encode_timeseries,
     estimate,
+    manifest,
+    read_timerange,
 )
 from gorilla_stream_spark.validate import clean, validate
 
@@ -36,6 +39,9 @@ __all__ = [
     "encode_timeseries",
     "decode_timeseries",
     "estimate",
+    "manifest",
+    "decode_docs",
+    "read_timerange",
     "analyze_and_recommend",
     "validate",
     "clean",

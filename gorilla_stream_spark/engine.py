@@ -71,6 +71,7 @@ ENCODED_SCHEMA = StructType(
         StructField("enc_bytes", LongType(), False),
         StructField("crc32_raw", LongType(), False),
         StructField("crc32_buf", LongType(), False),
+        StructField("enc_us", LongType(), False),
         StructField("buffer", BinaryType(), False),
     ]
 )
@@ -164,7 +165,8 @@ def _encode_fn(
             ("enc_bytes", pa.int64()),
             ("crc32_raw", pa.int64()),
             ("crc32_buf", pa.int64()),
-            ("buffer", pa.binary()),
+            ("enc_us", pa.int64()),  # per-block encode wall — the analog of
+            ("buffer", pa.binary()),  # the reference's metric snapshots (O36)
         ]
     )
 
@@ -182,10 +184,14 @@ def _encode_fn(
             offs = np.concatenate(([0], np.cumsum(lens)))
             cols: dict[str, list] = {name: [] for name in out_schema.names}
             for lo, hi in _block_bounds(lens, block_tokens):
+                import time as _time
+
+                t0 = _time.perf_counter()
                 flat = flat_all[offs[lo] : offs[hi]]
                 buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
                 if container != "none":
                     buf = wrap_container(buf, method=container)
+                enc_us = int((_time.perf_counter() - t0) * 1e6)
                 raw = flat.astype("<i4").tobytes()
                 cols["block_id"].append((pid << 24) | seq)
                 cols["part_id"].append(pid)
@@ -202,6 +208,7 @@ def _encode_fn(
                 cols["enc_bytes"].append(len(buf))
                 cols["crc32_raw"].append(zlib.crc32(raw))
                 cols["crc32_buf"].append(zlib.crc32(buf))
+                cols["enc_us"].append(enc_us)
                 cols["buffer"].append(buf)
                 seq += 1
             if cols["block_id"]:
@@ -322,6 +329,34 @@ def manifest(enc_df: DataFrame) -> DataFrame:
     reads, analog of ``GorillaStream.File.get_file_info/1``,
     ``/root/reference/lib/gorilla_stream/file.ex:121-148``)."""
     return enc_df.drop("buffer", "doc_ids", "doc_lens", "sources")
+
+
+def decode_docs(enc_df: DataFrame, doc_ids: list[str], strict: bool = True) -> DataFrame:
+    """Point-lookup decode: prune blocks by manifest membership first.
+
+    Blocks carry their doc id list inline, so a lookup touches only the
+    blocks that contain requested docs — at 10^12-sequence scale the
+    `arrays_overlap` filter runs JVM-side against the (small) manifest
+    columns and the expensive buffer decode happens for a handful of
+    blocks, not the table.  Equivalent of reading one series out of a
+    `.gorilla` file without decoding the rest (the reference cannot: its
+    file is one monolithic stream, ``file.ex:74-97``).
+    """
+    wanted = F.array([F.lit(d) for d in doc_ids])
+    pruned = enc_df.filter(F.arrays_overlap(F.col("doc_ids"), wanted))
+    return decode(pruned, strict=strict).filter(F.col("doc_id").isin(doc_ids))
+
+
+def read_timerange(enc_df: DataFrame, ts_lo: int, ts_hi: int) -> DataFrame:
+    """Time-range read of an encoded timeseries table with manifest pruning.
+
+    Blocks are written time-sorted (``encode_timeseries`` range-partitions
+    and sorts), so the (ts_min, ts_max) manifest columns prune all
+    non-overlapping blocks before any buffer is decoded — the Iceberg
+    min/max-stats pattern applied to codec blocks.
+    """
+    pruned = enc_df.filter((F.col("ts_max") >= ts_lo) & (F.col("ts_min") <= ts_hi))
+    return decode_timeseries(pruned).filter((F.col("ts") >= ts_lo) & (F.col("ts") <= ts_hi))
 
 
 ESTIMATE_SCHEMA = StructType(

@@ -182,3 +182,85 @@ def test_analyze_and_recommend(spark, toks):
     assert 0 < rec["expected_ratio"] <= 1.1
     assert rec["expected_codec_mix"]
     assert rec["skew_handling"] in ("salted_repartition", "uniform_enough")
+
+
+def test_decode_docs_prunes_blocks(spark, toks):
+    from gorilla_stream_spark import decode_docs, encode
+
+    enc = encode(toks, codec="auto", num_partitions=4, block_tokens=1 << 14).cache()
+    try:
+        ids = [r["doc_id"] for r in toks.limit(3).collect()]
+        out = decode_docs(enc, ids).collect()
+        assert sorted(r["doc_id"] for r in out) == sorted(ids)
+        src = {r["doc_id"]: list(r["tokens"]) for r in toks.filter(F.col("doc_id").isin(ids)).collect()}
+        for r in out:
+            assert list(r["tokens"]) == src[r["doc_id"]]
+        # pruning actually happened: fewer blocks touched than exist
+        n_blocks = enc.count()
+        touched = enc.filter(
+            F.arrays_overlap(F.col("doc_ids"), F.array(*[F.lit(d) for d in ids]))
+        ).count()
+        assert touched < n_blocks
+    finally:
+        enc.unpersist()
+
+
+def test_read_timerange_prunes_blocks(spark):
+    import pandas as pd
+
+    from gorilla_stream_spark import read_timerange
+    from gorilla_stream_spark.engine import encode_timeseries
+
+    n = 50_000
+    pdf = pd.DataFrame({"ts": np.arange(n, dtype=np.int64) * 60, "value": np.arange(n) * 0.5})
+    enc = encode_timeseries(spark.createDataFrame(pdf), num_partitions=8).cache()
+    try:
+        lo, hi = 60 * 1000, 60 * 1999
+        out = read_timerange(enc, lo, hi).orderBy("ts").toPandas()
+        assert len(out) == 1000
+        assert out["ts"].iloc[0] == lo and out["ts"].iloc[-1] == hi
+        np.testing.assert_array_equal(out["value"].to_numpy(), (out["ts"] // 60 * 0.5).to_numpy())
+        pruned = enc.filter((F.col("ts_max") >= lo) & (F.col("ts_min") <= hi)).count()
+        assert pruned < enc.count()  # manifest pruning skipped blocks
+    finally:
+        enc.unpersist()
+
+
+def test_giant_doc_skew_bounded_blocks(spark):
+    # north-rule skew story: one 1M-token doc among tiny docs must not blow
+    # a single block; it forms its own block(s) and round-trips exactly
+    import pandas as pd
+
+    from gorilla_stream_spark import decode, encode
+
+    rng = np.random.default_rng(5)
+    docs = [("tiny%d" % i, rng.integers(0, 100, 50).astype(np.int32), "t") for i in range(200)]
+    giant = rng.integers(0, 50000, 1_000_000).astype(np.int32)
+    docs.append(("giant", giant, "g"))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "tokens": [d[1] for d in docs],
+            "n_tok": [len(d[1]) for d in docs],
+            "source": [d[2] for d in docs],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    enc = encode(df, codec="auto", num_partitions=4, block_tokens=1 << 17).cache()
+    try:
+        assert enc.filter(F.col("n_tokens") > (1 << 17) + 1_000_000).count() == 0
+        dec = decode(enc)
+        g = dec.filter(F.col("doc_id") == "giant").first()
+        np.testing.assert_array_equal(np.asarray(g["tokens"], dtype=np.int32), giant)
+        assert dec.count() == 201
+    finally:
+        enc.unpersist()
+
+
+def test_enc_us_metrics_recorded(spark, toks):
+    from gorilla_stream_spark import encode, manifest
+
+    man = manifest(encode(toks, codec="auto", num_partitions=4))
+    rows = man.select("enc_us").collect()
+    assert all(r["enc_us"] >= 0 for r in rows)
+    assert any(r["enc_us"] > 0 for r in rows)
