@@ -62,24 +62,30 @@ def _choose_windows(lz: np.ndarray, tz: np.ndarray) -> tuple[tuple[int, int], tu
     sig_cands = np.array(sorted({4, 8, 12, 16, 20, 24, 28, 32, 40, 48, 56, 64}), dtype=np.int16)
 
     def best_window(mask: np.ndarray) -> tuple[int, int, int, np.ndarray]:
-        best = (1 << 62, 0, 64)
-        l_sel = lz[mask].astype(np.int16)
-        e_sel = span_end[mask]
+        """Evaluate every (L, S) window on a (lz, span_end) 2D histogram —
+        one pass over the data, O(1) fit-count per window via cumulative
+        sums (vs a vector pass per candidate window)."""
         n_rest = int(mask.sum())
-        for L in leads:
-            fit_l = l_sel >= L
-            need = e_sel - L  # sig bits needed given L
-            for S in sig_cands:
-                if L + S > 64:
-                    continue
-                fits = fit_l & (need <= S)
-                nf = int(fits.sum())
-                cost = nf * int(S) + (n_rest - nf) * 64
-                if cost < best[0]:
-                    best = (cost, int(L), int(S))
-        L, S = best[1], best[2]
+        if n_rest == 0:
+            return 0, 0, 64, np.zeros_like(mask)
+        l_sel = lz[mask].astype(np.intp)
+        e_sel = span_end[mask].astype(np.intp)
+        hist = np.zeros((65, 66), dtype=np.int64)
+        np.add.at(hist, (l_sel, e_sel), 1)
+        # C[L, E] = #{l >= L, e <= E}: suffix-cumsum over l, prefix over e
+        C = np.cumsum(np.cumsum(hist[::-1, :], axis=0)[::-1, :], axis=1)
+        Lg, Sg = np.meshgrid(leads, sig_cands, indexing="ij")
+        valid = (Lg + Sg) <= 64
+        nf = np.zeros(Lg.shape, dtype=np.int64)
+        lv, ev = Lg[valid], np.minimum(Lg[valid] + Sg[valid], 65)
+        nf[valid] = C[lv, ev]
+        cost = np.where(valid, nf * Sg.astype(np.int64) + (n_rest - nf) * 64, 1 << 62)
+        # row-major argmin = first minimum in (L outer, S inner) order —
+        # identical tie-breaking to the original nested loops
+        k = int(np.argmin(cost))
+        L, S = int(leads[k // len(sig_cands)]), int(sig_cands[k % len(sig_cands)])
         fits_full = (lz.astype(np.int16) >= L) & (span_end - L <= S) & mask
-        return best[0], L, S, fits_full
+        return int(cost.ravel()[k]), L, S, fits_full
 
     nonzero = span_end > 0  # xor != 0
     _, l1, s1, fit1 = best_window(nonzero)
