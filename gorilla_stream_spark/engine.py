@@ -319,9 +319,12 @@ def decode(enc_df: DataFrame, strict: bool = True) -> DataFrame:
 
     ``strict=True`` makes checksum mismatch fatal (the reference tolerates
     and flags it, ``decoder/metadata.ex:41-44`` — we default to strict and
-    let callers opt out, recording nothing silently).
+    let callers opt out, recording nothing silently).  Only the columns the
+    decoder reads cross the Arrow boundary — the projection reaches the
+    parquet scan, so stats/crc/codec manifest columns are never fetched.
     """
-    return enc_df.mapInArrow(_decode_fn(strict), DECODED_SCHEMA)
+    needed = ["block_id", "doc_ids", "doc_lens", "sources", "crc32_raw", "buffer"]
+    return enc_df.select(*needed).mapInArrow(_decode_fn(strict), DECODED_SCHEMA)
 
 
 def manifest(enc_df: DataFrame) -> DataFrame:

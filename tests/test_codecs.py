@@ -251,3 +251,28 @@ def test_paged_small_block_is_unpaged():
     a = RNG.integers(0, 100, 1000).astype(np.int64)
     buf, name = encode_paged(a, codec="auto", page_tokens=1 << 16)
     assert codec_of(buf) == name  # no paging overhead below one page
+
+
+def test_sampled_selection_quality():
+    # end-to-end selection quality on large (sampled-path) arrays: auto must
+    # stay within 5% of the best single codec on every generator stratum
+    from gorilla_stream_spark.codecs import INT_ENCODERS, decode_array, encode_array
+
+    rng = np.random.default_rng(11)
+    strata = {
+        "constant": np.full(1 << 18, 7, dtype=np.int64),
+        "runs": np.repeat(rng.integers(0, 50, 4000), rng.integers(10, 200, 4000))[: 1 << 18],
+        "small_vocab": rng.integers(0, 256, 1 << 18),
+        "zipf": np.minimum(rng.zipf(1.2, 1 << 18), 50256),
+        "sorted": np.sort(rng.integers(0, 1 << 30, 1 << 18)),
+        "counter": np.cumsum(rng.integers(0, 9, 1 << 18)),
+        "random": rng.integers(0, 2**31 - 2, 1 << 18),
+    }
+    for name, a in strata.items():
+        a = a.astype(np.int64)
+        auto = encode_array(a, codec="auto")
+        best = min(
+            len(encode_array(a, codec=c)) for c in ("raw", "for", "rle", "dict", "delta", "dod", "fsst")
+        )
+        assert len(auto) <= best * 1.05 + 64, (name, len(auto), best)
+        np.testing.assert_array_equal(decode_array(auto), a)

@@ -37,3 +37,32 @@ def test_stream_encode_roundtrip(spark, tmp_path):
     assert bad == 0
     # committed-batch markers exist (replay guard)
     assert os.path.isdir(os.path.join(ckpt_dir, "committed_batches"))
+
+
+@pytest.mark.timeout(300)
+def test_streaming_decode(spark, tmp_path):
+    # decode is stateless -> works directly on a readStream of encoded
+    # blocks (reference stream decompress, stream.ex:102-125)
+    from gorilla_stream_spark import decode, encode
+    from gorilla_stream_spark.engine import ENCODED_SCHEMA
+    from gorilla_stream_spark.generator import tokens_df
+
+    src = tokens_df(spark, 300, seed=9)
+    enc_path = str(tmp_path / "enc")
+    out_path = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    encode(src, codec="auto", num_partitions=2).write.parquet(enc_path)
+    stream = spark.readStream.schema(ENCODED_SCHEMA).parquet(enc_path)
+    q = (
+        decode(stream)
+        .writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    out = spark.read.parquet(out_path)
+    assert out.count() == 300
+    joined = src.alias("s").join(out.alias("d"), "doc_id", "inner")
+    assert joined.filter(F.col("s.tokens") != F.col("d.tokens")).count() == 0
