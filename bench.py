@@ -169,6 +169,12 @@ def main() -> int:
     queries["q5c_decode_5m_points"] = time.time() - t0
     assert ndec5 == n5m, (ndec5, n5m)
     extras["ts5m_decode_points_per_sec"] = n5m / queries["q5c_decode_5m_points"]
+    # no-sink variant: comparable to the reference's in-memory 5M-point
+    # benchmark (five_million_benchmark.exs measures encode alone, no I/O)
+    t0 = time.time()
+    encode_timeseries(pts5, num_partitions=int(CPUS)).agg(F.sum("enc_bytes")).first()
+    queries["q5d_encode_5m_nosink"] = time.time() - t0
+    extras["ts5m_encode_nosink_points_per_sec"] = n5m / queries["q5d_encode_5m_nosink"]
 
     # q6: per-codec fixed encode micro-benches on the synthetic table
     for codec in ("for", "rle", "dict", "delta", "dod", "fsst"):

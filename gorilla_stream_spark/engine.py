@@ -96,15 +96,18 @@ def _flatten(tokens_cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return flat, lens
 
 
-def _flatten_arrow(tok_arr) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy flatten of an Arrow list<int> array -> (flat int64, lens).
+def _flatten_arrow(tok_arr, dtype=np.int64) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy flatten of an Arrow list<int> array -> (flat, lens).
 
     ``flatten()`` returns the child values view (no per-row Python objects —
-    the whole point of the mapInArrow path); the only copy is the int64
-    widening the codecs operate in.
+    the whole point of the mapInArrow path); the only copy is the optional
+    widening to ``dtype`` (pass int32 to keep the view zero-copy when the
+    consumer samples rather than encodes).
     """
     lens = tok_arr.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = tok_arr.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    flat = tok_arr.flatten().to_numpy(zero_copy_only=False)
+    if dtype is not None:
+        flat = flat.astype(dtype, copy=False)
     return flat, lens
 
 
@@ -400,7 +403,8 @@ def estimate(
         for rb in batches:
             if rb.num_rows == 0:
                 continue
-            flat_all, lens = _flatten_arrow(rb.column(0))
+            # int32 view (no widening copy): estimation samples, not encodes
+            flat_all, lens = _flatten_arrow(rb.column(0), dtype=None)
             offs = np.concatenate(([0], np.cumsum(lens)))
             for lo, hi in _block_bounds(lens, block_tokens):
                 flat = flat_all[offs[lo] : offs[hi]]

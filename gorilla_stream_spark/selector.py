@@ -117,7 +117,9 @@ def _sample_chunks(a: np.ndarray) -> np.ndarray:
     return np.concatenate([a[:c], a[mid : mid + c], a[n - c :]])
 
 
-def sampled_sizes(a: np.ndarray, try_fsst: bool = True) -> dict[str, int]:
+def sampled_sizes(
+    a: np.ndarray, try_fsst: bool = True, feats: dict | None = None
+) -> dict[str, int]:
     """Approximate per-codec sizes from a ~12K-token contiguous sample.
 
     The reference's estimator is sampling-based too
@@ -128,11 +130,11 @@ def sampled_sizes(a: np.ndarray, try_fsst: bool = True) -> dict[str, int]:
     (low-card vocabularies are fully visible in the sample).
     """
     n = int(a.size)
-    s = _sample_chunks(a)
-    f = features(s)
+    s = np.ascontiguousarray(_sample_chunks(a), dtype=np.int64)
+    f = feats or features(s)
     ns = f["n"]
     scale = n / ns
-    vmin, vmax = int(a.min()), int(a.max())
+    vmin, vmax = int(a.min()), int(a.max())  # exact; works on any int dtype
     sizes: dict[str, int] = {}
     item = next(
         sz
@@ -175,17 +177,23 @@ def sampled_sizes(a: np.ndarray, try_fsst: bool = True) -> dict[str, int]:
 
 def block_estimate(a: np.ndarray, try_fsst: bool = True) -> tuple[dict, dict[str, int]]:
     """(features, candidate sizes) — exact below _SAMPLE_THRESHOLD, sampled
-    above (selection only needs relative sizes; encode is always exact)."""
-    a = np.ascontiguousarray(a, dtype=np.int64)
+    above (selection only needs relative sizes; encode is always exact).
+
+    Accepts int32 input without widening: above the threshold only the
+    ~12K-token sample is copied to int64 (the estimate path keeps the
+    Arrow child buffer zero-copy end to end).
+    """
     if a.size <= _SAMPLE_THRESHOLD:
-        f = features(a)
-        return f, candidate_sizes(a, feats=f, try_fsst=try_fsst)
-    return features(_sample_chunks(a)), sampled_sizes(a, try_fsst=try_fsst)
+        a64 = np.ascontiguousarray(a, dtype=np.int64)
+        f = features(a64)
+        return f, candidate_sizes(a64, feats=f, try_fsst=try_fsst)
+    f = features(np.ascontiguousarray(_sample_chunks(a), dtype=np.int64))
+    return f, sampled_sizes(a, try_fsst=try_fsst, feats=f)
 
 
 def select_codec(a: np.ndarray, try_fsst: bool = True) -> str:
     """Argmin-size codec for an int64 array."""
-    _, sizes = block_estimate(np.ascontiguousarray(a, dtype=np.int64), try_fsst=try_fsst)
+    _, sizes = block_estimate(a, try_fsst=try_fsst)
     # deterministic tie-break: cheapest decode first
     order = {"raw": 0, "for": 1, "rle": 2, "delta": 3, "dict": 4, "dod": 5, "fsst": 6}
     return min(sizes.items(), key=lambda kv: (kv[1], order[kv[0]]))[0]
