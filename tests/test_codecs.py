@@ -276,3 +276,23 @@ def test_sampled_selection_quality():
         )
         assert len(auto) <= best * 1.05 + 64, (name, len(auto), best)
         np.testing.assert_array_equal(decode_array(auto), a)
+
+
+def test_beats_reference_size_anchor_on_sensor_data():
+    # the reference's published benchmark: 5,000 realistic sensor points
+    # (60s interval, 20 + 5*sin(2*pi*i/1440) + N(0, 0.3) — temperature
+    # profile, /root/reference/lib/gorilla_stream/performance/
+    # realistic_data.ex:100-116) compress to 41,996 bytes with Gorilla
+    # (docs/performance_guide.md:64-70).  North rule: match-or-beat at
+    # bit-lossless round-trip.
+    rng = np.random.default_rng(1234)
+    n = 5000
+    ts = (1_609_459_200 + 60 * np.arange(n)).astype(np.int64)
+    vals = 20.0 + 5.0 * np.sin(2 * np.pi * np.arange(n) / 1440) + rng.normal(0, 0.3, n)
+    tbuf = encode_array(ts, codec="auto")
+    vbuf = encode_array(vals, codec="fauto")
+    assert len(tbuf) + len(vbuf) <= 41_996, (len(tbuf), len(vbuf))
+    np.testing.assert_array_equal(decode_array(tbuf), ts)
+    np.testing.assert_array_equal(
+        decode_array(vbuf).view(np.uint64), vals.view(np.uint64)
+    )
