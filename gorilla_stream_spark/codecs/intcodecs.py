@@ -143,6 +143,8 @@ def rle_decode(buf: bytes) -> np.ndarray:
     mv = memoryview(buf)
     vals = for_decode(mv[12 : 12 + vlen])
     lens = for_decode(mv[12 + vlen :])
+    if lens.sum() != n:  # corrupt header must not turn into a giant repeat
+        raise ValueError(f"rle run lengths sum {lens.sum()} != count {n}")
     return np.repeat(vals, lens)
 
 

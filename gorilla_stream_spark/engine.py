@@ -282,7 +282,18 @@ def _decode_fn(strict: bool):
             names = rb.schema.names
             col = {n: rb.column(i) for i, n in enumerate(names)}
             for i in range(rb.num_rows):
-                flat = decode_array(col["buffer"][i].as_py())
+                raw_buf = col["buffer"][i].as_py()
+                if strict and "crc32_buf" in col:
+                    # verify the buffer BEFORE decoding — a corrupted buffer
+                    # fails here instead of inside codec kernels
+                    bcrc = zlib.crc32(raw_buf)
+                    bexpect = col["crc32_buf"][i].as_py()
+                    if bcrc != bexpect:
+                        raise ValueError(
+                            f"buffer crc32 mismatch on block"
+                            f" {col['block_id'][i].as_py()}: {bcrc} != {bexpect}"
+                        )
+                flat = decode_array(raw_buf)
                 if strict:
                     crc = zlib.crc32(flat.astype("<i4").tobytes())
                     expect = col["crc32_raw"][i].as_py()
@@ -327,6 +338,8 @@ def decode(enc_df: DataFrame, strict: bool = True) -> DataFrame:
     parquet scan, so stats/crc/codec manifest columns are never fetched.
     """
     needed = ["block_id", "doc_ids", "doc_lens", "sources", "crc32_raw", "buffer"]
+    if strict and "crc32_buf" in enc_df.columns:
+        needed.insert(-1, "crc32_buf")
     return enc_df.select(*needed).mapInArrow(_decode_fn(strict), DECODED_SCHEMA)
 
 

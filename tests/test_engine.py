@@ -264,3 +264,21 @@ def test_enc_us_metrics_recorded(spark, toks):
     rows = man.select("enc_us").collect()
     assert all(r["enc_us"] >= 0 for r in rows)
     assert any(r["enc_us"] > 0 for r in rows)
+
+
+def test_corrupted_buffer_fails_fast(spark, toks):
+    from gorilla_stream_spark import decode, encode
+
+    enc = encode(toks, codec="auto", num_partitions=2)
+    # flip a byte inside the payload: strict decode must fail on the buffer
+    # crc BEFORE any codec kernel touches the bytes
+    bad = enc.withColumn(
+        "buffer",
+        F.concat(
+            F.expr("substring(buffer, 1, 20)"),
+            F.lit(bytes([0xFF])),
+            F.expr("substring(buffer, 22, octet_length(buffer))"),
+        ),
+    )
+    with pytest.raises(Exception, match="buffer crc32 mismatch"):
+        decode(bad, strict=True).count()
