@@ -156,6 +156,8 @@ def wrap_container(buf: bytes, method: str = "auto") -> bytes:
 
     if method == "none":
         return buf
+    if method not in ("auto", "zstd", "zlib"):
+        raise ValueError(f"unknown container method {method!r}")
     use_zstd = _ZSTD_CODEC is not None and method in ("auto", "zstd")
     if method == "zstd" and _ZSTD_CODEC is None:
         raise ValueError("zstd codec unavailable")

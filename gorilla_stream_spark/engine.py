@@ -21,6 +21,7 @@ is vectorized numpy (SURVEY.md §7 'hard parts').
 
 from __future__ import annotations
 
+import time as _time
 import zlib
 from collections.abc import Iterator
 
@@ -86,24 +87,21 @@ DECODED_SCHEMA = StructType(
 )
 
 
-def _flatten(tokens_cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Flatten a column of per-row numpy arrays into (flat int64, lens)."""
-    n = len(tokens_cells)
-    lens = np.fromiter((len(c) for c in tokens_cells), count=n, dtype=np.int64)
-    if n == 0 or lens.sum() == 0:
-        return np.empty(0, dtype=np.int64), lens
-    flat = np.concatenate([np.asarray(c) for c in tokens_cells]).astype(np.int64, copy=False)
-    return flat, lens
-
-
 def _flatten_arrow(tok_arr, dtype=np.int64) -> tuple[np.ndarray, np.ndarray]:
     """Zero-copy flatten of an Arrow list<int> array -> (flat, lens).
 
     ``flatten()`` returns the child values view (no per-row Python objects —
     the whole point of the mapInArrow path); the only copy is the optional
     widening to ``dtype`` (pass int32 to keep the view zero-copy when the
-    consumer samples rather than encodes).
+    consumer samples rather than encodes).  NULL token cells fail loudly:
+    silently treating them as empty would corrupt offsets and crc lineage
+    (run ``validate``/``clean`` first — reference ``validator.ex:24-90``).
     """
+    if tok_arr.null_count:
+        raise ValueError(
+            f"{tok_arr.null_count} NULL tokens cell(s) in batch — encode requires"
+            " non-null token arrays; run gorilla_stream_spark.clean() first"
+        )
     lens = tok_arr.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
     flat = tok_arr.flatten().to_numpy(zero_copy_only=False)
     if dtype is not None:
@@ -187,8 +185,6 @@ def _encode_fn(
             offs = np.concatenate(([0], np.cumsum(lens)))
             cols: dict[str, list] = {name: [] for name in out_schema.names}
             for lo, hi in _block_bounds(lens, block_tokens):
-                import time as _time
-
                 t0 = _time.perf_counter()
                 flat = flat_all[offs[lo] : offs[hi]]
                 buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
@@ -411,6 +407,8 @@ def estimate(
     from gorilla_stream_spark.selector import block_estimate
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
         for rb in batches:
@@ -424,21 +422,12 @@ def estimate(
                 f, sizes = block_estimate(flat)
                 best = min(sizes, key=sizes.get)
                 raw = 4 * int(flat.size)
-                # features may come from a sample — extrapolate counts
-                # (cardinality scales only when the sample looks high-card)
-                scale = flat.size / max(f.get("n", 1), 1)
-                card = int(f.get("card", 0))
-                if scale > 1 and card >= 0.25 * f.get("n", 1):
-                    card = min(int(flat.size), int(card * scale))
-                n_runs = int(f.get("n_runs", 0) * scale)
-                import pyarrow as pa
-
                 yield pa.RecordBatch.from_pydict(
                     {
                         "part_id": pa.array([pid], pa.int32()),
                         "n_tokens": pa.array([int(flat.size)], pa.int64()),
-                        "card": pa.array([card], pa.int64()),
-                        "n_runs": pa.array([n_runs], pa.int64()),
+                        "card": pa.array([int(f.get("card", 0))], pa.int64()),
+                        "n_runs": pa.array([int(f.get("n_runs", 0))], pa.int64()),
                         "is_sorted": pa.array([int(f.get("sorted", False))], pa.int32()),
                         "delta_width": pa.array([int(f.get("delta_width", 0))], pa.int32()),
                         "codec": pa.array([best], pa.string()),

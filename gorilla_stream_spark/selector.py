@@ -181,14 +181,21 @@ def block_estimate(a: np.ndarray, try_fsst: bool = True) -> tuple[dict, dict[str
 
     Accepts int32 input without widening: above the threshold only the
     ~12K-token sample is copied to int64 (the estimate path keeps the
-    Arrow child buffer zero-copy end to end).
+    Arrow child buffer zero-copy end to end).  The returned features carry
+    block-level counts: in the sampled path card/n_runs are extrapolated
+    here (single source of the heuristic) and ``n`` is the block size.
     """
     if a.size <= _SAMPLE_THRESHOLD:
         a64 = np.ascontiguousarray(a, dtype=np.int64)
         f = features(a64)
         return f, candidate_sizes(a64, feats=f, try_fsst=try_fsst)
     f = features(np.ascontiguousarray(_sample_chunks(a), dtype=np.int64))
-    return f, sampled_sizes(a, try_fsst=try_fsst, feats=f)
+    sizes = sampled_sizes(a, try_fsst=try_fsst, feats=f)
+    n, ns = int(a.size), f["n"]
+    scale = n / ns
+    card = f["card"] if f["card"] < 0.25 * ns else min(n, int(f["card"] * scale))
+    f = {**f, "n": n, "card": card, "n_runs": int(f["n_runs"] * scale)}
+    return f, sizes
 
 
 def select_codec(a: np.ndarray, try_fsst: bool = True) -> str:

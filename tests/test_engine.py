@@ -282,3 +282,15 @@ def test_corrupted_buffer_fails_fast(spark, toks):
     )
     with pytest.raises(Exception, match="buffer crc32 mismatch"):
         decode(bad, strict=True).count()
+
+
+def test_null_tokens_fail_loudly(spark):
+    # a NULL tokens cell must raise, not silently corrupt offsets/crc
+    from gorilla_stream_spark import encode
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], 3, "s"), ("b", None, 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(Exception, match="NULL tokens"):
+        encode(df, codec="auto", num_partitions=1).count()
