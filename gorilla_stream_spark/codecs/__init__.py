@@ -11,7 +11,7 @@ import numpy as np
 
 from gorilla_stream_spark.codecs import floatcodecs, fsst, intcodecs
 
-RAW, FOR, RLE, DICT, DELTA, DOD, FSST, GXOR, PAGED, SCALEDF, XORLAG, CONTAINER = range(12)
+RAW, FOR, RLE, DICT, DELTA, DOD, FSST, GXOR, PAGED, SCALEDF, XORLAG, CONTAINER, FORC = range(13)
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -26,6 +26,7 @@ CODEC_NAMES = {
     SCALEDF: "scaledf",
     XORLAG: "xorlag",
     CONTAINER: "container",
+    FORC: "forc",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -37,6 +38,7 @@ INT_ENCODERS = {
     DELTA: intcodecs.delta_encode,
     DOD: intcodecs.dod_encode,
     FSST: fsst.fsst_encode,
+    FORC: intcodecs.forc_encode,
 }
 DECODERS = {
     RAW: intcodecs.raw_decode,
@@ -46,6 +48,7 @@ DECODERS = {
     DELTA: intcodecs.delta_decode,
     DOD: intcodecs.dod_decode,
     FSST: fsst.fsst_decode,
+    FORC: intcodecs.forc_decode,
     GXOR: floatcodecs.gxor_decode,
     SCALEDF: floatcodecs.scaledf_decode,
     XORLAG: floatcodecs.xorlag_decode,

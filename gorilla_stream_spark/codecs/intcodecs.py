@@ -110,6 +110,42 @@ def for_encoded_size(n: int, value_range: int) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Classed frame-of-reference — FOR with the DoD codec's cost-optimal 4-class
+# width partitioning applied to the residuals.  Wins big on heavy-head
+# (zipf-like) token distributions where a single max-width stream wastes
+# bits on the common small values — the shape of real tokenizer output.
+# ---------------------------------------------------------------------------
+
+def forc_encode(a: np.ndarray) -> bytes:
+    a = _as_i64(a)
+    n = a.size
+    if n == 0:
+        return struct.pack("<Iq", 0, 0)
+    ref = int(a.min())
+    resid = (a - ref).view(_U64)
+    return struct.pack("<Iq", n, ref) + _pack_classed(resid)
+
+
+def forc_decode(buf: bytes) -> np.ndarray:
+    n, ref = struct.unpack_from("<Iq", buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    resid = _unpack_classed(memoryview(buf)[12:])
+    return resid.view(_I64) + ref
+
+
+def classed_size_from_widths(widths: np.ndarray, header: int) -> int:
+    """Exact encoded size of a classed-width stream (selector cost)."""
+    cw = choose_class_widths(widths)
+    bounds = np.array(cw, dtype=np.uint8)
+    cls = np.searchsorted(bounds, widths, side="left").clip(max=3)
+    size = header + 8 + (widths.size * 2 + 7) // 8
+    for c in range(4):
+        size += 4 + (int((cls == c).sum()) * cw[c] + 7) // 8
+    return size
+
+
+# ---------------------------------------------------------------------------
 # RLE — run values + run lengths, each FOR-packed.  Triggered by the
 # constant/step patterns the reference compresses 40x
 # (/root/reference/docs/performance_guide.md:35-36).

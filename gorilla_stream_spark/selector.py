@@ -74,6 +74,11 @@ def candidate_sizes(a: np.ndarray, feats: dict | None = None, try_fsst: bool = T
                 if f["min"] >= np.iinfo(dt).min and f["max"] <= np.iinfo(dt).max)
     sizes["raw"] = 5 + n * item
     sizes["for"] = 13 + _pack_size(n, bitio.bit_width(vrange))
+    # classed FOR: residual width histogram -> exact classed-stream size
+    resid = (a - f["min"]).view(np.uint64)
+    sizes["forc"] = intcodecs.classed_size_from_widths(
+        intcodecs.value_bit_widths(resid), header=12
+    )
     # rle
     rv, rl = f["_run_vals"], f["_run_lens"]
     sizes["rle"] = (12 + intcodecs.for_encoded_size(rv.size, int(rv.max() - rv.min()))
@@ -86,16 +91,9 @@ def candidate_sizes(a: np.ndarray, feats: dict | None = None, try_fsst: bool = T
     # dod
     if n > 2:
         dod_zz = bitio.zigzag(np.diff(np.diff(a)))
-        widths = intcodecs.value_bit_widths(dod_zz)
-        cw = intcodecs.choose_class_widths(widths)
-        hist = np.bincount(widths, minlength=65).astype(np.int64)
-        bounds = np.array(cw)
-        cls_of_w = np.searchsorted(bounds, np.arange(hist.size), side="left").clip(max=3)
-        size = 20 + 8 + _pack_size(dod_zz.size, 2)
-        for c in range(4):
-            cnt = int(hist[cls_of_w == c].sum())
-            size += 4 + _pack_size(cnt, cw[c])
-        sizes["dod"] = size
+        sizes["dod"] = intcodecs.classed_size_from_widths(
+            intcodecs.value_bit_widths(dod_zz), header=20
+        )
     # fsst: trial-encode a sample (cheap, bounded) and extrapolate
     if try_fsst and n >= _FSST_MIN_N and 0 <= f["min"] and f["max"] < 0xFFFFFFFF - 1:
         s = a[:_FSST_SAMPLE]
@@ -143,6 +141,13 @@ def sampled_sizes(
     )
     sizes["raw"] = 5 + n * item
     sizes["for"] = 13 + _pack_size(n, bitio.bit_width(vmax - vmin))
+    # classed FOR from the sample's residual width distribution
+    residw = intcodecs.value_bit_widths((s - vmin).view(np.uint64))
+    cw = intcodecs.choose_class_widths(residw)
+    bounds = np.array(cw, dtype=np.uint8)
+    cls = np.searchsorted(bounds, residw, side="left").clip(max=3)
+    payload_bits = sum(int((cls == c).sum()) * cw[c] for c in range(4))
+    sizes["forc"] = 20 + int((payload_bits + 2 * ns) / ns * n / 8)
     rv, rl = f["_run_vals"], f["_run_lens"]
     nruns = max(1, int(round(rv.size * scale)))
     sizes["rle"] = (
@@ -202,5 +207,5 @@ def select_codec(a: np.ndarray, try_fsst: bool = True) -> str:
     """Argmin-size codec for an int64 array."""
     _, sizes = block_estimate(a, try_fsst=try_fsst)
     # deterministic tie-break: cheapest decode first
-    order = {"raw": 0, "for": 1, "rle": 2, "delta": 3, "dict": 4, "dod": 5, "fsst": 6}
+    order = {"raw": 0, "for": 1, "forc": 2, "rle": 3, "delta": 4, "dict": 5, "dod": 6, "fsst": 7}
     return min(sizes.items(), key=lambda kv: (kv[1], order[kv[0]]))[0]

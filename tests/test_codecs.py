@@ -51,6 +51,7 @@ INT_CODECS = {
     "dict": (intcodecs.dict_encode, intcodecs.dict_decode),
     "delta": (intcodecs.delta_encode, intcodecs.delta_decode),
     "dod": (intcodecs.dod_encode, intcodecs.dod_decode),
+    "forc": (intcodecs.forc_encode, intcodecs.forc_decode),
 }
 
 
@@ -272,7 +273,7 @@ def test_sampled_selection_quality():
         a = a.astype(np.int64)
         auto = encode_array(a, codec="auto")
         best = min(
-            len(encode_array(a, codec=c)) for c in ("raw", "for", "rle", "dict", "delta", "dod", "fsst")
+            len(encode_array(a, codec=c)) for c in ("raw", "for", "forc", "rle", "dict", "delta", "dod", "fsst")
         )
         assert len(auto) <= best * 1.05 + 64, (name, len(auto), best)
         np.testing.assert_array_equal(decode_array(auto), a)

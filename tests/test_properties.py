@@ -36,7 +36,7 @@ def test_pack_unpack_roundtrip(width, n, data):
     assert len(bitio.pack(vals, width)) == (vals.size * width + 7) // 8
 
 
-_INT_CODECS = ["raw", "for", "rle", "dict", "delta", "dod", "fsst"]
+_INT_CODECS = ["raw", "for", "forc", "rle", "dict", "delta", "dod", "fsst"]
 
 
 @settings(max_examples=40, deadline=None)
@@ -63,7 +63,7 @@ def test_int_codec_roundtrip(codec, vals):
 )
 def test_wide_int_codecs_roundtrip(vals):
     # signed / wide values (fsst+dict excluded: fsst requires uint32 range)
-    for codec in ("raw", "for", "rle", "delta", "dod"):
+    for codec in ("raw", "for", "forc", "rle", "delta", "dod"):
         out = decode_array(encode_array(vals, codec=codec))
         np.testing.assert_array_equal(out, vals, err_msg=codec)
 
