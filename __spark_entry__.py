@@ -341,6 +341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q25_scaledf_roundtrip": q_scaledf_roundtrip,
         "q26_xorlag_roundtrip": q_xorlag_roundtrip,
         "q27_timerange_read": q_timerange_read,
+        "q28_roundtrip_forc": _roundtrip("forc"),
     }
 
 
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,"
             " min(value) AS min_val, max(value) AS max_val FROM v"
         ),
+        "q28_roundtrip_forc": _ROUNDTRIP_ORACLE,
         "q27_timerange_read": (
             "WITH b AS (SELECT min(epoch_us(ts)) AS lo0, max(epoch_us(ts)) AS hi0 FROM events),"
             " r AS (SELECT lo0 + (hi0 - lo0) // 4 AS lo, lo0 + (hi0 - lo0) // 2 AS hi FROM b)"

@@ -134,11 +134,25 @@ def forc_decode(buf: bytes) -> np.ndarray:
     return resid.view(_I64) + ref
 
 
-def classed_size_from_widths(widths: np.ndarray, header: int) -> int:
-    """Exact encoded size of a classed-width stream (selector cost)."""
+def classed_stats(widths: np.ndarray) -> tuple[list[int], np.ndarray]:
+    """(class widths, per-value class assignment) — the ONE place the
+    classed-stream class semantics live; size estimators and the packer
+    must all agree with it."""
     cw = choose_class_widths(widths)
     bounds = np.array(cw, dtype=np.uint8)
     cls = np.searchsorted(bounds, widths, side="left").clip(max=3)
+    return cw, cls
+
+
+def classed_payload_bits(widths: np.ndarray) -> int:
+    """Total payload bits of a classed-width stream (excl. tags/headers)."""
+    cw, cls = classed_stats(widths)
+    return sum(int((cls == c).sum()) * cw[c] for c in range(4))
+
+
+def classed_size_from_widths(widths: np.ndarray, header: int) -> int:
+    """Exact encoded size of a classed-width stream (selector cost)."""
+    cw, cls = classed_stats(widths)
     size = header + 8 + (widths.size * 2 + 7) // 8
     for c in range(4):
         size += 4 + (int((cls == c).sum()) * cw[c] + 7) // 8
@@ -305,10 +319,10 @@ def _pack_classed(vals: np.ndarray) -> bytes:
     """Pack uint64s as (2-bit class tags ++ per-class fixed-width payloads)."""
     n = vals.size
     widths = value_bit_widths(vals)
-    cw = choose_class_widths(widths)
-    bounds = np.array(cw, dtype=np.uint8)
-    # class index = first class whose width >= value width
-    cls = np.searchsorted(bounds, widths, side="left").astype(_U64)
+    # class index = first class whose width >= value width (shared with the
+    # selector's size estimators via classed_stats — one source of truth)
+    cw, cls = classed_stats(widths)
+    cls = cls.astype(_U64)
     header = struct.pack("<IBBBB", n, *cw)
     parts = [header, bitio.pack(cls, 2)]
     for c in range(4):

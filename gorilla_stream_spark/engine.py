@@ -103,7 +103,13 @@ def _flatten_arrow(tok_arr, dtype=np.int64) -> tuple[np.ndarray, np.ndarray]:
             " non-null token arrays; run gorilla_stream_spark.clean() first"
         )
     lens = tok_arr.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = tok_arr.flatten().to_numpy(zero_copy_only=False)
+    flat_arr = tok_arr.flatten()
+    if flat_arr.null_count:  # a NULL *element* would flatten to NaN->garbage
+        raise ValueError(
+            f"{flat_arr.null_count} NULL token element(s) in batch — encode"
+            " requires non-null token values; run gorilla_stream_spark.clean() first"
+        )
+    flat = flat_arr.to_numpy(zero_copy_only=False)
     if dtype is not None:
         flat = flat.astype(dtype, copy=False)
     return flat, lens

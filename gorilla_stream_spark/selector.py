@@ -106,6 +106,13 @@ _SAMPLE_THRESHOLD = 32768
 _SAMPLE_CHUNK = 4096  # 3 contiguous chunks -> diffs/runs stay meaningful
 
 
+def _extrapolate_card(card_s: int, ns: int, n: int) -> int:
+    """Extrapolate sample cardinality to the block: a low-card vocabulary is
+    fully visible in the sample (keep it); a high-card sample scales
+    linearly (bounded by block size)."""
+    return card_s if card_s < 0.25 * ns else min(n, int(card_s * (n / ns)))
+
+
 def _sample_chunks(a: np.ndarray) -> np.ndarray:
     """Three contiguous chunks (head, middle, tail) — contiguity preserves
     run/delta structure; only 2 chunk-join values are junk."""
@@ -141,13 +148,11 @@ def sampled_sizes(
     )
     sizes["raw"] = 5 + n * item
     sizes["for"] = 13 + _pack_size(n, bitio.bit_width(vmax - vmin))
-    # classed FOR from the sample's residual width distribution
+    # classed FOR from the sample's residual width distribution; overhead =
+    # 12 frame + 8 classed header + 16 per-class counts (matches forc_encode)
     residw = intcodecs.value_bit_widths((s - vmin).view(np.uint64))
-    cw = intcodecs.choose_class_widths(residw)
-    bounds = np.array(cw, dtype=np.uint8)
-    cls = np.searchsorted(bounds, residw, side="left").clip(max=3)
-    payload_bits = sum(int((cls == c).sum()) * cw[c] for c in range(4))
-    sizes["forc"] = 20 + int((payload_bits + 2 * ns) / ns * n / 8)
+    forc_bits = intcodecs.classed_payload_bits(residw)
+    sizes["forc"] = 36 + int((forc_bits + 2 * ns) / ns * n / 8)
     rv, rl = f["_run_vals"], f["_run_lens"]
     nruns = max(1, int(round(rv.size * scale)))
     sizes["rle"] = (
@@ -155,19 +160,14 @@ def sampled_sizes(
         + intcodecs.for_encoded_size(nruns, int(rv.max() - rv.min()))
         + intcodecs.for_encoded_size(nruns, int(rl.max() - rl.min()))
     )
-    card_s = f["card"]
-    card = card_s if card_s < 0.25 * ns else min(n, int(card_s * scale))
-    vocab_bytes = int(_delta_size_of(f["_vocab"]) * (card / max(card_s, 1)))
+    card = _extrapolate_card(f["card"], ns, n)
+    vocab_bytes = int(_delta_size_of(f["_vocab"]) * (card / max(f["card"], 1)))
     sizes["dict"] = 13 + vocab_bytes + _pack_size(n, bitio.bit_width(max(card - 1, 0)))
     sizes["delta"] = 13 + _pack_size(n - 1, f["delta_width"])
     if ns > 2:
         dod_zz = bitio.zigzag(np.diff(np.diff(s)))
-        widths = intcodecs.value_bit_widths(dod_zz)
-        cw = intcodecs.choose_class_widths(widths)
-        bounds = np.array(cw, dtype=np.uint8)
-        cls = np.searchsorted(bounds, widths, side="left").clip(max=3)
-        payload_bits = sum(int((cls == c).sum()) * cw[c] for c in range(4))
-        bits_per_val = (payload_bits + 2 * dod_zz.size) / dod_zz.size
+        dod_bits = intcodecs.classed_payload_bits(intcodecs.value_bit_widths(dod_zz))
+        bits_per_val = (dod_bits + 2 * dod_zz.size) / dod_zz.size
         sizes["dod"] = 44 + int(bits_per_val * (n - 2) / 8)
     if try_fsst and 0 <= vmin and vmax < 0xFFFFFFFF - 1:
         est = int(len(fsst.fsst_encode(s)) * scale)
@@ -197,9 +197,8 @@ def block_estimate(a: np.ndarray, try_fsst: bool = True) -> tuple[dict, dict[str
     f = features(np.ascontiguousarray(_sample_chunks(a), dtype=np.int64))
     sizes = sampled_sizes(a, try_fsst=try_fsst, feats=f)
     n, ns = int(a.size), f["n"]
-    scale = n / ns
-    card = f["card"] if f["card"] < 0.25 * ns else min(n, int(f["card"] * scale))
-    f = {**f, "n": n, "card": card, "n_runs": int(f["n_runs"] * scale)}
+    card = _extrapolate_card(f["card"], ns, n)
+    f = {**f, "n": n, "card": card, "n_runs": int(f["n_runs"] * (n / ns))}
     return f, sizes
 
 
