@@ -363,6 +363,8 @@ def decode_docs(enc_df: DataFrame, doc_ids: list[str], strict: bool = True) -> D
     `.gorilla` file without decoding the rest (the reference cannot: its
     file is one monolithic stream, ``file.ex:74-97``).
     """
+    if not doc_ids:  # F.array() of zero columns is invalid — empty lookup
+        return decode(enc_df.limit(0), strict=strict)
     wanted = F.array([F.lit(d) for d in doc_ids])
     pruned = enc_df.filter(F.arrays_overlap(F.col("doc_ids"), wanted))
     return decode(pruned, strict=strict).filter(F.col("doc_id").isin(doc_ids))

@@ -294,3 +294,10 @@ def test_null_tokens_fail_loudly(spark):
     )
     with pytest.raises(Exception, match="NULL tokens"):
         encode(df, codec="auto", num_partitions=1).count()
+
+
+def test_decode_docs_empty_list(spark, toks):
+    from gorilla_stream_spark import decode_docs, encode
+
+    enc = encode(toks, codec="auto", num_partitions=2)
+    assert decode_docs(enc, []).count() == 0
