@@ -47,9 +47,13 @@ class CheckpointedEncode:
     num_partitions: int
     codec: str = "auto"
     block_tokens: int = DEFAULT_BLOCK_TOKENS
+    container: str = "none"
 
     def _config_fingerprint(self) -> str:
-        return f"{self.run_id}:{self.num_partitions}:{self.codec}:{self.block_tokens}"
+        fp = f"{self.run_id}:{self.num_partitions}:{self.codec}:{self.block_tokens}"
+        # container joined only when set — keeps fingerprints of existing
+        # checkpoints stable
+        return fp if self.container == "none" else f"{fp}:{self.container}"
 
     def committed_parts(self, spark: SparkSession) -> list[int]:
         try:
@@ -84,6 +88,7 @@ class CheckpointedEncode:
             codec=self.codec,
             block_tokens=self.block_tokens,
             repartition=False,  # already salted here
+            container=self.container,
         )
         # re-derive the lineage partition id from doc content, not from the
         # task's physical partition id (which shifts once rows are pruned)
@@ -153,6 +158,7 @@ def encode_with_checkpoint(
     run_id: str = "run1",
     num_partitions: int | None = None,
     codec: str = "auto",
+    container: str = "none",
 ) -> dict:
     """One-call checkpointed encode; returns summary metrics dict."""
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -162,6 +168,7 @@ def encode_with_checkpoint(
         run_id=run_id,
         num_partitions=P,
         codec=codec,
+        container=container,
     )
     job.run(spark, df)
     m = job.metrics(spark)

@@ -38,6 +38,7 @@ def cmd_encode(args) -> int:
         run_id=args.run_id,
         num_partitions=args.partitions,
         codec=args.codec,
+        container=args.container,
     )
     print(json.dumps({k: (float(v) if v is not None else None) for k, v in m.items()}))
     return 0
@@ -110,6 +111,7 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--output", required=True)
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--codec", default="auto")
+    e.add_argument("--container", default="none", choices=["none", "auto", "zlib", "zstd"])
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--run-id", default="run1")
     e.set_defaults(fn=cmd_encode)

@@ -117,3 +117,30 @@ def test_container_property_roundtrip(vals, method):
 
     inner = encode_array(vals, codec="raw")
     np.testing.assert_array_equal(decode_array(wrap_container(inner, method)), vals)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    vals=arrays(
+        np.int64,
+        st.integers(min_value=1, max_value=200),
+        elements=st.integers(min_value=0, max_value=50000),
+    ),
+    codec=st.sampled_from(["for", "forc", "rle", "dict", "delta", "dod", "fsst"]),
+    pos=st.integers(min_value=1, max_value=10**9),
+    newbyte=st.integers(min_value=0, max_value=255),
+)
+def test_corrupted_buffer_never_hangs(vals, codec, pos, newbyte):
+    # a mutated buffer must either decode (possibly to wrong values — the
+    # engine's crc gate catches that) or raise; it must never hang or
+    # alloc-bomb (implicitly bounded by the hypothesis deadline-free but
+    # fast-running loop)
+    buf = bytearray(encode_array(vals, codec=codec))
+    i = 1 + (pos % max(len(buf) - 1, 1))  # never the codec id byte
+    buf[i] = newbyte
+    try:
+        out = decode_array(bytes(buf))
+        assert isinstance(out, np.ndarray)
+        assert out.size <= max(vals.size * 70000, 10**7)  # no runaway growth
+    except Exception:
+        pass  # clean failure is acceptable at the codec layer
