@@ -177,7 +177,7 @@ def main() -> int:
     extras["ts5m_encode_nosink_points_per_sec"] = n5m / queries["q5d_encode_5m_nosink"]
 
     # q6: per-codec fixed encode micro-benches on the synthetic table
-    for codec in ("for", "rle", "dict", "delta", "dod", "fsst"):
+    for codec in ("for", "forc", "rle", "dict", "delta", "dod", "fsst"):
         t0 = time.time()
         encode(toks, codec=codec, num_partitions=int(CPUS)).agg(F.sum("enc_bytes")).first()
         queries[f"q6_encode_{codec}"] = time.time() - t0
