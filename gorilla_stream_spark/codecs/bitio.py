@@ -24,7 +24,21 @@ __all__ = [
     "unpack",
     "zigzag",
     "unzigzag",
+    "check_count",
+    "MAX_COUNT",
 ]
+
+# Sanity ceiling on header-declared element counts.  Legitimate blocks are
+# bounded by the engine's block_tokens (~1M); a corrupted count byte must
+# raise, not allocate (a width-0 stream consumes zero payload bytes, so the
+# buffer length alone cannot validate the count).
+MAX_COUNT = 1 << 28
+
+
+def check_count(n: int) -> int:
+    if not 0 <= n <= MAX_COUNT:
+        raise ValueError(f"implausible element count {n} (max {MAX_COUNT})")
+    return n
 
 
 def bit_width(value: int) -> int:
@@ -84,6 +98,7 @@ def pack(values: np.ndarray, width: int) -> bytes:
 
 def unpack(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
     """Inverse of :func:`pack` — returns ``n`` uint64 values."""
+    check_count(n)
     if n == 0:
         return np.empty(0, dtype=np.uint64)
     if width == 0:

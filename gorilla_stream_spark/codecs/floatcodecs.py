@@ -129,6 +129,7 @@ def gxor_encode(vals: np.ndarray) -> bytes:
 
 def gxor_decode(buf: bytes) -> np.ndarray:
     n, first = struct.unpack_from("<IQ", buf, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=np.float64)
     out_bits = np.empty(n, dtype=_U64)
@@ -234,6 +235,7 @@ def xorlag_encode(vals: np.ndarray, lag: int | None = None) -> bytes:
 def xorlag_decode(buf: bytes | memoryview) -> np.ndarray:
     mv = memoryview(buf)
     n, lag = struct.unpack_from("<IB", mv, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=np.float64)
     k = min(lag, n)
@@ -316,6 +318,7 @@ def scaledf_decode(buf: bytes | memoryview) -> np.ndarray:
 
     mv = memoryview(buf)
     n, k = struct.unpack_from("<IB", mv, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=np.float64)
     ints = decode_array(mv[5:])

@@ -135,6 +135,7 @@ def fsst_decode(buf: bytes) -> np.ndarray:
     from gorilla_stream_spark.codecs import decode_array
 
     n, base, tsize = struct.unpack_from("<IIH", buf, 0)
+    intcodecs.bitio.check_count(n)
     mv = memoryview(buf)
     off = 10 + tsize * 8
     body = decode_array(mv[off:])

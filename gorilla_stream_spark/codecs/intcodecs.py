@@ -72,6 +72,7 @@ def raw_encode(a: np.ndarray) -> bytes:
 
 def raw_decode(buf: bytes) -> np.ndarray:
     n, size = struct.unpack_from("<IB", buf, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=_I64)
     return np.frombuffer(buf, dtype=f"<i{size}", count=n, offset=5).astype(_I64)
@@ -96,6 +97,7 @@ def for_encode(a: np.ndarray) -> bytes:
 
 def for_decode(buf: bytes) -> np.ndarray:
     n, ref, width = struct.unpack_from("<IqB", buf, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=_I64)
     resid = bitio.unpack(memoryview(buf)[13:], width, n)
@@ -128,6 +130,7 @@ def forc_encode(a: np.ndarray) -> bytes:
 
 def forc_decode(buf: bytes) -> np.ndarray:
     n, ref = struct.unpack_from("<Iq", buf, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=_I64)
     resid = _unpack_classed(memoryview(buf)[12:])
@@ -188,6 +191,7 @@ def rle_encode(a: np.ndarray) -> bytes:
 
 def rle_decode(buf: bytes) -> np.ndarray:
     n, nruns, vlen = struct.unpack_from("<III", buf, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=_I64)
     mv = memoryview(buf)
@@ -232,6 +236,7 @@ def dict_encode(a: np.ndarray) -> bytes:
 
 def dict_decode(buf: bytes) -> np.ndarray:
     n, card, dlen, cw = struct.unpack_from("<IIIB", buf, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=_I64)
     mv = memoryview(buf)
@@ -257,6 +262,7 @@ def delta_encode(a: np.ndarray) -> bytes:
 
 def delta_decode(buf: bytes) -> np.ndarray:
     n, first, width = struct.unpack_from("<IqB", buf, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=_I64)
     diffs = bitio.unzigzag(bitio.unpack(memoryview(buf)[13:], width, n - 1))
@@ -333,7 +339,7 @@ def _pack_classed(vals: np.ndarray) -> bytes:
 
 
 def _unpack_classed(buf: memoryview) -> np.ndarray:
-    n = struct.unpack_from("<I", buf, 0)[0]
+    n = bitio.check_count(struct.unpack_from("<I", buf, 0)[0])
     cw = struct.unpack_from("<BBBB", buf, 4)
     if n == 0:
         return np.empty(0, dtype=_U64)
@@ -369,6 +375,7 @@ def dod_encode(a: np.ndarray) -> bytes:
 
 def dod_decode(buf: bytes) -> np.ndarray:
     n, first, first_delta = struct.unpack_from("<Iqq", buf, 0)
+    bitio.check_count(n)
     if n == 0:
         return np.empty(0, dtype=_I64)
     out = np.empty(n, dtype=_I64)

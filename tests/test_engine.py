@@ -301,3 +301,16 @@ def test_decode_docs_empty_list(spark, toks):
 
     enc = encode(toks, codec="auto", num_partitions=2)
     assert decode_docs(enc, []).count() == 0
+
+
+def test_null_token_element_fails_loudly(spark):
+    # a NULL *element* inside a tokens array must raise, not silently become
+    # INT64_MIN garbage via the NaN cast
+    from gorilla_stream_spark import encode
+
+    df = spark.createDataFrame(
+        [("a", [1, None, 3], 3, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    with pytest.raises(Exception, match="NULL token element"):
+        encode(df, codec="auto", num_partitions=1).count()
