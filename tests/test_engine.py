@@ -314,3 +314,14 @@ def test_null_token_element_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="NULL token element"):
         encode(df, codec="auto", num_partitions=1).count()
+
+
+def test_analyze_empty_input(spark):
+    from gorilla_stream_spark import analyze_and_recommend
+
+    df = spark.createDataFrame(
+        [], "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    rec = analyze_and_recommend(df)
+    assert rec["n_docs"] == 0
+    assert rec["recommended_partitions"] == 1
