@@ -58,16 +58,24 @@ def analyze_and_recommend(
         # aim at ~64 blocks of selector work regardless of table size
         sample_fraction = min(1.0, 64 * block_tokens / max(total, 1))
     sample = df.sample(fraction=sample_fraction, seed=42) if sample_fraction < 1.0 else df
-    est = (
-        estimate(sample, block_tokens=block_tokens)
-        .groupBy("codec")
-        .agg(
-            F.count("*").alias("blocks"),
-            F.sum("raw_bytes").alias("raw"),
-            F.sum("est_bytes").alias("est"),
+
+    def _codec_mix(src: DataFrame) -> list:
+        return (
+            estimate(src, block_tokens=block_tokens)
+            .groupBy("codec")
+            .agg(
+                F.count("*").alias("blocks"),
+                F.sum("raw_bytes").alias("raw"),
+                F.sum("est_bytes").alias("est"),
+            )
+            .collect()
         )
-        .collect()
-    )
+
+    est = _codec_mix(sample)
+    if not est:
+        # a tiny fraction on a huge table can sample zero rows; a bounded
+        # limit() sample beats silently reporting "compresses to nothing"
+        est = _codec_mix(df.limit(4096))
     raw = sum(r["raw"] for r in est) or 1
     enc = sum(r["est"] for r in est)
 

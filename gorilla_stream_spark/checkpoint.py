@@ -48,12 +48,17 @@ class CheckpointedEncode:
     codec: str = "auto"
     block_tokens: int = DEFAULT_BLOCK_TOKENS
     container: str = "none"
+    container_level: int | None = None
 
     def _config_fingerprint(self) -> str:
         fp = f"{self.run_id}:{self.num_partitions}:{self.codec}:{self.block_tokens}"
-        # container joined only when set — keeps fingerprints of existing
-        # checkpoints stable
-        return fp if self.container == "none" else f"{fp}:{self.container}"
+        # container/level joined only when set — keeps fingerprints of
+        # existing checkpoints stable
+        if self.container != "none":
+            fp = f"{fp}:{self.container}"
+            if self.container_level is not None:
+                fp = f"{fp}@{self.container_level}"
+        return fp
 
     def committed_parts(self, spark: SparkSession) -> list[int]:
         try:
@@ -89,6 +94,7 @@ class CheckpointedEncode:
             block_tokens=self.block_tokens,
             repartition=False,  # already salted here
             container=self.container,
+            container_level=self.container_level,
         )
         # re-derive the lineage partition id from doc content, not from the
         # task's physical partition id (which shifts once rows are pruned)
@@ -108,8 +114,17 @@ class CheckpointedEncode:
             .parquet(self.output_path)
         )
         wall = time.time() - t0
-        # commit checkpoint rows (per-partition lineage + metrics)
-        out = spark.read.parquet(self.output_path).filter(F.col("config_fp") == fp)
+        # commit checkpoint rows (per-partition lineage + metrics).
+        # Prune the re-read on part_id — the PARTITION column — so a resume
+        # only scans the partitions this run just wrote; committed partitions'
+        # buffers are never re-read (at 100 TB a resume that rescanned the
+        # whole encoded table to write a few manifest rows would dominate).
+        out = spark.read.parquet(self.output_path)
+        if done:
+            new_parts = sorted(set(range(self.num_partitions)) - done)
+            # fully-committed job: nothing new to aggregate or commit
+            out = out.limit(0) if not new_parts else out.filter(F.col("part_id").isin(new_parts))
+        out = out.filter(F.col("config_fp") == fp)
         man = (
             out.groupBy("part_id")
             .agg(
@@ -124,8 +139,6 @@ class CheckpointedEncode:
             .withColumn("committed_at", F.current_timestamp())
             .withColumn("wall_sec", F.lit(wall))
         )
-        if done:
-            man = man.filter(~F.col("part_id").isin(*sorted(done)))
         man.write.mode("append").parquet(self.checkpoint_path)
         return man
 
@@ -159,6 +172,7 @@ def encode_with_checkpoint(
     num_partitions: int | None = None,
     codec: str = "auto",
     container: str = "none",
+    container_level: int | None = None,
 ) -> dict:
     """One-call checkpointed encode; returns summary metrics dict."""
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -169,6 +183,7 @@ def encode_with_checkpoint(
         num_partitions=P,
         codec=codec,
         container=container,
+        container_level=container_level,
     )
     job.run(spark, df)
     m = job.metrics(spark)

@@ -93,13 +93,23 @@ def encode_float_array(a: np.ndarray, codec: str = "fauto") -> bytes:
 
 def encode_array(a: np.ndarray, codec: str = "auto", **kwargs) -> bytes:
     """Encode an int64 array (or float64 via the float codecs) into a
-    framed self-describing buffer."""
+    framed self-describing buffer.
+
+    Oversized inputs fail HERE, not at read time: every decoder bounds its
+    header-declared count by ``bitio.MAX_COUNT``, so an encoder that accepted
+    more would write permanently unreadable buffers.
+    """
+    from gorilla_stream_spark.codecs import bitio
+
+    bitio.check_count(a.size)
     if codec in FLOAT_CODECS:
         return encode_float_array(a, codec=codec)
     if codec == "auto":
-        from gorilla_stream_spark.selector import select_codec
+        from gorilla_stream_spark.selector import select_codec_cached
 
-        codec = select_codec(a)
+        codec, cached = select_codec_cached(a)
+        if cached is not None:  # contested-FSST trial already encoded the block
+            return bytes([FSST]) + cached
     cid = CODEC_IDS[codec]
     body = INT_ENCODERS[cid](a, **kwargs) if cid == FSST else INT_ENCODERS[cid](a)
     return bytes([cid]) + body
@@ -139,6 +149,9 @@ def encode_paged(
 
 _ZLIB, _ZSTD = 1, 2
 
+# largest legitimate inner buffer: MAX_COUNT elements * 8 B + header slack
+_MAX_CONTAINER_LEN = (1 << 31) + (1 << 16)
+
 try:  # zstd via pyarrow's bundled codec; no extra install
     import pyarrow as _pa
 
@@ -146,13 +159,28 @@ try:  # zstd via pyarrow's bundled codec; no extra install
 except Exception:  # pragma: no cover
     _ZSTD_CODEC = None
 
+_ZSTD_LEVELED: dict[int, object] = {}
 
-def wrap_container(buf: bytes, method: str = "auto") -> bytes:
+
+def _zstd_codec(level: int | None):
+    if level is None:
+        return _ZSTD_CODEC
+    if level not in _ZSTD_LEVELED:
+        import pyarrow as _pa2
+
+        _ZSTD_LEVELED[level] = _pa2.Codec("zstd", compression_level=level)
+    return _ZSTD_LEVELED[level]
+
+
+def wrap_container(buf: bytes, method: str = "auto", level: int | None = None) -> bytes:
     """Wrap a framed buffer in a compressed container (self-describing).
 
     ``auto`` = zstd if available else zlib, and keeps the wrapper only when
     it actually shrinks the buffer (the reference's :auto semantics,
-    ``container.ex:126-132``).
+    ``container.ex:126-132``).  ``level`` is the reference's
+    ``compression_level`` option (``lib/gorilla_stream.ex:96``,
+    ``container.ex:154-210``): zstd 1-22 / zlib 0-9; None = codec default.
+    The level affects only the encoded size — decode is level-agnostic.
     """
     import struct as _struct
     import zlib as _zlib
@@ -165,9 +193,13 @@ def wrap_container(buf: bytes, method: str = "auto") -> bytes:
     if method == "zstd" and _ZSTD_CODEC is None:
         raise ValueError("zstd codec unavailable")
     if use_zstd:
-        comp, mid = bytes(_ZSTD_CODEC.compress(buf)), _ZSTD
+        if level is not None and not 1 <= level <= 22:
+            raise ValueError(f"zstd level {level} out of range 1-22")
+        comp, mid = bytes(_zstd_codec(level).compress(buf)), _ZSTD
     else:
-        comp, mid = _zlib.compress(buf, 6), _ZLIB
+        if level is not None and not 0 <= level <= 9:
+            raise ValueError(f"zlib level {level} out of range 0-9")
+        comp, mid = _zlib.compress(buf, 6 if level is None else level), _ZLIB
     wrapped = bytes([CONTAINER, mid]) + _struct.pack("<I", len(buf)) + comp
     if method == "auto" and len(wrapped) >= len(buf):
         return buf
@@ -185,13 +217,21 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
 
         mid = mv[1]
         (orig_len,) = _struct.unpack_from("<I", mv, 2)
+        # bound the declared size BEFORE decompressing — a corrupt header
+        # must not drive an unbounded (~1000x) decompression
+        if orig_len > _MAX_CONTAINER_LEN:
+            raise ValueError(f"implausible container orig_len {orig_len}")
         body = bytes(mv[6:])
         if mid == _ZSTD:
             if _ZSTD_CODEC is None:
                 raise ValueError("zstd container but codec unavailable")
             inner = bytes(_ZSTD_CODEC.decompress(body, orig_len))
         else:
-            inner = _zlib.decompress(body)
+            inner = _zlib.decompressobj().decompress(body, orig_len)
+        if len(inner) != orig_len:
+            raise ValueError(
+                f"container length mismatch: got {len(inner)}, header says {orig_len}"
+            )
         return decode_array(inner)
     if cid == PAGED:
         npages, _page_tokens = _struct.unpack_from("<II", mv, 1)

@@ -322,4 +322,6 @@ def scaledf_decode(buf: bytes | memoryview) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.float64)
     ints = decode_array(mv[5:])
+    if ints.size != n:  # corrupted nested buffer must raise, not truncate
+        raise ValueError(f"scaledf inner count {ints.size} != header count {n}")
     return ints.astype(np.float64) / (10.0**k)

@@ -358,13 +358,24 @@ def _unpack_classed(buf: memoryview) -> np.ndarray:
     return out
 
 
+def _wrap_i64(x: int) -> int:
+    """Reduce an arbitrary Python int to its int64 two's-complement value.
+
+    All delta/DoD arithmetic is modular in 2^64 (numpy int64 wraps; cumsum
+    on decode wraps back), so the scalar first-delta must wrap the same way
+    instead of overflowing ``struct.pack('<q', ...)`` on int64 extremes.
+    """
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def dod_encode(a: np.ndarray) -> bytes:
     a = _as_i64(a)
     n = a.size
     if n == 0:
         return struct.pack("<Iqq", 0, 0, 0)
     first = int(a[0])
-    first_delta = int(a[1]) - first if n > 1 else 0
+    first_delta = _wrap_i64(int(a[1]) - first) if n > 1 else 0
     head = struct.pack("<Iqq", n, first, first_delta)
     if n <= 2:
         return head

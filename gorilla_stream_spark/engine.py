@@ -144,6 +144,7 @@ def _encode_fn(
     block_tokens: int,
     page_tokens: int = DEFAULT_PAGE_TOKENS,
     container: str = "none",
+    container_level: int | None = None,
 ):
     """Arrow-native encode kernel (``mapInArrow``).
 
@@ -195,7 +196,7 @@ def _encode_fn(
                 flat = flat_all[offs[lo] : offs[hi]]
                 buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
                 if container != "none":
-                    buf = wrap_container(buf, method=container)
+                    buf = wrap_container(buf, method=container, level=container_level)
                 enc_us = int((_time.perf_counter() - t0) * 1e6)
                 raw = flat.astype("<i4").tobytes()
                 cols["block_id"].append((pid << 24) | seq)
@@ -239,6 +240,7 @@ def encode(
     page_tokens: int = DEFAULT_PAGE_TOKENS,
     repartition: bool = True,
     container: str = "none",
+    container_level: int | None = None,
 ) -> DataFrame:
     """Encode a tokens table into self-describing compressed blocks.
 
@@ -259,7 +261,10 @@ def encode(
             slim, num_partitions=num_partitions, id_col=id_col, sort_cols=sort_cols
         )
     return slim.mapInArrow(
-        _encode_fn(tokens_col, id_col, source_col, codec, block_tokens, page_tokens, container),
+        _encode_fn(
+            tokens_col, id_col, source_col, codec, block_tokens, page_tokens,
+            container, container_level,
+        ),
         ENCODED_SCHEMA,
     )
 

@@ -39,6 +39,7 @@ def cmd_encode(args) -> int:
         num_partitions=args.partitions,
         codec=args.codec,
         container=args.container,
+        container_level=args.level,
     )
     print(json.dumps({k: (float(v) if v is not None else None) for k, v in m.items()}))
     return 0
@@ -112,6 +113,10 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--codec", default="auto")
     e.add_argument("--container", default="none", choices=["none", "auto", "zlib", "zstd"])
+    e.add_argument(
+        "--level", type=int, default=None,
+        help="container compression level (zstd 1-22, zlib 0-9; default codec default)",
+    )
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--run-id", default="run1")
     e.set_defaults(fn=cmd_encode)

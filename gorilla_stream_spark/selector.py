@@ -61,8 +61,17 @@ def _delta_size_of(vals: np.ndarray) -> int:
     return 13 + _pack_size(vals.size - 1, bitio.max_bit_width(zz))
 
 
-def candidate_sizes(a: np.ndarray, feats: dict | None = None, try_fsst: bool = True) -> dict[str, int]:
-    """Exact encoded byte size per codec, computed from features only."""
+def candidate_sizes(
+    a: np.ndarray,
+    feats: dict | None = None,
+    try_fsst: bool = True,
+    cache: dict | None = None,
+) -> dict[str, int]:
+    """Exact encoded byte size per codec, computed from features only.
+
+    When the FSST trial happens to cover the whole block, the encoded body
+    is stashed in ``cache['fsst']`` so ``encode_array`` never re-encodes it.
+    """
     f = feats or features(a)
     n = f["n"]
     if n == 0:
@@ -97,8 +106,10 @@ def candidate_sizes(a: np.ndarray, feats: dict | None = None, try_fsst: bool = T
     # fsst: trial-encode a sample (cheap, bounded) and extrapolate
     if try_fsst and n >= _FSST_MIN_N and 0 <= f["min"] and f["max"] < 0xFFFFFFFF - 1:
         s = a[:_FSST_SAMPLE]
-        trial = len(fsst.fsst_encode(s))
-        sizes["fsst"] = int(trial * (n / s.size)) if s.size else trial
+        body = fsst.fsst_encode(s)
+        if s.size == n and cache is not None:
+            cache["fsst"] = body  # trial covered the whole block — reuse it
+        sizes["fsst"] = int(len(body) * (n / s.size)) if s.size else len(body)
     return sizes
 
 
@@ -123,7 +134,10 @@ def _sample_chunks(a: np.ndarray) -> np.ndarray:
 
 
 def sampled_sizes(
-    a: np.ndarray, try_fsst: bool = True, feats: dict | None = None
+    a: np.ndarray,
+    try_fsst: bool = True,
+    feats: dict | None = None,
+    cache: dict | None = None,
 ) -> dict[str, int]:
     """Approximate per-codec sizes from a ~12K-token contiguous sample.
 
@@ -173,14 +187,21 @@ def sampled_sizes(
         est = int(len(fsst.fsst_encode(s)) * scale)
         best_other = min(sizes.values())
         # sample extrapolation is noisy for a trained-table codec (bias
-        # swings ~0.7-1.6x); when contested, pay one full-page trial
+        # swings ~0.7-1.6x); when contested, pay ONE full-page trial and
+        # keep the buffer — if fsst wins, encode_array reuses it instead
+        # of encoding the same page a second time
         if 0.8 * best_other <= est <= 1.3 * best_other:
-            est = len(fsst.fsst_encode(a))
+            body = fsst.fsst_encode(a)
+            est = len(body)
+            if cache is not None:
+                cache["fsst"] = body
         sizes["fsst"] = est
     return sizes
 
 
-def block_estimate(a: np.ndarray, try_fsst: bool = True) -> tuple[dict, dict[str, int]]:
+def block_estimate(
+    a: np.ndarray, try_fsst: bool = True, cache: dict | None = None
+) -> tuple[dict, dict[str, int]]:
     """(features, candidate sizes) — exact below _SAMPLE_THRESHOLD, sampled
     above (selection only needs relative sizes; encode is always exact).
 
@@ -193,18 +214,28 @@ def block_estimate(a: np.ndarray, try_fsst: bool = True) -> tuple[dict, dict[str
     if a.size <= _SAMPLE_THRESHOLD:
         a64 = np.ascontiguousarray(a, dtype=np.int64)
         f = features(a64)
-        return f, candidate_sizes(a64, feats=f, try_fsst=try_fsst)
+        return f, candidate_sizes(a64, feats=f, try_fsst=try_fsst, cache=cache)
     f = features(np.ascontiguousarray(_sample_chunks(a), dtype=np.int64))
-    sizes = sampled_sizes(a, try_fsst=try_fsst, feats=f)
+    sizes = sampled_sizes(a, try_fsst=try_fsst, feats=f, cache=cache)
     n, ns = int(a.size), f["n"]
     card = _extrapolate_card(f["card"], ns, n)
     f = {**f, "n": n, "card": card, "n_runs": int(f["n_runs"] * (n / ns))}
     return f, sizes
 
 
+_TIE_ORDER = {"raw": 0, "for": 1, "forc": 2, "rle": 3, "delta": 4, "dict": 5, "dod": 6, "fsst": 7}
+
+
+def select_codec_cached(a: np.ndarray, try_fsst: bool = True) -> tuple[str, bytes | None]:
+    """Argmin-size codec + the FSST trial body if one was fully encoded
+    during selection (so the caller can emit it without re-encoding)."""
+    cache: dict = {}
+    _, sizes = block_estimate(a, try_fsst=try_fsst, cache=cache)
+    # deterministic tie-break: cheapest decode first
+    codec = min(sizes.items(), key=lambda kv: (kv[1], _TIE_ORDER[kv[0]]))[0]
+    return codec, (cache.get("fsst") if codec == "fsst" else None)
+
+
 def select_codec(a: np.ndarray, try_fsst: bool = True) -> str:
     """Argmin-size codec for an int64 array."""
-    _, sizes = block_estimate(a, try_fsst=try_fsst)
-    # deterministic tie-break: cheapest decode first
-    order = {"raw": 0, "for": 1, "forc": 2, "rle": 3, "delta": 4, "dict": 5, "dod": 6, "fsst": 7}
-    return min(sizes.items(), key=lambda kv: (kv[1], order[kv[0]]))[0]
+    return select_codec_cached(a, try_fsst=try_fsst)[0]

@@ -59,8 +59,6 @@ INT_CODECS = {
 @pytest.mark.parametrize("codec", INT_CODECS)
 def test_int_codec_roundtrip(codec, case):
     a = EDGE_ARRAYS[case]
-    if codec == "dod" and case == "int64_extremes":
-        pytest.skip("dod zigzag overflow on int64 extremes — selector avoids it")
     enc, dec = INT_CODECS[codec]
     out = dec(enc(a))
     np.testing.assert_array_equal(out, a)
@@ -199,8 +197,6 @@ def test_zigzag():
 @pytest.mark.parametrize("case", EDGE_ARRAYS)
 def test_auto_roundtrip_and_self_describing(case):
     a = EDGE_ARRAYS[case]
-    if case == "int64_extremes":
-        return  # engine normalizes tokens to int32 range; extremes use raw explicitly
     buf = encode_array(a, codec="auto")
     assert codec_of(buf) in CODEC_NAMES.values()
     np.testing.assert_array_equal(decode_array(buf), a)
@@ -297,3 +293,73 @@ def test_beats_reference_size_anchor_on_sensor_data():
     np.testing.assert_array_equal(
         decode_array(vbuf).view(np.uint64), vals.view(np.uint64)
     )
+
+
+def test_dod_int64_extreme_first_delta():
+    # first delta overflows int64 (a[1]-a[0] = 2^64-1): must wrap, not raise
+    a = np.array([-2**63, 2**63 - 1, 0, -2**62, 2**62], dtype=np.int64)
+    out = intcodecs.dod_decode(intcodecs.dod_encode(a))
+    np.testing.assert_array_equal(out, a)
+
+
+def test_encode_rejects_oversized_input(monkeypatch):
+    # oversized inputs must fail at WRITE time (decoders bound header counts,
+    # so an encoder that accepted more would write unreadable buffers)
+    from gorilla_stream_spark.codecs import bitio as _bitio
+    from gorilla_stream_spark import codecs as _codecs
+
+    monkeypatch.setattr(_bitio, "MAX_COUNT", 100)
+    a = np.arange(101, dtype=np.int64)
+    with pytest.raises(ValueError, match="implausible"):
+        _codecs.encode_array(a, codec="raw")
+
+
+def test_zlib_container_length_bound_and_mismatch():
+    import struct as _struct
+    import zlib as _zlib
+    from gorilla_stream_spark import codecs as _codecs
+
+    inner = _codecs.encode_array(np.arange(100, dtype=np.int64), codec="raw")
+    comp = _zlib.compress(inner, 6)
+    # corrupt header: implausibly large declared size
+    bad = bytes([_codecs.CONTAINER, 1]) + _struct.pack("<I", 2**31 + 2**20) + comp
+    with pytest.raises(ValueError, match="implausible container"):
+        _codecs.decode_array(bad)
+    # corrupt header: declared size smaller than the actual payload
+    bad2 = bytes([_codecs.CONTAINER, 1]) + _struct.pack("<I", len(inner) - 7) + comp
+    with pytest.raises((ValueError, KeyError, IndexError, _struct.error)):
+        _codecs.decode_array(bad2)
+
+
+def test_scaledf_inner_count_mismatch_raises():
+    import struct as _struct
+    from gorilla_stream_spark.codecs import floatcodecs as fc
+
+    vals = np.round(np.arange(50) * 0.25, 2)
+    buf = fc.scaledf_try_encode(vals)
+    assert buf is not None
+    # bump the declared count: inner decode returns fewer ints than n
+    n, k = _struct.unpack_from("<IB", buf, 0)
+    bad = _struct.pack("<IB", n + 1, k) + bytes(buf[5:])
+    with pytest.raises(ValueError, match="scaledf inner count"):
+        fc.scaledf_decode(bad)
+
+
+def test_container_levels_roundtrip_and_tradeoff():
+    from gorilla_stream_spark import codecs as _codecs
+
+    rng = np.random.default_rng(3)
+    a = np.repeat(rng.integers(0, 50, 200), rng.integers(1, 40, 200)).astype(np.int64)
+    inner = _codecs.encode_array(a, codec="raw")  # leave room for the container
+    sizes = {}
+    for method, levels in (("zlib", [1, 6, 9]), ("zstd", [1, 9, 19])):
+        for lv in levels:
+            w = _codecs.wrap_container(inner, method=method, level=lv)
+            np.testing.assert_array_equal(_codecs.decode_array(w), a)
+            sizes[(method, lv)] = len(w)
+    assert sizes[("zstd", 19)] <= sizes[("zstd", 1)]
+    assert sizes[("zlib", 9)] <= sizes[("zlib", 1)]
+    with pytest.raises(ValueError, match="out of range"):
+        _codecs.wrap_container(inner, method="zstd", level=23)
+    with pytest.raises(ValueError, match="out of range"):
+        _codecs.wrap_container(inner, method="zlib", level=10)

@@ -60,12 +60,13 @@ def test_int_codec_roundtrip(codec, vals):
     vals=arrays(
         np.int64,
         st.integers(min_value=0, max_value=300),
-        elements=st.integers(min_value=-(2**62), max_value=2**62),
+        elements=st.integers(min_value=-(2**63), max_value=2**63 - 1),
     ),
 )
-def test_wide_int_codecs_roundtrip(vals):
-    # signed / wide values (fsst+dict excluded: fsst requires uint32 range)
-    for codec in ("raw", "for", "forc", "rle", "delta", "dod"):
+def test_full_int64_codecs_roundtrip(vals):
+    # FULL int64 range incl. extremes where deltas wrap mod 2^64 (fsst
+    # excluded: it requires uint32 range by contract)
+    for codec in ("raw", "for", "forc", "rle", "dict", "delta", "dod"):
         out = decode_array(encode_array(vals, codec=codec))
         np.testing.assert_array_equal(out, vals, err_msg=codec)
 
