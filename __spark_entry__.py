@@ -307,6 +307,103 @@ def q_timerange_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- LLM-pipeline operators (round 2): dedup, near-dup, vectors, quality ---
+
+
+def _dirty_docs(spark: SparkSession, sf_dir: str, n_dup: int = 50) -> DataFrame:
+    """documents + exact-content copies under new ids (dup injection)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    dups = docs.filter(F.col("doc_id") < n_dup).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    return docs.unionByName(dups)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import dedup_exact
+
+    return dedup_exact(_dirty_docs(spark, sf_dir)).select("doc_id", "source")
+
+
+def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import neardup_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return neardup_pairs(docs, threshold_pct=70)
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import text_stats
+
+    return text_stats(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import quality_score
+
+    return quality_score(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import lang_id
+
+    return lang_id(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import doc_fingerprint
+
+    return doc_fingerprint(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import simhash
+
+    return simhash(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(_dirty_docs(spark, sf_dir, n_dup=30), max_hamming=3)
+
+
+def q_vec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.vectors import decode_vectors, encode_vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dec = decode_vectors(encode_vectors(emb, num_partitions=4))
+    return (
+        emb.alias("s")
+        .join(dec.alias("d"), "vec_id")
+        .select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            (F.col("s.embedding") == F.col("d.embedding")).alias("ok"),
+        )
+    )
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.vectors import topk_dot
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    return topk_dot(emb, queries, k=5)
+
+
+def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.vectors import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dirty = emb.unionByName(
+        emb.filter(F.col("vec_id") < 20).withColumn("vec_id", F.col("vec_id") + 100000)
+    )
+    # LSH path (not exact): identical vectors share every band key, so the
+    # injected duplicates are found deterministically
+    return cosine_neardup_pairs(dirty, threshold_pct=90, exact=False)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -342,10 +439,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q26_xorlag_roundtrip": q_xorlag_roundtrip,
         "q27_timerange_read": q_timerange_read,
         "q28_roundtrip_forc": _roundtrip("forc"),
+        "q29_dedup_exact": q_dedup_exact,
+        "q30_neardup_minhash": q_neardup_minhash,
+        "q31_vec_roundtrip": q_vec_roundtrip,
+        "q32_quality": q_quality,
+        "q33_text_stats": q_text_stats,
+        "q34_lang_id": q_lang_id,
+        "q35_fingerprint": q_fingerprint,
+        "q36_simhash": q_simhash,
+        "q37_simhash_neardup": q_simhash_neardup,
+        "q38_ann_topk": q_ann_topk,
+        "q39_cosine_neardup": q_cosine_neardup,
     }
 
 
 _ROUNDTRIP_ORACLE = "SELECT CAST(doc_id AS VARCHAR) AS doc_id, TRUE AS ok FROM documents"
+
+# stopword lists mirrored from gorilla_stream_spark.textops.STOPWORDS
+_STOP = {
+    "en": "'the','a','of','and','to','in','is','it','that','for'",
+    "es": "'el','la','de','y','que','en','un','es','por','los'",
+    "de": "'der','die','das','und','ist','ein','zu','den','von','mit'",
+    "fr": "'le','la','de','et','les','des','est','un','une','dans'",
+}
+_WS = "string_split(text,' ')"
+
+
+def _stop_sql(lang: str) -> str:
+    return f"len(list_filter({_WS}, w -> w IN ({_STOP[lang]})))"
+
+
+def _simhash_sql(docs_cte: str) -> str:
+    """Full 60-bit SimHash in SQL (md5-based word hashes, +-1 bit sums)."""
+    return f"""
+    WITH docs AS ({docs_cte}),
+    w AS (SELECT doc_id, CAST(('0x'||substr(md5(word),1,15)) AS BIGINT) AS h
+          FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word FROM docs)),
+    b AS (SELECT doc_id, i, sum(CASE WHEN (h >> CAST(i AS INTEGER)) & 1 = 1
+                                     THEN 1 ELSE -1 END) AS s
+          FROM w, range(60) t(i) GROUP BY doc_id, i),
+    sh AS (SELECT doc_id, CAST(sum(CASE WHEN s >= 0
+                                        THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER))
+                                        ELSE 0 END) AS BIGINT) AS simhash
+           FROM b GROUP BY doc_id)
+    """
+
+
+_NEARDUP_ORACLE = """
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                  generate_subscripts(string_split(text,' '),1) AS i
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+sh AS (SELECT DISTINCT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+       FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                JOIN w c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ii
+          FROM sh x JOIN sh y ON x.sh=y.sh AND x.doc_id<y.doc_id GROUP BY 1,2)
+SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b
+FROM inter JOIN cnt ca ON ca.doc_id=da JOIN cnt cb ON cb.doc_id=db
+WHERE 100*ii >= 70*(ca.n + cb.n - ii)
+"""
+
+_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT))"
+_DOT = "CAST(list_sum(list_transform(range(1, len(a.qv)+1), i -> a.qv[i]*b.qv[i])) AS BIGINT)"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -444,6 +600,75 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(epoch_us(ts) // 1000) AS BIGINT) AS sum_ts_ms,"
             " min(value) AS min_val, max(value) AS max_val"
             " FROM events, r WHERE epoch_us(ts) >= lo AND epoch_us(ts) <= hi"
+        ),
+        "q29_dedup_exact": (
+            "WITH dirty AS (SELECT doc_id, text, source FROM documents"
+            " UNION ALL SELECT doc_id+100000, text, source FROM documents WHERE doc_id < 50)"
+            " SELECT doc_id, source FROM ("
+            "   SELECT doc_id, source, row_number() OVER"
+            "     (PARTITION BY md5(text), length(text) ORDER BY doc_id) AS rn FROM dirty)"
+            " WHERE rn = 1"
+        ),
+        "q30_neardup_minhash": _NEARDUP_ORACLE,
+        "q31_vec_roundtrip": "SELECT CAST(vec_id AS BIGINT) AS vec_id, TRUE AS ok FROM embeddings",
+        "q32_quality": (
+            f"SELECT doc_id, CAST("
+            f" CASE WHEN len({_WS}) BETWEEN 20 AND 20000 THEN 40"
+            f"      WHEN len({_WS}) >= 5 THEN 20 ELSE 0 END"
+            f" + least(30, (CAST({_stop_sql('en')} AS BIGINT) * 100) // len({_WS}))"
+            f" + least(30, ((CAST(len(list_distinct({_WS})) AS BIGINT) * 100)"
+            f"              // len({_WS})) // 2)"
+            f" AS BIGINT) AS quality FROM documents"
+        ),
+        "q33_text_stats": (
+            f"SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,"
+            f" CAST(len({_WS}) AS BIGINT) AS n_words,"
+            f" CAST(len(list_distinct({_WS})) AS BIGINT) AS n_distinct_words,"
+            f" CAST((length(text)+3)//4 AS BIGINT) AS approx_bpe_tokens,"
+            f" CAST({_stop_sql('en')} AS BIGINT) AS stop_hits_en FROM documents"
+        ),
+        "q34_lang_id": (
+            f"WITH c AS (SELECT doc_id, {_stop_sql('en')} AS en, {_stop_sql('es')} AS es,"
+            f" {_stop_sql('de')} AS de, {_stop_sql('fr')} AS fr FROM documents)"
+            " SELECT doc_id, CASE"
+            " WHEN en >= es AND en >= de AND en >= fr THEN 'en'"
+            " WHEN es >= de AND es >= fr THEN 'es'"
+            " WHEN de >= fr THEN 'de' ELSE 'fr' END AS lang_pred FROM c"
+        ),
+        "q35_fingerprint": (
+            "SELECT doc_id, md5(text) AS fp_md5,"
+            " CAST(('0x'||substr(md5(text),1,15)) AS BIGINT) AS fp60 FROM documents"
+        ),
+        "q36_simhash": (
+            _simhash_sql("SELECT doc_id, text FROM documents")
+            + " SELECT doc_id, simhash FROM sh"
+        ),
+        "q37_simhash_neardup": (
+            _simhash_sql(
+                "SELECT doc_id, text FROM documents"
+                " UNION ALL SELECT doc_id+100000, text FROM documents WHERE doc_id < 30"
+            )
+            + " SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM sh x JOIN sh y"
+            "   ON x.doc_id < y.doc_id AND bit_count(xor(x.simhash, y.simhash)) <= 3"
+        ),
+        "q38_ann_topk": (
+            f"WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, {_QUANT} AS qv FROM embeddings),"
+            f" q AS (SELECT vec_id AS query_id, qv FROM v WHERE vec_id < 3),"
+            f" s AS (SELECT q.query_id, b.vec_id, {_DOT.replace('a.qv', 'q.qv').replace('b.qv', 'b.qv')} AS score"
+            f"       FROM q, v b),"
+            f" r AS (SELECT query_id, vec_id, score, CAST(row_number() OVER"
+            f"        (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rank FROM s)"
+            f" SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5"
+        ),
+        "q39_cosine_neardup": (
+            f"WITH dirty AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings"
+            f" UNION ALL SELECT vec_id+100000, embedding FROM embeddings WHERE vec_id < 20),"
+            f" v AS (SELECT vec_id, {_QUANT} AS qv,"
+            f"  CAST(list_sum(list_transform({_QUANT}, x -> x*x)) AS BIGINT) AS nrm FROM dirty)"
+            f" SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_DOT} AS dot"
+            f" FROM v a JOIN v b ON a.vec_id < b.vec_id"
+            f" WHERE {_DOT} > 0 AND CAST({_DOT} AS DOUBLE) * CAST({_DOT} AS DOUBLE)"
+            f"   >= 0.81 * CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)"
         ),
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.

@@ -11,7 +11,10 @@ import numpy as np
 
 from gorilla_stream_spark.codecs import floatcodecs, fsst, intcodecs
 
-RAW, FOR, RLE, DICT, DELTA, DOD, FSST, GXOR, PAGED, SCALEDF, XORLAG, CONTAINER, FORC = range(13)
+(
+    RAW, FOR, RLE, DICT, DELTA, DOD, FSST, GXOR, PAGED, SCALEDF, XORLAG,
+    CONTAINER, FORC, VECF32,
+) = range(14)
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -27,6 +30,7 @@ CODEC_NAMES = {
     XORLAG: "xorlag",
     CONTAINER: "container",
     FORC: "forc",
+    VECF32: "vecf32",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -52,6 +56,7 @@ DECODERS = {
     GXOR: floatcodecs.gxor_decode,
     SCALEDF: floatcodecs.scaledf_decode,
     XORLAG: floatcodecs.xorlag_decode,
+    VECF32: floatcodecs.f32_decode,
 }
 
 FLOAT_CODECS = {"gxor", "xorlag", "scaledf", "fauto"}

@@ -325,3 +325,99 @@ def scaledf_decode(buf: bytes | memoryview) -> np.ndarray:
     if ints.size != n:  # corrupted nested buffer must raise, not truncate
         raise ValueError(f"scaledf inner count {ints.size} != header count {n}")
     return ints.astype(np.float64) / (10.0**k)
+
+
+# ---------------------------------------------------------------------------
+# float32 vector codec (embedding columns).  Two modes behind one frame:
+#   mode 1 — float32 decimal scaling (the scaledf/VictoriaMetrics idea,
+#            /root/reference/lib/gorilla_stream/compression/enhancements.ex:
+#            19-50, gated by EXACT float32 bit reconstruction): quantized /
+#            rounded embeddings collapse to small ints and ride the whole
+#            int codec family.
+#   mode 0 — raw float32 bit patterns as int32 through the int auto-selector
+#            (full-precision embeddings are entropy-dense; the selector's
+#            raw floor guarantees ~4 B/value worst case).
+# ---------------------------------------------------------------------------
+
+
+def f32scaled_try_encode(vals32: np.ndarray, codec: str = "auto") -> bytes | None:
+    """Encode float32s as scaled ints if EXACTLY bit-reversible, else None.
+
+    Negative zeros (common when rounded data crosses 0) can't survive the
+    int path, so their positions ride along as a delta-coded exception list
+    and are re-signed on decode — still bit-lossless.
+    Layout: [n u32][k u8][zlen u32][neg-zero index buffer][int buffer].
+    """
+    from gorilla_stream_spark.codecs import encode_array
+
+    vals32 = np.ascontiguousarray(vals32, dtype=np.float32)
+    n = vals32.size
+    if n == 0:
+        return struct.pack("<IBI", 0, 0, 0)
+    if not np.isfinite(vals32).all():
+        return None
+    bits = vals32.view(np.uint32)
+    negzero = bits == 0x80000000
+    zidx = np.flatnonzero(negzero).astype(np.int64)
+    if zidx.size > n // 8:  # too many exceptions to be worth it
+        return None
+    target = np.where(negzero, np.uint32(0), bits)
+    v64 = vals32.astype(np.float64)  # exact widening
+    for k in range(_SCALE_MAX + 1):
+        scale = 10.0**k
+        scaled = v64 * scale
+        if np.abs(scaled).max() >= 2**53:
+            return None
+        ints = np.rint(scaled)
+        if np.abs(scaled - ints).max() > 1e-6 * max(1.0, np.abs(scaled).max()):
+            continue
+        # gate on the EXACT decode pipeline (through int64; -0.0 handled by
+        # the exception list, all other values must reconstruct bit-for-bit)
+        i64 = ints.astype(np.int64)
+        recon = (i64.astype(np.float64) / scale).astype(np.float32).view(np.uint32)
+        if (recon == target).all():
+            zbuf = encode_array(zidx, codec="delta" if zidx.size else "raw")
+            return (
+                struct.pack("<IBI", n, k, len(zbuf))
+                + zbuf
+                + encode_array(i64, codec=codec)
+            )
+    return None
+
+
+def f32_encode(a: np.ndarray, codec: str = "auto") -> bytes:
+    """Self-describing float32 body: [mode u8] + mode payload."""
+    from gorilla_stream_spark.codecs import encode_array
+
+    a = np.ascontiguousarray(a, dtype=np.float32)
+    scaled = f32scaled_try_encode(a, codec=codec)
+    bits_buf = b"\x00" + encode_array(a.view(np.int32).astype(np.int64), codec=codec)
+    if scaled is not None and 1 + len(scaled) < len(bits_buf):
+        return b"\x01" + scaled
+    return bits_buf
+
+
+def f32_decode(buf: bytes | memoryview) -> np.ndarray:
+    from gorilla_stream_spark.codecs import decode_array
+
+    mv = memoryview(buf)
+    mode = mv[0]
+    if mode == 0:
+        ints = decode_array(mv[1:])
+        return ints.astype(np.int32).view(np.float32)
+    if mode != 1:
+        raise ValueError(f"unknown f32 mode {mode}")
+    n, k, zlen = struct.unpack_from("<IBI", mv, 1)
+    bitio.check_count(n)
+    if n == 0:
+        return np.empty(0, dtype=np.float32)
+    zidx = decode_array(mv[10 : 10 + zlen])
+    ints = decode_array(mv[10 + zlen :])
+    if ints.size != n:
+        raise ValueError(f"f32scaled inner count {ints.size} != header count {n}")
+    out = (ints.astype(np.float64) / (10.0**k)).astype(np.float32)
+    if zidx.size:
+        if zidx.min() < 0 or zidx.max() >= n:
+            raise ValueError("f32scaled neg-zero index out of range")
+        out[zidx] = np.float32(-0.0)
+    return out

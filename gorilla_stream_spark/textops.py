@@ -1,0 +1,381 @@
+"""LLM training-data text operators: dedup, near-dup, fingerprints, quality.
+
+No reference analog (awksedgreep/gorilla_stream dedups duplicate *timestamps*
+only, ``/root/reference/lib/gorilla_stream/validator.ex:214``); these are the
+operations a 100 TB training-data pipeline needs next to the codec engine.
+
+Design rules (100 TB first):
+
+* Everything is JVM-side ``pyspark.sql.functions`` column expressions inside
+  whole-stage codegen — zero Python UDFs, zero ``collect()``.
+* Signatures (MinHash, SimHash, fingerprints) are computed **row-locally**
+  with higher-order array functions — no shuffle until the band/bucket join,
+  which shuffles small fixed-width keys, never full documents.
+* Candidate generation is bucketed (LSH bands / hash buckets), never
+  all-pairs: cost is O(n·bands), and exact verification runs only on
+  bucket-collision candidates.
+* Exact verification uses **integer** arithmetic (``10*i >= 7*union`` instead
+  of float jaccard) so results are engine-exact and reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dedup_exact",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "simhash",
+    "shingle_sets",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "neardup_pairs",
+]
+
+# ---------------------------------------------------------------------------
+# Exact content dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Drop duplicate-content rows, keeping the lowest ``id_col`` per content.
+
+    Shuffle key is ``(md5(content), length(content))`` — 24 bytes per row
+    regardless of document size, so the shuffle moves hashes, not documents,
+    as the partitioner input.  md5+length collisions across *different*
+    contents are ~2^-128; grouping by the pair (not the raw content) keeps
+    the plan identical at any scale.  Keep-first is deterministic
+    (``row_number`` ordered by id), matching the reference's sort-and-dedup
+    validator semantics (``validator.ex:205-216``) applied to content.
+    """
+    w = Window.partitionBy(F.md5(F.col(content_col)), F.length(content_col)).orderBy(id_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text statistics + quality score (validator analog for documents)
+# ---------------------------------------------------------------------------
+
+# compact per-language stopword lists; enough signal for a heuristic
+# language id over whitespace-tokenized text
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es", "por", "los"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "den", "von", "mit"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+}
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.col(text_col), " ")
+
+
+def _sql_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _stop_hits(text_col: str, lang: str) -> Column:
+    """# words (with duplicates) in the language's stopword list."""
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), w -> w IN ({_sql_list(STOPWORDS[lang])})))"
+    )
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counts + lexical stats, all integer-exact.
+
+    ``approx_bpe_tokens`` is the chars/4 heuristic used for LLM budget
+    estimates; ``n_words`` is whitespace tokenization.
+    """
+    words = _words(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        # integer `div`, never float `/`: bit-identical across engines
+        F.expr(f"(length({text_col}) + 3) div 4").cast("long").alias("approx_bpe_tokens"),
+        _stop_hits(text_col, "en").cast("long").alias("stop_hits_en"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """0-100 document quality score from integer-exact components.
+
+    Re-expression of the reference validator's 0-100 quality score
+    (``/root/reference/lib/gorilla_stream/validator.ex:95-118``) for text:
+    length band (0/20/40) + stopword ratio (0-30, natural text has 20-45%
+    stopwords) + lexical diversity (0-30).  Integer division only — the
+    score is bit-identical across engines.
+    """
+    words = f"split({text_col}, ' ')"
+    stop_list = _sql_list(STOPWORDS["en"])
+    # integer `div` only (Spark `/` is float division, and float->long casts
+    # truncate in Spark but round in DuckDB — div sidesteps both)
+    expr = f"""
+    CAST(
+      CASE WHEN size({words}) BETWEEN 20 AND 20000 THEN 40
+           WHEN size({words}) >= 5 THEN 20 ELSE 0 END
+      + least(30L, (CAST(size(filter({words}, w -> w IN ({stop_list}))) AS BIGINT) * 100)
+                    div size({words}))
+      + least(30L, ((CAST(size(array_distinct({words})) AS BIGINT) * 100)
+                    div size({words})) div 2)
+    AS BIGINT)
+    """
+    return df.select(F.col(id_col), F.expr(expr).alias("quality"))
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language id: argmax stopword hits, deterministic tie-break
+    in en > es > de > fr priority order (n-gram-free, engine-exact)."""
+    c = {lang: _stop_hits(text_col, lang) for lang in STOPWORDS}
+    pred = (
+        F.when((c["en"] >= c["es"]) & (c["en"] >= c["de"]) & (c["en"] >= c["fr"]), "en")
+        .when((c["es"] >= c["de"]) & (c["es"] >= c["fr"]), "es")
+        .when(c["de"] >= c["fr"], "de")
+        .otherwise("fr")
+    )
+    return df.select(F.col(id_col), pred.alias("lang_pred"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprints: full md5 (dedup/lineage key) + a 60-bit integer
+    prefix (join/bucketing key that fits a signed int64)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("fp_md5"),
+        F.conv(F.substring(F.md5(F.col(text_col)), 1, 15), 16, 10).cast("long").alias("fp60"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash — 60-bit near-dup signature over word hashes.
+# md5-based word hashes (not xxhash64) so the signature is engine-portable
+# and SQL-verifiable bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """60-bit SimHash per doc, computed row-locally (no shuffle, no UDF).
+
+    Per word w: h = first 60 bits of md5(w).  Per bit i: sum +-1 over all
+    words (duplicates count); signature bit i = (sum >= 0).  Similar docs
+    differ in few bits — hamming-band bucketing then finds near-dups with
+    *deterministic* recall (pigeonhole, see ``simhash_bands``).
+    """
+    # acc = 60-vector of +-1 sums, folded over the words array in one pass
+    expr = f"""
+    aggregate(
+      transform(split({text_col}, ' '),
+                w -> conv(substring(md5(w), 1, 15), 16, 10)),
+      array_repeat(0L, {SIMHASH_BITS}),
+      (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                           (a, i) -> a + CASE WHEN (shiftright(CAST(h AS LONG), i) & 1L) = 1L
+                                          THEN 1L ELSE -1L END),
+      acc -> aggregate(zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+                                (a, i) -> CASE WHEN a >= 0L THEN shiftleft(1L, i) ELSE 0L END),
+                       0L, (s, v) -> s + v)
+    )
+    """
+    return df.select(F.col(id_col), F.expr(expr).cast("long").alias("simhash"))
+
+
+def simhash_bands(sig_df: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> DataFrame:
+    """Split the 60-bit signature into ``n_bands`` fixed bit-slices.
+
+    Pigeonhole guarantee: two signatures within hamming distance
+    ``n_bands - 1`` share at least one identical band — bucketing by
+    (band_idx, band_bits) has deterministic recall for hamming <= n_bands-1.
+    """
+    width = SIMHASH_BITS // n_bands
+    mask = (1 << width) - 1
+    bands = F.array(
+        *[
+            ((F.col("simhash").bitwiseAND(F.lit(mask << (i * width)))).cast("long"))
+            for i in range(n_bands)
+        ]
+    )
+    return sig_df.select(
+        id_col, "simhash", F.posexplode(bands).alias("band_idx", "band_bits")
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band-bucket join, then exact hamming check.
+
+    Deterministic recall for hamming <= 3 (4 bands, pigeonhole); shuffle key
+    is (band_idx, band_bits) — 12 bytes — never the documents.
+    """
+    sig = simhash(df, text_col=text_col, id_col=id_col)
+    bands = simhash_bands(sig, id_col=id_col, n_bands=max_hamming + 1)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(hamming <= max_hamming).select("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup over k-word shingles — bucketed, never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+def shingle_sets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, distinct k-word shingles).  Docs with < k words have an empty
+    set and never reach candidate generation (no jaccard is defined)."""
+    words = f"split({text_col}, ' ')"
+    parts = ", ".join(f"{words}[i + {j}]" for j in range(k))
+    expr = (
+        f"CASE WHEN size({words}) >= {k} THEN "
+        f"array_distinct(transform(sequence(0, size({words}) - {k}),"
+        f" i -> concat_ws(' ', {parts}))) "
+        f"ELSE array() END"
+    )
+    return df.select(F.col(id_col).alias("doc_id"), F.expr(expr).alias("shingles"))
+
+
+_MINHASH_SEED = 0x5EED_CAFE
+
+
+def minhash_signature(shingled: DataFrame, num_hashes: int = 128) -> DataFrame:
+    """MinHash signatures: JVM xxhash64 per shingle, vectorized numpy mins.
+
+    Two-stage split mirroring the engine's encode path: the per-shingle base
+    hash runs JVM-side in whole-stage codegen (``transform`` +``xxhash64``),
+    then ONE Arrow hop carries ``(doc_id, hashes)`` — ~1 KB/doc, never the
+    text — into a numpy kernel that applies the affine family
+    ``(a_j*h + b_j) mod 2^64`` and takes per-doc minima with a single
+    ``minimum.reduceat`` over the flattened batch.  A pure higher-order-
+    function formulation is interpreted row-at-a-time in Spark and measured
+    ~40x slower; an explode+groupBy(128 aggs) exceeds the codegen field cap.
+    Zero shuffles.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from gorilla_stream_spark.engine import _flatten_arrow
+
+    rng = np.random.default_rng(_MINHASH_SEED)
+    A = (rng.integers(1, 2**63 - 1, num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63 - 1, num_hashes).astype(np.uint64)
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("sig", pa.list_(pa.int64()))])
+
+    def fn(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            flat, lens = _flatten_arrow(rb.column(1))
+            if flat.size == 0:
+                continue
+            h = flat.view(np.uint64)
+            # (n_shingles, num_hashes) affine family, wraps mod 2^64
+            p = h[:, None] * A[None, :] + B[None, :]
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.intp)
+            sig = np.minimum.reduceat(p, offs, axis=0).view(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(sig.ravel(), type=pa.int64()), num_hashes
+                    ).cast(pa.list_(pa.int64())),
+                ],
+                schema=out_schema,
+            )
+
+    hashed = shingled.filter(F.size("shingles") > 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("hs"),
+    )
+    return hashed.mapInArrow(fn, "doc_id long, sig array<long>")
+
+
+def lsh_candidate_pairs(
+    sig_df: DataFrame, rows_per_band: int = 2, num_hashes: int = 128
+) -> DataFrame:
+    """Banded LSH: bucket by (band_idx, hash of r consecutive sig values),
+    emit distinct id pairs that share >= 1 bucket.
+
+    Shuffle key is (int, int64) — documents never shuffle.  With r=2, b=64
+    the miss probability at jaccard 0.7 is (1-0.49)^64 ~= 2e-19; precision
+    is restored by the exact verify in :func:`neardup_pairs`.
+    """
+    b = num_hashes // rows_per_band
+    idx = ", ".join(f"sig[{rows_per_band} * j + {i}]" for i in range(rows_per_band))
+    bands = F.expr(f"transform(sequence(0, {b - 1}), j -> xxhash64(j, {idx}))")
+    # the Arrow hop in minhash_signature is a projection barrier, so the b
+    # band expressions read the materialized sig array instead of inlining
+    # (and recomputing) the full signature subtree per band
+    exploded = sig_df.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    a, e2 = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            e2,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 70,
+    k: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs: MinHash-LSH candidates + exact jaccard verify.
+
+    Output = pairs whose exact distinct-k-shingle jaccard >= threshold_pct/100,
+    verified with pure integer arithmetic (``100*i >= t*(|A|+|B|-i)``) so the
+    result is engine-exact.  Cost: O(n·bands) candidate generation + one
+    shingle-set join per candidate — never O(n^2) over the corpus.
+    """
+    shingled = shingle_sets(df, text_col=text_col, id_col=id_col, k=k)
+    sig = minhash_signature(shingled, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs(sig, rows_per_band=rows_per_band, num_hashes=num_hashes)
+    sa = shingled.select(F.col("doc_id").cast("long").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").cast("long").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    return (
+        joined.filter((100 * inter) >= (threshold_pct * union))
+        .select("doc_a", "doc_b")
+    )

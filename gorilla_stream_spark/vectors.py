@@ -1,0 +1,362 @@
+"""Embedding-vector operators: block codec + similarity search.
+
+Extends the engine's token-block pattern (``engine.py``) to
+``array<float>`` columns — the multimodal path a training-data pipeline
+needs next to text: store embeddings compressed-but-bit-lossless, and query
+them (top-k inner-product search, cosine near-dup pairs) without a separate
+vector store.
+
+Scale design mirrors the token engine: salted repartition by vec id,
+Arrow-native flatten (zero-copy child buffer), per-block codec with inline
+manifest, strict crc gate on decode.  Search is one broadcast of the (small)
+query matrix + per-partition vectorized numpy scoring + a global top-k — the
+canonical cluster brute-force layout; the LSH-bucketed variant prunes with
+random hyperplanes first.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark import TaskContext
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark.codecs import VECF32, decode_array, floatcodecs
+from gorilla_stream_spark.engine import _block_bounds, _flatten_arrow
+
+__all__ = [
+    "encode_vectors",
+    "decode_vectors",
+    "quantize_expr",
+    "topk_dot",
+    "cosine_neardup_pairs",
+]
+
+DEFAULT_BLOCK_VALUES = 1 << 20  # flat float32 values per block (~4 MiB raw)
+
+VEC_ENCODED_DDL = (
+    "block_id long, part_id int, seq_in_part int, n_vecs int, n_values long,"
+    " vec_ids array<long>, vec_lens array<int>, codec string, raw_bytes long,"
+    " enc_bytes long, crc32_raw long, crc32_buf long, buffer binary"
+)
+
+
+def encode_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_partitions: int | None = None,
+    block_values: int = DEFAULT_BLOCK_VALUES,
+    repartition: bool = True,
+) -> DataFrame:
+    """Encode an (id, array<float>) table into self-describing f32 blocks.
+
+    Bit-lossless: quantized/rounded embeddings collapse through the scaled
+    path onto the int codec family; full-precision embeddings ride the raw
+    floor (~4 B/value).  Each block row carries its vec-id list inline so
+    point lookups prune blocks without decoding (``decode_docs`` pattern,
+    ``engine.py:355``).
+    """
+    import pyarrow as pa
+
+    slim = df.select(
+        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
+    )
+    if repartition:
+        P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+        slim = slim.repartition(P, F.xxhash64("vec_id")).sortWithinPartitions("vec_id")
+
+    import pyarrow as _pa
+
+    out_schema = _pa.schema(
+        [
+            ("block_id", _pa.int64()),
+            ("part_id", _pa.int32()),
+            ("seq_in_part", _pa.int32()),
+            ("n_vecs", _pa.int32()),
+            ("n_values", _pa.int64()),
+            ("vec_ids", _pa.list_(_pa.int64())),
+            ("vec_lens", _pa.list_(_pa.int32())),
+            ("codec", _pa.string()),
+            ("raw_bytes", _pa.int64()),
+            ("enc_bytes", _pa.int64()),
+            ("crc32_raw", _pa.int64()),
+            ("crc32_buf", _pa.int64()),
+            ("buffer", _pa.binary()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            flat_all, lens = _flatten_arrow(rb.column(1), dtype=None)
+            flat_all = np.ascontiguousarray(flat_all, dtype=np.float32)
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            out: dict[str, list] = {k: [] for k in out_schema.names}
+            for lo, hi in _block_bounds(lens, block_values):
+                flat = flat_all[offs[lo] : offs[hi]]
+                body = floatcodecs.f32_encode(flat)
+                buf = bytes([VECF32]) + body
+                raw = flat.tobytes()
+                out["block_id"].append((pid << 24) | seq)
+                out["part_id"].append(pid)
+                out["seq_in_part"].append(seq)
+                out["n_vecs"].append(hi - lo)
+                out["n_values"].append(int(flat.size))
+                out["vec_ids"].append(ids.slice(lo, hi - lo).to_pylist())
+                out["vec_lens"].append(lens[lo:hi].astype(np.int32))
+                out["codec"].append("f32scaled" if body[0] == 1 else "f32bits")
+                out["raw_bytes"].append(len(raw))
+                out["enc_bytes"].append(len(buf))
+                out["crc32_raw"].append(zlib.crc32(raw))
+                out["crc32_buf"].append(zlib.crc32(buf))
+                out["buffer"].append(buf)
+                seq += 1
+            if out["block_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out[name], type=out_schema.field(name).type)
+                        for name in out_schema.names
+                    ],
+                    schema=out_schema,
+                )
+
+    return slim.mapInArrow(fn, VEC_ENCODED_DDL)
+
+
+def decode_vectors(enc_df: DataFrame, strict: bool = True) -> DataFrame:
+    """Decode vector blocks back to (vec_id, embedding) rows, bit-identical."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator) -> Iterator:
+        for rb in batches:
+            col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            for i in range(rb.num_rows):
+                buf = col["buffer"][i].as_py()
+                if strict:
+                    bcrc = zlib.crc32(buf)
+                    if bcrc != col["crc32_buf"][i].as_py():
+                        raise ValueError(
+                            f"buffer crc32 mismatch on block {col['block_id'][i].as_py()}"
+                        )
+                flat = decode_array(buf)
+                if strict:
+                    crc = zlib.crc32(flat.astype(np.float32).tobytes())
+                    if crc != col["crc32_raw"][i].as_py():
+                        raise ValueError(
+                            f"crc32 mismatch on block {col['block_id'][i].as_py()}"
+                        )
+                lens = col["vec_lens"][i].values.to_numpy(zero_copy_only=False)
+                offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+                vecs = pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(flat.astype(np.float32), type=pa.float32()),
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [col["vec_ids"][i].values.cast(pa.int64()), vecs],
+                    names=["vec_id", "embedding"],
+                )
+
+    needed = ["block_id", "vec_ids", "vec_lens", "crc32_raw", "crc32_buf", "buffer"]
+    return enc_df.select(*needed).mapInArrow(fn, "vec_id long, embedding array<float>")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search.  All scoring is over integer-quantized components
+# (round(x * 10^6) as int64) so scores are EXACT integers — deterministic
+# across engines, no float-sum order dependence.  For unit-norm embeddings
+# the integer dot product ranks identically to cosine.
+# ---------------------------------------------------------------------------
+
+QUANT = 1_000_000
+
+
+def quantize_expr(vec_col: str) -> F.Column:
+    """array<float> -> array<long>: round(x*1e6) per component, JVM-side.
+
+    Mirrors SQL ``CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)`` exactly
+    (verified engine-identical vs DuckDB) — quantization is the parity
+    boundary, everything after it is integer-exact.
+    """
+    return F.expr(
+        f"transform({vec_col}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    )
+
+
+def topk_dot(
+    df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k inner-product search: broadcast queries, per-partition
+    vectorized scoring + local top-k, global top-k on the survivors.
+
+    The shuffle carries at most ``k * n_queries`` rows per partition — the
+    classic cluster brute-force ANN baseline.  Scores are integer dot
+    products of 1e-6-quantized components (exact, reproducible); ties break
+    by vec_id ascending.
+    """
+    import pyarrow as pa
+
+    qids = [int(q) for q, _ in queries]
+    Q = np.array(
+        [[round(float(x) * QUANT) for x in v] for _, v in queries], dtype=np.int64
+    )
+
+    quant = df.select(
+        F.col(id_col).cast("long").alias("vec_id"), quantize_expr(vec_col).alias("qv")
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat, lens = _flatten_arrow(rb.column(1))
+            if flat.size == 0:
+                continue
+            M = flat.reshape(len(ids), -1)  # fixed dim within a batch
+            S = M @ Q.T  # (n, nq) int64 exact
+            take = min(k, len(ids))
+            out_q, out_v, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                # local top-k with deterministic (score desc, vec_id asc) order
+                order = np.lexsort((ids, -S[:, j]))[:take]
+                out_q.extend([qid] * take)
+                out_v.extend(ids[order])
+                out_s.extend(S[order, j])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(np.array(out_v, np.int64), pa.int64()),
+                    "score": pa.array(np.array(out_s, np.int64), pa.int64()),
+                }
+            )
+
+    local = quant.mapInArrow(fn, "query_id long, vec_id long, score long")
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+_PLANE_SEED = 7031
+
+
+def hyperplane_bands(
+    quant: DataFrame, n_bands: int = 16, rows_per_band: int = 8, seed: int = _PLANE_SEED
+) -> DataFrame:
+    """(vec_id, band_idx, band_key) from random-hyperplane sign LSH.
+
+    Each band key packs ``rows_per_band`` sign bits of independent Gaussian
+    hyperplanes; two unit vectors at cosine c agree on one plane with prob
+    1 - acos(c)/pi, so at c=0.9 (p~0.857, r=8, b=16) the miss probability is
+    (1 - p^r)^b ~= 4e-3 and each band bucket holds ~n/2^r of the data —
+    the quadratic verify join runs on ~1/16 of all pairs.  Signs are computed
+    in one vectorized numpy pass (planes ride the closure).
+    """
+    import pyarrow as pa
+
+    def fn(batches: Iterator) -> Iterator:
+        rng = np.random.default_rng(seed)
+        planes: np.ndarray | None = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat, lens = _flatten_arrow(rb.column(1))
+            if flat.size == 0:
+                continue
+            M = flat.reshape(len(ids), -1).astype(np.float64)
+            if planes is None or planes.shape[1] != M.shape[1]:
+                rng = np.random.default_rng(seed)  # same planes in every task
+                planes = rng.normal(0.0, 1.0, (n_bands * rows_per_band, M.shape[1]))
+            bits = (M @ planes.T) >= 0  # (n, b*r) sign bits
+            keys = np.zeros((len(ids), n_bands), dtype=np.int64)
+            for r in range(rows_per_band):
+                keys |= bits[:, r::rows_per_band].astype(np.int64) << r
+            band_idx = np.tile(np.arange(n_bands, dtype=np.int32), len(ids))
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "vec_id": pa.array(np.repeat(ids, n_bands), pa.int64()),
+                    "band_idx": pa.array(band_idx, pa.int32()),
+                    "band_key": pa.array(keys.ravel(), pa.int64()),
+                }
+            )
+
+    return quant.mapInArrow(fn, "vec_id long, band_idx int, band_key long")
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold_pct: int = 90,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exact: bool = False,
+    n_bands: int = 16,
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """Vector near-dup pairs: cosine(a, b) >= threshold_pct/100.
+
+    ``exact=True`` verifies ALL pairs (the reference answer; quadratic — use
+    only on bounded inputs or as the oracle).  ``exact=False`` prunes with
+    random-hyperplane LSH first (see :func:`hyperplane_bands`), then verifies
+    candidates exactly.  The threshold test is engine-exact either way:
+    integer-quantized dot/norms, compared as
+    ``dot > 0 AND dot^2 >= t^2 * |a|^2 * |b|^2`` in double — identical IEEE
+    ops in any engine, no float-sum order dependence.
+    """
+    quant = df.select(
+        F.col(id_col).cast("long").alias("vec_id"), quantize_expr(vec_col).alias("qv")
+    ).withColumn(
+        "nrm", F.expr("aggregate(qv, CAST(0 AS BIGINT), (acc, v) -> acc + v * v)")
+    )
+
+    a = quant.select(
+        F.col("vec_id").alias("id_a"), F.col("qv").alias("qa"), F.col("nrm").alias("na")
+    )
+    b = quant.select(
+        F.col("vec_id").alias("id_b"), F.col("qv").alias("qb"), F.col("nrm").alias("nb")
+    )
+    if exact:
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    else:
+        bands = hyperplane_bands(
+            quant.select("vec_id", "qv"), n_bands=n_bands, rows_per_band=rows_per_band
+        )
+        x, y = bands.alias("x"), bands.alias("y")
+        pairs = (
+            x.join(
+                y,
+                (F.col("x.band_idx") == F.col("y.band_idx"))
+                & (F.col("x.band_key") == F.col("y.band_key"))
+                & (F.col("x.vec_id") < F.col("y.vec_id")),
+            )
+            .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
+            .distinct()
+        )
+        cand = pairs.join(a, "id_a").join(b, "id_b")
+
+    dot = F.expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    t2 = (threshold_pct / 100.0) ** 2
+    cond = (F.col("dot") > 0) & (
+        F.col("dot").cast("double") * F.col("dot").cast("double")
+        >= F.lit(t2) * F.col("na").cast("double") * F.col("nb").cast("double")
+    )
+    return cand.withColumn("dot", dot).filter(cond).select("id_a", "id_b", "dot")

@@ -1,0 +1,126 @@
+"""LLM-pipeline text operators: dedup, near-dup, fingerprints, quality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark import textops as T
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+def test_dedup_exact_keeps_lowest_id(spark, docs):
+    dirty = docs.unionByName(
+        docs.filter(F.col("doc_id") < 40).withColumn("doc_id", F.col("doc_id") + 5000)
+    )
+    out = T.dedup_exact(dirty)
+    assert out.count() == docs.count()
+    # survivors are exactly the original ids (lowest per content group)
+    assert out.filter(F.col("doc_id") >= 5000).count() == 0
+
+
+def test_dedup_exact_no_false_merges(spark):
+    # different contents with equal length must NOT merge (md5+len key)
+    rows = [(1, "aaa bbb"), (2, "bbb aaa"), (3, "aaa bbb")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = T.dedup_exact(df).orderBy("doc_id").collect()
+    assert [r.doc_id for r in out] == [1, 2]
+
+
+def test_text_stats_and_quality_ranges(spark, docs):
+    stats = T.text_stats(docs).collect()
+    for r in stats:
+        assert r.n_words >= 1 and r.n_distinct_words <= r.n_words
+        assert r.approx_bpe_tokens == (r.n_chars + 3) // 4
+    q = T.quality_score(docs).agg(F.min("quality"), F.max("quality")).first()
+    assert 0 <= q[0] <= q[1] <= 100
+
+
+def test_lang_id_deterministic_tiebreak(spark):
+    # no stopword hits at all -> every count 0 -> 'en' by priority order
+    df = spark.createDataFrame([(1, "zzz qqq xxx")], "doc_id long, text string")
+    assert T.lang_id(df).first().lang_pred == "en"
+    df2 = spark.createDataFrame([(1, "el la de y que en un")], "doc_id long, text string")
+    # 'en' hits: 'en' (1); 'es' hits: all 7 -> es wins
+    assert T.lang_id(df2).first().lang_pred == "es"
+
+
+def test_fingerprint_matches_hashlib(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    r = T.doc_fingerprint(df).first()
+    h = hashlib.md5(b"hello world").hexdigest()
+    assert r.fp_md5 == h
+    assert r.fp60 == int(h[:15], 16)
+
+
+def test_simhash_identical_and_near_texts(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    mod = base.replace("lazy", "sleepy", 1)
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, mod)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.simhash for r in T.simhash(df).collect()}
+    assert rows[1] == rows[2]  # identical text -> identical signature
+    ham = bin(rows[1] ^ rows[3]).count("1")
+    assert ham <= 10  # one word changed out of 72 -> few bits flip
+
+
+def test_simhash_neardup_pigeonhole_recall(spark, docs):
+    # exact copies have hamming 0 -> MUST be found (deterministic recall)
+    dirty = docs.unionByName(
+        docs.filter(F.col("doc_id") < 25).withColumn("doc_id", F.col("doc_id") + 5000)
+    )
+    pairs = {(r.id_a, r.id_b) for r in T.simhash_neardup_pairs(dirty).collect()}
+    for i in range(25):
+        assert (i, i + 5000) in pairs
+
+
+def test_minhash_neardup_finds_planted_pairs(spark, docs):
+    # plant: copies with one appended word (high but non-1.0 jaccard)
+    planted = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 7000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tailword")).alias("text"),
+    )
+    dirty = docs.select("doc_id", "text").unionByName(planted)
+    pairs = {(r.doc_a, r.doc_b) for r in T.neardup_pairs(dirty, threshold_pct=70).collect()}
+    for i in range(15):
+        assert (i, i + 7000) in pairs, f"planted near-dup {i} missed"
+
+
+def test_minhash_neardup_precision(spark, docs):
+    # every reported pair must really have jaccard >= threshold (exact verify)
+    out = T.neardup_pairs(docs, threshold_pct=70)
+    sh = T.shingle_sets(docs)
+    joined = (
+        out.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sa"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sb"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    bad = joined.filter(100 * inter < 70 * union).count()
+    assert bad == 0
+
+
+def test_shingle_sets_short_docs_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
+    rows = {r.doc_id: r.shingles for r in T.shingle_sets(df, k=3).collect()}
+    assert rows[1] == []
+    assert rows[2] == ["a b c", "b c d"]
+
+
+def test_minhash_signature_shape_and_determinism(spark, docs):
+    sh = T.shingle_sets(docs.limit(20))
+    s1 = {r.doc_id: r.sig for r in T.minhash_signature(sh).collect()}
+    s2 = {r.doc_id: r.sig for r in T.minhash_signature(sh).collect()}
+    assert s1 == s2
+    assert all(len(v) == 128 for v in s1.values())

@@ -1,0 +1,114 @@
+"""Embedding-vector operators: f32 codec blocks, top-k search, near-dup."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark import vectors as V
+from gorilla_stream_spark.codecs import floatcodecs as fc
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_vector_roundtrip_bit_exact(spark, emb):
+    dec = V.decode_vectors(V.encode_vectors(emb, num_partitions=4))
+    j = emb.alias("s").join(dec.alias("d"), "vec_id")
+    bad = j.filter(F.col("s.embedding") != F.col("d.embedding")).count()
+    assert bad == 0
+    assert dec.count() == emb.count()
+
+
+def test_vector_decode_strict_crc(spark, emb):
+    enc = V.encode_vectors(emb, num_partitions=2)
+    corrupted = enc.withColumn("crc32_raw", F.col("crc32_raw") + 1)
+    with pytest.raises(Exception, match="crc32 mismatch"):
+        V.decode_vectors(corrupted).count()
+    assert V.decode_vectors(corrupted, strict=False).count() == emb.count()
+
+
+def test_quantized_vectors_compress(spark, emb):
+    # 3-decimal embeddings ride the scaled int path (>2x smaller)
+    q = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(round(x, 3) AS FLOAT))").alias("embedding")
+    )
+    enc = V.encode_vectors(q, num_partitions=2)
+    m = enc.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+    assert m["e"] < 0.5 * m["r"]
+    dec = V.decode_vectors(enc)
+    bad = (
+        q.alias("s").join(dec.alias("d"), "vec_id")
+        .filter(F.col("s.embedding") != F.col("d.embedding")).count()
+    )
+    assert bad == 0
+
+
+def test_f32_codec_hypothesis_edges():
+    rng = np.random.default_rng(5)
+    cases = [
+        np.array([], np.float32),
+        np.array([0.0, -0.0, np.nan, np.inf, -np.inf], np.float32),
+        rng.normal(0, 1, 3000).astype(np.float32),
+        np.round(rng.normal(0, 1, 3000), 2).astype(np.float32),
+        np.full(1000, 3.14159, np.float32),
+    ]
+    for a in cases:
+        out = fc.f32_decode(fc.f32_encode(a))
+        np.testing.assert_array_equal(out.view(np.uint32), a.view(np.uint32))
+
+
+def test_topk_matches_numpy_bruteforce(spark, emb):
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    M = np.array([[round(float(x) * V.QUANT) for x in r.embedding] for r in rows], np.int64)
+    queries = [(int(ids[i]), list(rows[i].embedding)) for i in range(3)]
+    got = V.topk_dot(emb, queries, k=7).orderBy("query_id", "rank").collect()
+    for qi in range(3):
+        S = M @ M[qi]
+        order = np.lexsort((ids, -S))[:7]
+        expect = [(int(ids[o]), int(S[o])) for o in order]
+        mine = [(r.vec_id, r.score) for r in got if r.query_id == ids[qi]]
+        assert mine == expect, f"query {qi}"
+
+
+def _clustered(spark, n_clusters=8, per=30, dim=16, noise=0.04, seed=3):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for c in centers:
+        for _ in range(per):
+            v = c + rng.normal(0, noise, dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_neardup_lsh_recall_vs_exact(spark):
+    df = _clustered(spark)
+    df.cache().count()
+    exact = {(r.id_a, r.id_b) for r in V.cosine_neardup_pairs(df, 90, exact=True).collect()}
+    lsh = {(r.id_a, r.id_b) for r in V.cosine_neardup_pairs(df, 90, exact=False).collect()}
+    assert len(exact) > 100  # clusters actually produce near-dups
+    assert lsh <= exact  # exact verify: no false positives ever
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.95, f"LSH recall {recall}"
+
+
+def test_cosine_neardup_identical_vectors_always_found(spark, emb):
+    dirty = emb.unionByName(
+        emb.filter(F.col("vec_id") < 10).withColumn("vec_id", F.col("vec_id") + 9000)
+    )
+    pairs = {(r.id_a, r.id_b) for r in V.cosine_neardup_pairs(dirty, 90).collect()}
+    for i in range(10):
+        assert (i, i + 9000) in pairs
