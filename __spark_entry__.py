@@ -404,6 +404,44 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(dirty, threshold_pct=90, exact=False)
 
 
+def q_validate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.validate import validate_timeseries
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", _epoch_us().alias("ts"), "value"
+    )
+    return validate_timeseries(ev, series_col="user_id")
+
+
+def _media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text bytes as an opaque media payload (binary column)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        F.col("doc_id").cast("long").alias("item_id"),
+        F.lit("text/plain").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.multimodal import extract_meta
+
+    return extract_meta(_media_from_documents(spark, sf_dir)).select(
+        "item_id", "media_type", "n_bytes", "fp_md5"
+    )
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.multimodal import frame_sample
+
+    frames = frame_sample(_media_from_documents(spark, sf_dir), frame_bytes=16, every_n=3)
+    return frames.groupBy("item_id").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.max("n_frames").cast("long").alias("n_frames"),
+        F.sum(F.length("frame")).cast("long").alias("sampled_bytes"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -450,6 +488,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_simhash_neardup": q_simhash_neardup,
         "q38_ann_topk": q_ann_topk,
         "q39_cosine_neardup": q_cosine_neardup,
+        "q40_validate_ts": q_validate_ts,
+        "q41_media_meta": q_media_meta,
+        "q42_frame_sample": q_frame_sample,
     }
 
 
@@ -669,6 +710,54 @@ def oracle_sql() -> dict[str, str]:
             f" FROM v a JOIN v b ON a.vec_id < b.vec_id"
             f" WHERE {_DOT} > 0 AND CAST({_DOT} AS DOUBLE) * CAST({_DOT} AS DOUBLE)"
             f"   >= 0.81 * CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)"
+        ),
+        "q40_validate_ts": """
+WITH b AS (SELECT user_id, epoch_us(ts) AS t, value,
+                  epoch_us(ts) - lag(epoch_us(ts)) OVER
+                    (PARTITION BY user_id ORDER BY epoch_us(ts)) AS delta
+           FROM events),
+a AS (SELECT user_id,
+        CAST(count(*) AS BIGINT) AS n_points,
+        CAST(count(DISTINCT t) AS BIGINT) AS n_distinct,
+        CAST(sum(CASE WHEN t >= 0 AND NOT isnan(value) AND NOT isinf(value)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        CAST(sum(CASE WHEN isnan(value) THEN 1 ELSE 0 END) AS BIGINT) AS nan_count,
+        CAST(sum(CASE WHEN isinf(value) THEN 1 ELSE 0 END) AS BIGINT) AS inf_count,
+        CAST(count(delta) AS BIGINT) AS n_deltas,
+        CAST(coalesce(sum(delta), 0) AS BIGINT) AS sum_delta
+      FROM b GROUP BY user_id),
+g AS (SELECT b.user_id,
+        CAST(sum(CASE WHEN b.delta * a.n_deltas > 3 * a.sum_delta
+                      THEN 1 ELSE 0 END) AS BIGINT) AS large_gaps
+      FROM b JOIN a USING (user_id) WHERE b.delta IS NOT NULL GROUP BY b.user_id)
+SELECT a.user_id, n_points, n_valid, n_deltas, sum_delta,
+  CAST(coalesce(large_gaps, 0) AS BIGINT) AS large_gaps,
+  (coalesce(large_gaps, 0) * 10 > n_deltas) AS significant_gaps,
+  (n_distinct < n_points) AS duplicate_timestamps,
+  nan_count, inf_count,
+  CAST(greatest(0, (n_valid * 100) // n_points
+    - 10 * (CAST(coalesce(large_gaps, 0) * 10 > n_deltas AS INTEGER)
+          + CAST(n_distinct < n_points AS INTEGER)
+          + CAST(nan_count > 0 AS INTEGER)
+          + CAST(inf_count > 0 AS INTEGER)
+          + CAST(n_valid < n_points AS INTEGER))) AS BIGINT) AS quality_pct
+FROM a LEFT JOIN g ON a.user_id = g.user_id
+""",
+        "q41_media_meta": (
+            "SELECT CAST(doc_id AS BIGINT) AS item_id, 'text/plain' AS media_type,"
+            " CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,"
+            " md5(text) AS fp_md5 FROM documents"
+        ),
+        "q42_frame_sample": (
+            "WITH f AS (SELECT CAST(doc_id AS BIGINT) AS item_id,"
+            "   octet_length(CAST(text AS BLOB)) AS b,"
+            "   (octet_length(CAST(text AS BLOB)) + 15) // 16 AS nf"
+            "  FROM documents WHERE octet_length(CAST(text AS BLOB)) > 0)"
+            " SELECT item_id, CAST((nf + 2) // 3 AS BIGINT) AS n_sampled,"
+            "  CAST(nf AS BIGINT) AS n_frames,"
+            "  CAST(16 * ((nf + 2) // 3) - CASE WHEN (nf - 1) % 3 = 0"
+            "       THEN (16 * nf - b) ELSE 0 END AS BIGINT) AS sampled_bytes"
+            " FROM f"
         ),
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.

@@ -15,10 +15,10 @@ Checks on (doc_id, tokens, n_tok, source):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "clean"]
+__all__ = ["validate", "clean", "validate_timeseries"]
 
 MAX_TOKEN = (1 << 32) - 2  # fsst pair-packing bound
 
@@ -63,4 +63,99 @@ def clean(df: DataFrame, max_token: int = MAX_TOKEN) -> DataFrame:
         .filter(~F.exists("tokens", lambda t: t.isNull() | (t < F.lit(0)) | (t > F.lit(max_token))))
         .withColumn("n_tok", F.size("tokens").cast("int"))
         .dropDuplicates(["doc_id"])
+    )
+
+
+def validate_timeseries(
+    df: DataFrame,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    series_col: str | None = None,
+) -> DataFrame:
+    """Per-series gap analysis + 0-100 quality score.
+
+    Port of the reference validator's gap detection and quality score
+    (``/root/reference/lib/gorilla_stream/validator.ex:157-203``):
+
+    * large gap  = delta > 3 * mean(delta); rendered integer-exact as
+      ``delta * n_deltas > 3 * sum(deltas)`` (no float mean)
+    * ``significant_gaps`` = large gaps exceed 10% of deltas
+      (``large_gaps * 10 > n_deltas``)
+    * ``quality_pct`` = ``max(0, valid*100 div total - 10 * issue_count)``
+      — the reference's ``valid/total - 0.1 * |issues|`` scaled to an
+      integer percentage so every engine computes it bit-identically.
+
+    Issues counted: duplicate timestamps, significant gaps, NaN values,
+    infinite values, invalid points (negative ts / non-finite value — the
+    reference's per-point validation).  The reference's ``unsorted`` issue
+    has no relational analog (DataFrames carry no input order; the engine
+    sorts within partitions anyway).  One output row per series (or one row
+    total with ``series_col=None``).
+    """
+    series = series_col or F.lit(0).alias("__series")
+    skey = series_col if series_col else "__series"
+    ts = F.col(ts_col).cast("long")
+    val = F.col(val_col).cast("double")
+    base = df.select(
+        series if series_col is None else F.col(series_col),
+        ts.alias("__ts"),
+        val.alias("__val"),
+    )
+    w = Window.partitionBy(skey).orderBy("__ts")
+    base = base.withColumn("__delta", F.col("__ts") - F.lag("__ts").over(w))
+    agg = base.groupBy(skey).agg(
+        F.count("*").cast("long").alias("n_points"),
+        F.countDistinct("__ts").cast("long").alias("n_distinct_ts"),
+        F.sum(
+            F.when(
+                (F.col("__ts") >= 0) & ~F.isnan("__val") & (F.abs("__val") != float("inf")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_valid"),
+        F.sum(F.when(F.isnan("__val"), 1).otherwise(0)).cast("long").alias("nan_count"),
+        F.sum(F.when(F.abs("__val") == float("inf"), 1).otherwise(0))
+        .cast("long").alias("inf_count"),
+        F.count("__delta").cast("long").alias("n_deltas"),
+        F.sum("__delta").cast("long").alias("sum_delta"),
+    )
+    # large-gap count needs the per-series delta sum next to each delta: one
+    # broadcastable self-join on the (tiny) aggregate, then an integer-exact
+    # comparison — no float mean ever materializes
+    gaps = (
+        base.join(F.broadcast(agg.select(skey, "n_deltas", "sum_delta")), skey)
+        .filter(F.col("__delta").isNotNull())
+        .groupBy(skey)
+        .agg(
+            F.sum(
+                F.when(F.col("__delta") * F.col("n_deltas") > 3 * F.col("sum_delta"), 1)
+                .otherwise(0)
+            ).cast("long").alias("large_gaps")
+        )
+    )
+    out = agg.join(gaps, skey, "left").na.fill({"large_gaps": 0, "sum_delta": 0})
+    sig_gaps = (F.col("large_gaps") * 10 > F.col("n_deltas")).cast("int")
+    issues = (
+        sig_gaps
+        + (F.col("n_distinct_ts") < F.col("n_points")).cast("int")
+        + (F.col("nan_count") > 0).cast("int")
+        + (F.col("inf_count") > 0).cast("int")
+        + (F.col("n_valid") < F.col("n_points")).cast("int")
+    )
+    quality = F.greatest(
+        F.lit(0).cast("long"),
+        F.expr("(n_valid * 100) div n_points").cast("long") - 10 * issues.cast("long"),
+    )
+    cols = [skey] if series_col else []
+    return out.select(
+        *cols,
+        "n_points",
+        "n_valid",
+        "n_deltas",
+        "sum_delta",
+        "large_gaps",
+        sig_gaps.cast("boolean").alias("significant_gaps"),
+        (F.col("n_distinct_ts") < F.col("n_points")).alias("duplicate_timestamps"),
+        "nan_count",
+        "inf_count",
+        quality.alias("quality_pct"),
     )

@@ -39,9 +39,48 @@ DEFAULT_BLOCK_VALUES = 1 << 20  # flat float32 values per block (~4 MiB raw)
 
 VEC_ENCODED_DDL = (
     "block_id long, part_id int, seq_in_part int, n_vecs int, n_values long,"
-    " vec_ids array<long>, vec_lens array<int>, codec string, raw_bytes long,"
+    " vec_ids array<long>, vec_lens array<int>, lsh_keys array<long>,"
+    " codec string, raw_bytes long,"
     " enc_bytes long, crc32_raw long, crc32_buf long, buffer binary"
 )
+
+INDEX_BITS = 10  # 2^10 coarse LSH buckets in the "lsh" layout
+_INDEX_SEED = 4211
+
+
+def _index_planes(dim: int, n_bits: int = INDEX_BITS, seed: int = _INDEX_SEED) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.normal(0.0, 1.0, (n_bits, dim))
+
+
+def _bucket_keys(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (M.astype(np.float64) @ planes.T) >= 0
+    keys = np.zeros(M.shape[0], dtype=np.int64)
+    for i in range(planes.shape[0]):
+        keys |= bits[:, i].astype(np.int64) << i
+    return keys
+
+
+def _with_bucket(slim: DataFrame, n_bits: int = INDEX_BITS) -> DataFrame:
+    """Append the coarse LSH bucket key (vectorized numpy, one Arrow pass)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator) -> Iterator:
+        planes = None
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            flat, lens = _flatten_arrow(rb.column(1), dtype=None)
+            M = np.ascontiguousarray(flat, dtype=np.float64).reshape(rb.num_rows, -1)
+            if planes is None or planes.shape[1] != M.shape[1]:
+                planes = _index_planes(M.shape[1], n_bits)
+            keys = _bucket_keys(M, planes)
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0), rb.column(1), pa.array(keys, pa.int64())],
+                names=["vec_id", "vec", "bucket"],
+            )
+
+    return slim.mapInArrow(fn, "vec_id long, vec array<float>, bucket long")
 
 
 def encode_vectors(
@@ -51,6 +90,7 @@ def encode_vectors(
     num_partitions: int | None = None,
     block_values: int = DEFAULT_BLOCK_VALUES,
     repartition: bool = True,
+    layout: str = "hash",
 ) -> DataFrame:
     """Encode an (id, array<float>) table into self-describing f32 blocks.
 
@@ -59,14 +99,28 @@ def encode_vectors(
     floor (~4 B/value).  Each block row carries its vec-id list inline so
     point lookups prune blocks without decoding (``decode_docs`` pattern,
     ``engine.py:355``).
+
+    ``layout="lsh"`` is the IVF-style similarity layout: rows shuffle by a
+    coarse random-hyperplane bucket (2^INDEX_BITS cells) and sort by
+    (bucket, vec_id), so each block covers few buckets; the block's distinct
+    bucket set is stored in the ``lsh_keys`` manifest column and
+    :func:`ann_search` prunes blocks by key overlap BEFORE any buffer is
+    decoded — the vector analog of the engine's manifest-pruned time-range
+    reads (``engine.py:373``).
     """
     import pyarrow as pa
 
     slim = df.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
     )
-    if repartition:
-        P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if layout == "lsh":
+        slim = (
+            _with_bucket(slim)
+            .repartition(P, "bucket")
+            .sortWithinPartitions("bucket", "vec_id")
+        )
+    elif repartition:
         slim = slim.repartition(P, F.xxhash64("vec_id")).sortWithinPartitions("vec_id")
 
     import pyarrow as _pa
@@ -80,6 +134,7 @@ def encode_vectors(
             ("n_values", _pa.int64()),
             ("vec_ids", _pa.list_(_pa.int64())),
             ("vec_lens", _pa.list_(_pa.int32())),
+            ("lsh_keys", _pa.list_(_pa.int64())),
             ("codec", _pa.string()),
             ("raw_bytes", _pa.int64()),
             ("enc_bytes", _pa.int64()),
@@ -101,6 +156,9 @@ def encode_vectors(
             ids = rb.column(0)
             flat_all, lens = _flatten_arrow(rb.column(1), dtype=None)
             flat_all = np.ascontiguousarray(flat_all, dtype=np.float32)
+            buckets = (
+                rb.column(2).to_numpy(zero_copy_only=False) if rb.num_columns > 2 else None
+            )
             offs = np.concatenate(([0], np.cumsum(lens)))
             out: dict[str, list] = {k: [] for k in out_schema.names}
             for lo, hi in _block_bounds(lens, block_values):
@@ -115,6 +173,9 @@ def encode_vectors(
                 out["n_values"].append(int(flat.size))
                 out["vec_ids"].append(ids.slice(lo, hi - lo).to_pylist())
                 out["vec_lens"].append(lens[lo:hi].astype(np.int32))
+                out["lsh_keys"].append(
+                    np.unique(buckets[lo:hi]) if buckets is not None else None
+                )
                 out["codec"].append("f32scaled" if body[0] == 1 else "f32bits")
                 out["raw_bytes"].append(len(raw))
                 out["enc_bytes"].append(len(buf))
@@ -360,3 +421,35 @@ def cosine_neardup_pairs(
         >= F.lit(t2) * F.col("na").cast("double") * F.col("nb").cast("double")
     )
     return cand.withColumn("dot", dot).filter(cond).select("id_a", "id_b", "dot")
+
+
+def ann_search(
+    enc_df: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+    probe_flips: int = 1,
+) -> DataFrame:
+    """Approximate top-k over an lsh-layout encoded vector table.
+
+    Prune-then-scan: the query's coarse bucket key (plus every key within
+    ``probe_flips`` bit flips — multi-probe) is intersected with each
+    block's ``lsh_keys`` manifest column JVM-side; only overlapping blocks
+    are decoded, then the exact integer top-k reranks the survivors.  The
+    vector analog of ``decode_docs`` (engine.py:355): at 10^12 scale the
+    expensive decode touches a handful of blocks, never the table.
+    Approximate by construction — recall is governed by cluster tightness
+    and ``probe_flips`` (see tests for the recall gate).
+    """
+    dim = len(queries[0][1])
+    planes = _index_planes(dim)
+    Q = np.array([v for _, v in queries], dtype=np.float64)
+    keys = _bucket_keys(Q, planes)
+    probes: set[int] = set()
+    for key in keys.tolist():
+        probes.add(key)
+        if probe_flips >= 1:
+            for i in range(planes.shape[0]):
+                probes.add(key ^ (1 << i))
+    wanted = F.array(*[F.lit(int(p)).cast("long") for p in sorted(probes)])
+    pruned = enc_df.filter(F.arrays_overlap(F.col("lsh_keys"), wanted))
+    return topk_dot(decode_vectors(pruned), queries, k=k)

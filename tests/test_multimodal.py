@@ -1,0 +1,64 @@
+"""Multimodal binary columns: metadata, frame sampling, stubbed decode."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = []
+    for i in range(20):
+        w, h = 4 + i, 3 + i
+        body = bytes((i * 7 + j) % 256 for j in range(w * h))
+        payload = w.to_bytes(4, "little") + h.to_bytes(4, "little") + body
+        rows.append((i, "image/fake", bytearray(payload)))
+    df = spark.createDataFrame(rows, "item_id long, media_type string, payload binary")
+    df.cache().count()
+    return df
+
+
+def test_extract_meta_matches_local(spark, media):
+    rows = {r.item_id: r for r in M.extract_meta(media).collect()}
+    src = {r.item_id: bytes(r.payload) for r in media.collect()}
+    import hashlib
+
+    for i, raw in src.items():
+        assert rows[i].n_bytes == len(raw)
+        assert rows[i].fp_md5 == hashlib.md5(raw).hexdigest()
+        assert rows[i].crc32 == zlib.crc32(raw)
+
+
+def test_frame_sample_chunks_exact(spark, media):
+    out = M.frame_sample(media, frame_bytes=10, every_n=2).collect()
+    src = {r.item_id: bytes(r.payload) for r in media.collect()}
+    by_item = {}
+    for r in out:
+        by_item.setdefault(r.item_id, []).append(r)
+    for i, raw in src.items():
+        total = -(-len(raw) // 10)
+        want_idx = [j for j in range(total) if j % 2 == 0]
+        got = sorted(by_item[i], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in got] == want_idx
+        assert all(r.n_frames == total for r in got)
+        for r in got:
+            assert bytes(r.frame) == raw[r.frame_idx * 10 : r.frame_idx * 10 + 10]
+
+
+def test_image_features_fake_decode(spark, media):
+    rows = {r.item_id: r for r in M.image_features(media).collect()}
+    for i in range(20):
+        w, h = 4 + i, 3 + i
+        body = bytes((i * 7 + j) % 256 for j in range(w * h))
+        assert rows[i].width == w and rows[i].height == h
+        assert abs(rows[i].mean_byte - sum(body) / len(body)) < 1e-9
+
+
+def test_resize_raises_plan_time(spark, media):
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        M.resize_images(media, 64, 64)

@@ -112,3 +112,43 @@ def test_cosine_neardup_identical_vectors_always_found(spark, emb):
     pairs = {(r.id_a, r.id_b) for r in V.cosine_neardup_pairs(dirty, 90).collect()}
     for i in range(10):
         assert (i, i + 9000) in pairs
+
+
+def test_ann_search_recall_and_block_pruning(spark):
+    # IVF-style lsh layout: query decodes a small fraction of blocks and
+    # still recovers the exact top-k on clustered data
+    rng = np.random.default_rng(11)
+    dim, per, nc = 16, 100, 40
+    centers = rng.normal(0, 1, (nc, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(per):
+            v = c + rng.normal(0, 0.03, dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.cache().count()
+    enc = V.encode_vectors(df, num_partitions=8, block_values=dim * 50, layout="lsh")
+    enc.cache()
+    nblocks = enc.count()
+    queries = [(rows[5][0], rows[5][1]), (rows[per * 20 + 3][0], rows[per * 20 + 3][1])]
+    got, bf = {}, {}
+    for r in V.ann_search(enc, queries, k=10).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in V.topk_dot(df, queries, k=10).collect():
+        bf.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = np.mean([len(got.get(q, set()) & bf[q]) / 10 for q in bf])
+    assert recall >= 0.9, f"ann recall {recall}"
+    # pruning assert: the probe filter touches a small fraction of blocks
+    planes = V._index_planes(dim)
+    keys = V._bucket_keys(np.array([q[1] for q in queries]), planes)
+    probes = set()
+    for kk in keys.tolist():
+        probes.add(kk)
+        for i in range(planes.shape[0]):
+            probes.add(kk ^ (1 << i))
+    wanted = F.array(*[F.lit(int(p)).cast("long") for p in sorted(probes)])
+    touched = enc.filter(F.arrays_overlap(F.col("lsh_keys"), wanted)).count()
+    assert touched / nblocks <= 0.25, f"pruning too weak: {touched}/{nblocks}"
