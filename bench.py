@@ -182,6 +182,113 @@ def main() -> int:
         encode(toks, codec=codec, num_partitions=int(CPUS)).agg(F.sum("enc_bytes")).first()
         queries[f"q6_encode_{codec}"] = time.time() - t0
 
+    # --- LLM-pipeline operators (round 2) ----------------------------------
+    from gorilla_stream_spark.textops import dedup_exact, neardup_pairs
+    from gorilla_stream_spark.vectors import ann_search, encode_vectors, topk_dot
+
+    # text corpus derived from the DIVERSE synthetic strata (the constant /
+    # run strata collapse to near-identical shingle sets, which makes every
+    # doc a true near-dup of every other — semantically correct but a
+    # quadratic-pair corpus is not a throughput benchmark).  Docs capped at
+    # 256 words (realistic web-doc shape).  ~2% exact copies and ~2%
+    # near-dup copies planted under new ids.
+    texts = toks.filter(
+        F.col("source").isin("random", "counter", "sorted_ids", "narrow_range")
+    ).select(
+        F.xxhash64("doc_id").alias("doc_id"),
+        F.expr(
+            "concat_ws(' ', transform(slice(tokens, 1, 256), t -> concat('t', CAST(t AS STRING))))"
+        ).alias("text"),
+    )
+    exact_copies = texts.filter(F.pmod(F.col("doc_id"), 50) == 0).select(
+        (F.col("doc_id") + 13).alias("doc_id"), "text"
+    )
+    near_copies = texts.filter(F.pmod(F.col("doc_id"), 50) == 1).select(
+        (F.col("doc_id") + 7).alias("doc_id"), F.concat("text", F.lit(" xdup")).alias("text")
+    )
+    corpus_path = os.path.join(CACHE, f"corpus_sf{sf}")
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        texts.unionByName(exact_copies).unionByName(near_copies).write.mode(
+            "overwrite"
+        ).parquet(corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    n_corpus = corpus.count()
+    extras["corpus_docs"] = n_corpus
+
+    t0 = time.time()
+    n_kept = dedup_exact(corpus).count()
+    queries["q7_dedup_exact"] = time.time() - t0
+    extras["dedup_docs_per_sec"] = n_corpus / queries["q7_dedup_exact"]
+    extras["dedup_removed"] = n_corpus - n_kept
+
+    t0 = time.time()
+    n_pairs = neardup_pairs(corpus, threshold_pct=70).count()
+    queries["q8_neardup_minhash"] = time.time() - t0
+    extras["neardup_docs_per_sec"] = n_corpus / queries["q8_neardup_minhash"]
+    extras["neardup_pairs"] = n_pairs
+
+    # vectors: deterministic pseudo-random float32, 10M values per sf-unit
+    n_vecs = max(10_000, int(10_000_000 * sf))
+    dim = 64
+    vec_path = os.path.join(CACHE, f"vecs_{n_vecs}")
+    if not os.path.exists(os.path.join(vec_path, "_SUCCESS")):
+        import numpy as _np
+        import pyarrow as _pa
+
+        def gen(batches):
+            for rb in batches:
+                ids = rb.column(0).to_numpy(zero_copy_only=False)
+                rng = _np.random.default_rng(ids[0] if len(ids) else 0)
+                M = rng.normal(0, 0.2, (len(ids), dim)).astype(_np.float32)
+                yield _pa.RecordBatch.from_arrays(
+                    [
+                        _pa.array(ids, _pa.int64()),
+                        _pa.FixedSizeListArray.from_arrays(
+                            _pa.array(M.ravel(), _pa.float32()), dim
+                        ).cast(_pa.list_(_pa.float32())),
+                    ],
+                    names=["vec_id", "embedding"],
+                )
+
+        spark.range(n_vecs).repartition(int(CPUS)).mapInArrow(
+            gen, "vec_id long, embedding array<float>"
+        ).write.mode("overwrite").parquet(vec_path)
+    vecs = spark.read.parquet(vec_path)
+
+    t0 = time.time()
+    venc = encode_vectors(vecs, num_partitions=int(CPUS), layout="lsh")
+    venc_path = os.path.join(CACHE, f"vecs_enc_{n_vecs}")
+    venc.write.mode("overwrite").option("compression", "snappy").parquet(venc_path)
+    queries["q9_encode_vectors"] = time.time() - t0
+    extras["vector_values_per_sec"] = n_vecs * dim / queries["q9_encode_vectors"]
+    vm = spark.read.parquet(venc_path).agg(
+        F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")
+    ).first()
+    extras["vector_ratio"] = vm["e"] / vm["r"] if vm["r"] else None
+
+    qvec = [(int(r.vec_id), list(r.embedding)) for r in vecs.limit(4).collect()]
+    t0 = time.time()
+    topk_dot(vecs, qvec, k=10).count()
+    queries["q10_topk_bruteforce"] = time.time() - t0
+    venc_df = spark.read.parquet(venc_path)
+    t0 = time.time()
+    ann_search(venc_df, qvec, k=10).count()
+    queries["q11_ann_pruned"] = time.time() - t0
+    # pruning depth: fraction of blocks whose buffers the ANN query decodes
+    import numpy as _np2
+
+    from gorilla_stream_spark.vectors import _bucket_keys, _index_planes
+
+    planes = _index_planes(dim)
+    probes: set[int] = set()
+    for key in _bucket_keys(_np2.array([v for _, v in qvec]), planes).tolist():
+        probes.add(key)
+        for i in range(planes.shape[0]):
+            probes.add(key ^ (1 << i))
+    warr = F.array(*[F.lit(int(p)).cast("long") for p in sorted(probes)])
+    touched = venc_df.filter(F.arrays_overlap(F.col("lsh_keys"), warr)).count()
+    extras["ann_blocks_frac"] = touched / max(venc_df.count(), 1)
+
     spark.stop()
     out = {
         "metric": "total_bench_sec",

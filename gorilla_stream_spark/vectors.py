@@ -428,6 +428,7 @@ def ann_search(
     queries: list[tuple[int, list[float]]],
     k: int = 10,
     probe_flips: int = 1,
+    two_phase: bool = True,
 ) -> DataFrame:
     """Approximate top-k over an lsh-layout encoded vector table.
 
@@ -452,4 +453,14 @@ def ann_search(
                 probes.add(key ^ (1 << i))
     wanted = F.array(*[F.lit(int(p)).cast("long") for p in sorted(probes)])
     pruned = enc_df.filter(F.arrays_overlap(F.col("lsh_keys"), wanted))
+    if two_phase:
+        # arrays_overlap cannot push into the parquet scan, so a single-phase
+        # plan still reads every block's buffer bytes.  Phase 1 scans ONLY the
+        # (block_id, lsh_keys) manifest columns; phase 2 re-reads with a
+        # block_id IN (...) filter that DOES push down to row-group stats —
+        # the buffer column of pruned blocks is never fetched.
+        ids = [r["block_id"] for r in pruned.select("block_id").collect()]
+        if not ids:
+            return topk_dot(decode_vectors(enc_df.limit(0)), queries, k=k)
+        pruned = enc_df.filter(F.col("block_id").isin(ids))
     return topk_dot(decode_vectors(pruned), queries, k=k)

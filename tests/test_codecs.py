@@ -363,3 +363,21 @@ def test_container_levels_roundtrip_and_tradeoff():
         _codecs.wrap_container(inner, method="zstd", level=23)
     with pytest.raises(ValueError, match="out of range"):
         _codecs.wrap_container(inner, method="zlib", level=10)
+
+
+def test_fauto_beats_gorilla_and_chimp_cost_models():
+    # evidence for the reference's "Chimp saves ~2 bits/value" claim
+    # (README.md:83-84) AND that our per-block window search + decimal
+    # scaling subsumes both published layouts on their own pattern shapes
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from chimp_vs_gxor import chimp_cost_bits, gorilla_cost_bits, profiles
+
+    for name, vals in profiles(n=2000).items():
+        n = vals.size
+        g = gorilla_cost_bits(vals) / n
+        c = chimp_cost_bits(vals) / n
+        gx = len(floatcodecs.gxor_encode(vals)) * 8 / n
+        fa = len(encode_array(vals, codec="fauto")) * 8 / n
+        assert fa <= min(g, c) + 0.05, f"{name}: fauto {fa:.2f} vs best {min(g,c):.2f}"
+        assert gx <= c + 2.5, f"{name}: gxor {gx:.2f} vs chimp {c:.2f}"
