@@ -124,9 +124,21 @@ def fsst_encode(a: np.ndarray, table: np.ndarray | None = None, passes: int = 2)
     rewritten = out[~drop]
     body = bytes([DICT]) + intcodecs.dict_encode(rewritten)
     if passes > 1 and rewritten.size >= 1024 and int(rewritten.max()) < 0xFFFFFFFF - 1:
-        deeper = bytes([FSST]) + fsst_encode(rewritten, passes=passes - 1)
-        if len(deeper) < len(body):
-            body = deeper
+        # the recursive pass costs as much as the first; pay it only when a
+        # cheap sampled probe of the rewritten stream finds enough 2nd-level
+        # pair structure (each taken pair removes ~1 symbol, so the sampled
+        # taken-rate approximates the relative shrink)
+        s = rewritten[:16384]
+        tab2 = train_pair_table(s)
+        go_deeper = False
+        if tab2.size:
+            k2 = _pair_keys(s)
+            i2 = np.minimum(np.searchsorted(tab2, k2), tab2.size - 1)
+            go_deeper = _greedy_matches(tab2[i2] == k2).mean() >= 0.05
+        if go_deeper:
+            deeper = bytes([FSST]) + fsst_encode(rewritten, passes=passes - 1)
+            if len(deeper) < len(body):
+                body = deeper
     tbuf = table.astype("<u8").tobytes()
     return struct.pack("<IIH", n, base, table.size) + tbuf + body
 

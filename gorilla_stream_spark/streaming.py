@@ -64,3 +64,65 @@ def encode_stream(
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
+
+
+DEDUP_OUT_SCHEMA = "doc_id string, text string"
+_DEDUP_STATE_SCHEMA = "seen binary"
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+):
+    """Streaming exact-content dedup: keep the first-seen copy across ALL
+    micro-batches (``applyInPandasWithState`` — custom stateful operator).
+
+    Rows group by a stable content-hash bucket (``xxhash64(text) % B``);
+    each bucket's state is the set of md5 digests seen so far (16 B/doc,
+    stored as one concatenated binary blob).  Within a batch the lowest id
+    wins; across batches the earlier batch wins.  At 10^12-doc scale the
+    state store is the bottleneck — raise ``n_buckets`` to spread state and
+    back the query with the RocksDB state store; the operator logic is
+    unchanged.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = stream_df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.unhex(F.md5(text_col)).alias("__h"),
+        F.pmod(F.xxhash64(text_col), F.lit(n_buckets)).alias("__b"),
+    )
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        blob = state.get[0] if state.exists else b""
+        seen = {blob[i : i + 16] for i in range(0, len(blob), 16)}
+        outs = []
+        new: list[bytes] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id", kind="stable")
+            pdf = pdf[~pdf["__h"].apply(bytes).isin(seen)]
+            pdf = pdf.drop_duplicates("__h", keep="first")
+            for h in pdf["__h"]:
+                hb = bytes(h)
+                seen.add(hb)
+                new.append(hb)
+            outs.append(pdf[["doc_id", "text"]])
+        if new:
+            state.update((blob + b"".join(new),))
+        if outs:
+            yield pd.concat(outs)
+
+    return keyed.groupBy("__b").applyInPandasWithState(
+        fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
