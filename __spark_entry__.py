@@ -666,6 +666,8 @@ def oracle_sql() -> dict[str, str]:
             f" CAST(len({_WS}) AS BIGINT) AS n_words,"
             f" CAST(len(list_distinct({_WS})) AS BIGINT) AS n_distinct_words,"
             f" CAST((length(text)+3)//4 AS BIGINT) AS approx_bpe_tokens,"
+            " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))"
+            "  AS BIGINT) AS regex_tokens,"
             f" CAST({_stop_sql('en')} AS BIGINT) AS stop_hits_en FROM documents"
         ),
         "q34_lang_id": (

@@ -227,12 +227,15 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
         if orig_len > _MAX_CONTAINER_LEN:
             raise ValueError(f"implausible container orig_len {orig_len}")
         body = bytes(mv[6:])
-        if mid == _ZSTD:
-            if _ZSTD_CODEC is None:
-                raise ValueError("zstd container but codec unavailable")
-            inner = bytes(_ZSTD_CODEC.decompress(body, orig_len))
-        else:
-            inner = _zlib.decompressobj().decompress(body, orig_len)
+        try:
+            if mid == _ZSTD:
+                if _ZSTD_CODEC is None:
+                    raise ValueError("zstd container but codec unavailable")
+                inner = bytes(_ZSTD_CODEC.decompress(body, orig_len))
+            else:
+                inner = _zlib.decompressobj().decompress(body, orig_len)
+        except (_zlib.error, OSError) as e:  # corrupt stream -> clean error
+            raise ValueError(f"container decompression failed: {e}") from e
         if len(inner) != orig_len:
             raise ValueError(
                 f"container length mismatch: got {len(inner)}, header says {orig_len}"

@@ -73,6 +73,8 @@ def raw_encode(a: np.ndarray) -> bytes:
 def raw_decode(buf: bytes) -> np.ndarray:
     n, size = struct.unpack_from("<IB", buf, 0)
     bitio.check_count(n)
+    if size not in (1, 2, 4, 8):  # corrupted header must raise cleanly
+        raise ValueError(f"raw codec: invalid item size {size}")
     if n == 0:
         return np.empty(0, dtype=_I64)
     return np.frombuffer(buf, dtype=f"<i{size}", count=n, offset=5).astype(_I64)

@@ -104,6 +104,12 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
         # integer `div`, never float `/`: bit-identical across engines
         F.expr(f"(length({text_col}) + 3) div 4").cast("long").alias("approx_bpe_tokens"),
+        # BPE-ish tokenization: letter runs / digit runs / single symbols
+        # (explicit space class — regex escapes parse differently across
+        # engines' string literals, a literal space does not)
+        F.size(
+            F.expr(f"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)")
+        ).cast("long").alias("regex_tokens"),
         _stop_hits(text_col, "en").cast("long").alias("stop_hits_en"),
     )
 

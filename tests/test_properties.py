@@ -151,3 +151,60 @@ def test_corrupted_buffer_never_hangs(vals, codec, pos, newbyte):
     except (ValueError, KeyError, IndexError, OverflowError, struct_error):
         pass  # clean failure is acceptable at the codec layer
     assert time.perf_counter() - t0 < 5.0
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=arrays(
+        np.float32,
+        st.integers(min_value=1, max_value=300),
+        elements=st.floats(width=32, allow_nan=False, allow_infinity=False,
+                           min_value=-1e3, max_value=1e3),
+    ),
+    pos=st.integers(min_value=1, max_value=10**9),
+    newbyte=st.integers(min_value=0, max_value=255),
+)
+def test_corrupted_vecf32_never_hangs(vals, pos, newbyte):
+    import time
+
+    from gorilla_stream_spark.codecs import VECF32, floatcodecs
+
+    buf = bytearray(bytes([VECF32]) + floatcodecs.f32_encode(vals))
+    i = 1 + (pos % max(len(buf) - 1, 1))
+    buf[i] = newbyte
+    t0 = time.perf_counter()
+    try:
+        out = decode_array(bytes(buf))
+        assert out.size <= bitio.MAX_COUNT
+    except (ValueError, KeyError, IndexError, OverflowError, struct_error):
+        pass
+    assert time.perf_counter() - t0 < 5.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=arrays(
+        np.int64,
+        st.integers(min_value=1, max_value=2000),
+        elements=st.integers(min_value=0, max_value=1000),
+    ),
+    pos=st.integers(min_value=1, max_value=10**9),
+    newbyte=st.integers(min_value=0, max_value=255),
+    level=st.sampled_from([None, 1, 9]),
+)
+def test_corrupted_container_paged_never_hangs(vals, pos, newbyte, level):
+    import time
+
+    from gorilla_stream_spark.codecs import encode_paged, wrap_container
+
+    inner, _ = encode_paged(vals, codec="auto", page_tokens=256)
+    buf = bytearray(wrap_container(inner, "zstd", level=level))
+    i = 1 + (pos % max(len(buf) - 1, 1))
+    buf[i] = newbyte
+    t0 = time.perf_counter()
+    try:
+        out = decode_array(bytes(buf))
+        assert out.size <= bitio.MAX_COUNT
+    except (ValueError, KeyError, IndexError, OverflowError, struct_error):
+        pass
+    assert time.perf_counter() - t0 < 5.0
