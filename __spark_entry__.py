@@ -442,6 +442,23 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-pruned point lookup: decode only blocks containing the
+    requested doc ids (engine.decode_docs, O28)."""
+    from gorilla_stream_spark import decode_docs, encode
+
+    src = _tokens_from_documents(spark, sf_dir)
+    enc = encode(src, codec="auto", num_partitions=4)
+    wanted = [str(i) for i in (3, 77, 142, 256, 401)]
+    dec = decode_docs(enc, wanted)
+    return (
+        src.filter(F.col("doc_id").isin(wanted))
+        .alias("s")
+        .join(dec.alias("d"), "doc_id", "inner")
+        .select("doc_id", (F.col("s.tokens") == F.col("d.tokens")).alias("ok"))
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -491,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q40_validate_ts": q_validate_ts,
         "q41_media_meta": q_media_meta,
         "q42_frame_sample": q_frame_sample,
+        "q43_point_lookup": q_point_lookup,
     }
 
 
@@ -760,6 +778,10 @@ FROM a LEFT JOIN g ON a.user_id = g.user_id
             "  CAST(16 * ((nf + 2) // 3) - CASE WHEN (nf - 1) % 3 = 0"
             "       THEN (16 * nf - b) ELSE 0 END AS BIGINT) AS sampled_bytes"
             " FROM f"
+        ),
+        "q43_point_lookup": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, TRUE AS ok FROM documents"
+            " WHERE doc_id IN (3, 77, 142, 256, 401)"
         ),
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.

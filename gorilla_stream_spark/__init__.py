@@ -15,7 +15,13 @@ Public API (analog of ``GorillaStream.compress/decompress``,
     encode(df, ...)   -> encoded blocks DataFrame (buffer + inline manifest)
     decode(enc_df)    -> original rows DataFrame (bit-identical tokens)
     estimate(df, ...) -> per-block codec-selector feature/cost DataFrame
-    validate(df) / clean(df)
+    validate(df) / clean(df) / validate_timeseries(df)
+
+LLM training-data operators (round 2):
+
+    dedup_exact(df) / neardup_pairs(df) / simhash(df) / quality_score(df)
+    encode_vectors(df) / decode_vectors(enc) / topk_dot(df, queries)
+    cosine_neardup_pairs(df) / ann_search(enc, queries)
 """
 
 from gorilla_stream_spark.analyze import analyze_and_recommend
@@ -29,9 +35,26 @@ from gorilla_stream_spark.engine import (
     manifest,
     read_timerange,
 )
-from gorilla_stream_spark.validate import clean, validate
+from gorilla_stream_spark.textops import (
+    dedup_exact,
+    doc_fingerprint,
+    lang_id,
+    neardup_pairs,
+    quality_score,
+    simhash,
+    simhash_neardup_pairs,
+    text_stats,
+)
+from gorilla_stream_spark.validate import clean, validate, validate_timeseries
+from gorilla_stream_spark.vectors import (
+    ann_search,
+    cosine_neardup_pairs,
+    decode_vectors,
+    encode_vectors,
+    topk_dot,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "encode",
@@ -45,5 +68,19 @@ __all__ = [
     "analyze_and_recommend",
     "validate",
     "clean",
+    "validate_timeseries",
+    "dedup_exact",
+    "neardup_pairs",
+    "simhash",
+    "simhash_neardup_pairs",
+    "text_stats",
+    "quality_score",
+    "lang_id",
+    "doc_fingerprint",
+    "encode_vectors",
+    "decode_vectors",
+    "topk_dot",
+    "cosine_neardup_pairs",
+    "ann_search",
     "__version__",
 ]

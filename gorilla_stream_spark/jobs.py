@@ -103,6 +103,65 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_dedup(args) -> int:
+    """Exact content dedup: write surviving rows."""
+    from gorilla_stream_spark.textops import dedup_exact
+
+    spark = _spark("gss-dedup")
+    df = spark.read.parquet(args.input)
+    before = df.count()
+    out = dedup_exact(df, content_col=args.text_col, id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    after = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows_in": before, "rows_out": after, "removed": before - after}))
+    return 0
+
+
+def cmd_neardup(args) -> int:
+    """MinHash-LSH near-duplicate pairs: write (doc_a, doc_b)."""
+    from gorilla_stream_spark.textops import neardup_pairs
+
+    spark = _spark("gss-neardup")
+    df = spark.read.parquet(args.input)
+    pairs = neardup_pairs(
+        df, text_col=args.text_col, id_col=args.id_col, threshold_pct=args.threshold
+    )
+    pairs.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_encode_vectors(args) -> int:
+    from gorilla_stream_spark.vectors import encode_vectors
+
+    spark = _spark("gss-encode-vectors")
+    df = spark.read.parquet(args.input)
+    enc = encode_vectors(
+        df, vec_col=args.vec_col, id_col=args.id_col,
+        num_partitions=args.partitions, layout=args.layout,
+    )
+    enc.write.mode("overwrite").option("compression", "snappy").parquet(args.output)
+    m = spark.read.parquet(args.output).agg(
+        F.count("*").alias("blocks"), F.sum("raw_bytes").alias("raw"),
+        F.sum("enc_bytes").alias("enc"),
+    ).first()
+    print(json.dumps({
+        "blocks": m["blocks"], "raw_bytes": m["raw"], "enc_bytes": m["enc"],
+        "ratio": (m["enc"] / m["raw"]) if m["raw"] else None,
+    }))
+    return 0
+
+
+def cmd_decode_vectors(args) -> int:
+    from gorilla_stream_spark.vectors import decode_vectors
+
+    spark = _spark("gss-decode-vectors")
+    dec = decode_vectors(spark.read.parquet(args.input), strict=not args.tolerant)
+    dec.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gorilla_stream_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -139,6 +198,36 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("analyze", help="pattern analysis + config recommendation")
     a.add_argument("--input", required=True)
     a.set_defaults(fn=cmd_analyze)
+
+    dd = sub.add_parser("dedup", help="exact content dedup (keep lowest id)")
+    dd.add_argument("--input", required=True)
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.set_defaults(fn=cmd_dedup)
+
+    nd = sub.add_parser("neardup", help="MinHash-LSH near-dup pairs")
+    nd.add_argument("--input", required=True)
+    nd.add_argument("--output", required=True)
+    nd.add_argument("--text-col", default="text")
+    nd.add_argument("--id-col", default="doc_id")
+    nd.add_argument("--threshold", type=int, default=70, help="jaccard %% threshold")
+    nd.set_defaults(fn=cmd_neardup)
+
+    ev = sub.add_parser("encode-vectors", help="embedding block codec encode")
+    ev.add_argument("--input", required=True)
+    ev.add_argument("--output", required=True)
+    ev.add_argument("--vec-col", default="embedding")
+    ev.add_argument("--id-col", default="vec_id")
+    ev.add_argument("--partitions", type=int, default=None)
+    ev.add_argument("--layout", default="hash", choices=["hash", "lsh"])
+    ev.set_defaults(fn=cmd_encode_vectors)
+
+    dv = sub.add_parser("decode-vectors", help="embedding block codec decode")
+    dv.add_argument("--input", required=True)
+    dv.add_argument("--output", required=True)
+    dv.add_argument("--tolerant", action="store_true")
+    dv.set_defaults(fn=cmd_decode_vectors)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -472,6 +472,11 @@ def neardup_pairs(
     shingle-set join per candidate — never O(n^2) over the corpus.  The
     verify compares 64-bit shingle-hash sets (int64 ``array_intersect``,
     far cheaper than string sets; collision odds ~2^-50 per corpus).
+
+    Skew note: a group of E EXACT copies shares every band bucket and emits
+    E^2/2 candidate pairs — that is the correct answer, but on dup-heavy
+    corpora run :func:`dedup_exact` first so near-dup detection only pays
+    for genuinely-distinct content.
     """
     shmin = shingle_minhash(
         df, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes

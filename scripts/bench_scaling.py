@@ -192,8 +192,17 @@ pair (16 B vs our 4 B).  Our single-node auto-select encode sustains
 {low['tps'] / 1e6:.1f}M tokens/s at {n_low} cores and {high['tps'] / 1e6:.1f}M at {n_high} cores,
 compression ratio ~{low['ratio']} on the mixed-strata table.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    # preserve hand-maintained sections (operator throughput etc.) appended
+    # after the scaling evidence — only the scaling part is regenerated
+    path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        idx = old.find("\n## Round 2")
+        if idx >= 0:
+            tail = old[idx:]
+    with open(path, "w") as f:
+        f.write(md + tail)
     return 0
 
 

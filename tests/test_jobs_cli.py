@@ -1,0 +1,55 @@
+"""Job CLI subcommands for the round-2 operators (in-process main())."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark import jobs
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_dedup_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    dirty = docs.unionByName(
+        docs.filter(F.col("doc_id") < 10).withColumn("doc_id", F.col("doc_id") + 9000)
+    )
+    dirty.write.parquet(src)
+    assert jobs.main(["dedup", "--input", src, "--output", out]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["removed"] == 10 and m["rows_out"] == 500
+
+
+def test_vector_cli_roundtrip(spark, tmp_path, capsys):
+    enc = str(tmp_path / "venc")
+    dec = str(tmp_path / "vdec")
+    assert jobs.main([
+        "encode-vectors", "--input", f"{SF}/embeddings.parquet", "--output", enc,
+        "--partitions", "2", "--layout", "lsh",
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["ratio"] is not None and m["blocks"] >= 1
+    assert jobs.main(["decode-vectors", "--input", enc, "--output", dec]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["rows"] == 500
+    src = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = spark.read.parquet(dec)
+    bad = (
+        src.alias("s").join(got.alias("d"), "vec_id")
+        .filter(F.col("s.embedding") != F.col("d.embedding")).count()
+    )
+    assert bad == 0
+
+
+def test_neardup_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "ndsrc")
+    out = str(tmp_path / "ndout")
+    spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text").write.parquet(src)
+    assert jobs.main(["neardup", "--input", src, "--output", out, "--threshold", "70"]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["pairs"] >= 1  # sf0.001 documents contain planted near-dups
