@@ -124,3 +124,18 @@ def test_minhash_signature_shape_and_determinism(spark, docs):
     s2 = {r.doc_id: r.sig for r in T.minhash_signature(sh).collect()}
     assert s1 == s2
     assert all(len(v) == 128 for v in s1.values())
+
+
+def test_neardup_partition_invariance(spark, docs):
+    # the pair set must not depend on input parallelism (determinism across
+    # cluster layouts — resume/re-run bit-stability requirement)
+    base = docs.select("doc_id", "text")
+    p1 = {(r.doc_a, r.doc_b) for r in T.neardup_pairs(base.repartition(1)).collect()}
+    p7 = {(r.doc_a, r.doc_b) for r in T.neardup_pairs(base.repartition(7)).collect()}
+    assert p1 == p7 and len(p1) > 0
+
+
+def test_simhash_partition_invariance(spark, docs):
+    s1 = dict(T.simhash(docs.repartition(1)).collect())
+    s5 = dict(T.simhash(docs.repartition(5)).collect())
+    assert s1 == s5

@@ -152,3 +152,12 @@ def test_ann_search_recall_and_block_pruning(spark):
     wanted = F.array(*[F.lit(int(p)).cast("long") for p in sorted(probes)])
     touched = enc.filter(F.arrays_overlap(F.col("lsh_keys"), wanted)).count()
     assert touched / nblocks <= 0.25, f"pruning too weak: {touched}/{nblocks}"
+
+
+def test_encode_vectors_partition_invariance(spark, emb):
+    # decoded content identical regardless of encode parallelism
+    d2 = V.decode_vectors(V.encode_vectors(emb, num_partitions=2)).orderBy("vec_id")
+    d7 = V.decode_vectors(V.encode_vectors(emb, num_partitions=7)).orderBy("vec_id")
+    a = [(r.vec_id, tuple(r.embedding)) for r in d2.collect()]
+    b = [(r.vec_id, tuple(r.embedding)) for r in d7.collect()]
+    assert a == b
