@@ -320,27 +320,37 @@ def shingle_minhash(
             texts = rb.column(1).to_pylist()
             word_lists = [t.split(" ") if t else [] for t in texts]
             wlens = np.fromiter((len(w) for w in word_lists), dtype=np.int64, count=len(word_lists))
-            all_words = np.concatenate([np.asarray(w, dtype=object) for w in word_lists]) if len(word_lists) else np.empty(0, object)
-            wh = pd.util.hash_array(all_words) if all_words.size else np.empty(0, np.uint64)
-            woffs = np.concatenate(([0], np.cumsum(wlens)))
-            # per-doc distinct k-shingle hashes (vectorized rolling combine)
-            sh_sets: list[np.ndarray] = []
-            for d in range(len(ids)):
-                w = wh[woffs[d] : woffs[d + 1]]
-                if w.size < k:
-                    sh_sets.append(np.empty(0, np.uint64))
-                    continue
-                m = w.size - k + 1
-                sh = w[0:m] * MIX[0]
-                for j in range(1, k):
-                    sh = sh + w[j : m + j] * MIX[j]
-                sh_sets.append(np.unique(sh))
-            slens = np.fromiter((s.size for s in sh_sets), dtype=np.int64, count=len(sh_sets))
-            keep = slens > 0
-            if not keep.any():
+            flat_words = [w for lst in word_lists for w in lst]
+            wh = (
+                pd.util.hash_array(np.asarray(flat_words, dtype=object))
+                if flat_words
+                else np.empty(0, np.uint64)
+            )
+            if wh.size < k:
                 continue
-            kept = [s for s, kf in zip(sh_sets, keep) if kf]
-            h = np.concatenate(kept)
+            # distinct k-shingle hashes for the WHOLE batch in one pass:
+            # rolling combine over the concatenated word hashes, mask out
+            # windows that straddle doc boundaries, then per-doc dedup via
+            # one lexsort + adjacent-duplicate drop (no per-doc loops)
+            m = wh.size - k + 1
+            sh_all = wh[0:m] * MIX[0]
+            for j in range(1, k):
+                sh_all = sh_all + wh[j : m + j] * MIX[j]
+            doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), wlens)
+            in_doc = doc_of[:m] == doc_of[k - 1 :]
+            sh_v = sh_all[in_doc]
+            doc_v = doc_of[:m][in_doc]
+            if sh_v.size == 0:
+                continue
+            order = np.lexsort((sh_v, doc_v))
+            ds, ss = doc_v[order], sh_v[order]
+            uniq = np.empty(ds.size, dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+            h = ss[uniq]
+            dh = ds[uniq]
+            slens = np.bincount(dh, minlength=len(ids))
+            keep = slens > 0
             offs_all = np.concatenate(([0], np.cumsum(slens[keep])))
             n_docs = int(keep.sum())
             sig = np.empty((n_docs, num_hashes), dtype=np.uint64)
