@@ -306,21 +306,26 @@ def choose_class_widths(widths: np.ndarray) -> list[int]:
     # candidates: observed widths only
     cand = np.flatnonzero(hist[1:]) + 1
     csum = np.cumsum(hist)  # counts of width <= i
-    best = (float("inf"), m, m)
-    for a in cand:
-        if a == m:
-            cost = int(csum[m] - csum[0]) * m
-            if cost < best[0]:
-                best = (cost, m, m)
-            continue
-        n_a = int(csum[a] - csum[0])
-        for b in cand[cand > a]:
-            n_b = int(csum[b] - csum[a])
-            n_m = int(csum[m] - csum[b])
-            cost = n_a * int(a) + n_b * int(b) + n_m * m
-            if cost < best[0]:
-                best = (cost, int(a), int(b))
-    return [0, best[1], best[2], m]
+    # vectorized exact scan over all (a < b) cut pairs: one (|cand|, |cand|)
+    # cost matrix (<= 64x64) instead of a Python double loop per page
+    C = csum[cand]  # counts of width <= cand[i]
+    a_col = cand[:, None].astype(np.int64)
+    b_row = cand[None, :].astype(np.int64)
+    cost = (
+        (C[:, None] - csum[0]) * a_col
+        + (C[None, :] - C[:, None]) * b_row
+        + (csum[m] - C[None, :]) * m
+    )
+    cost = np.where(b_row > a_col, cost, np.iinfo(np.int64).max)
+    # tie-break identically to the sequential scan: first (a, b) in row-major
+    # candidate order wins (argmin returns the first minimum)
+    flat = int(np.argmin(cost))
+    ai, bi = divmod(flat, cand.size)
+    best_cost = int(cost[ai, bi])
+    single = int(csum[m] - csum[0]) * m  # one class at width m (a == m case)
+    if single < best_cost or best_cost == np.iinfo(np.int64).max:
+        return [0, m, m, m]
+    return [0, int(cand[ai]), int(cand[bi]), m]
 
 
 def _pack_classed(vals: np.ndarray) -> bytes:
