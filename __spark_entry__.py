@@ -459,6 +459,12 @@ def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gorilla_stream_spark.textops import corpus_report
+
+    return corpus_report(_dirty_docs(spark, sf_dir, n_dup=40))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -509,6 +515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_media_meta": q_media_meta,
         "q42_frame_sample": q_frame_sample,
         "q43_point_lookup": q_point_lookup,
+        "q44_corpus_report": q_corpus_report,
     }
 
 
@@ -782,6 +789,35 @@ FROM a LEFT JOIN g ON a.user_id = g.user_id
         "q43_point_lookup": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, TRUE AS ok FROM documents"
             " WHERE doc_id IN (3, 77, 142, 256, 401)"
+        ),
+        "q44_corpus_report": (
+            f"WITH dirty AS (SELECT doc_id, text FROM documents"
+            f" UNION ALL SELECT doc_id+100000, text FROM documents WHERE doc_id < 40),"
+            f" base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,"
+            f"   CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,"
+            f"   CAST(sum(length(text)) AS BIGINT) AS total_chars FROM dirty),"
+            f" q AS (SELECT CAST(sum(CAST("
+            f"   CASE WHEN len({_WS}) BETWEEN 20 AND 20000 THEN 40"
+            f"        WHEN len({_WS}) >= 5 THEN 20 ELSE 0 END"
+            f"   + least(30, (CAST({_stop_sql('en')} AS BIGINT) * 100) // len({_WS}))"
+            f"   + least(30, ((CAST(len(list_distinct({_WS})) AS BIGINT) * 100)"
+            f"               // len({_WS})) // 2) AS BIGINT)) AS BIGINT) AS qsum,"
+            f"   count(*) AS qn FROM dirty),"
+            f" l AS (SELECT"
+            f"   CAST(sum(CASE WHEN lang_pred='en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,"
+            f"   CAST(sum(CASE WHEN lang_pred='es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,"
+            f"   CAST(sum(CASE WHEN lang_pred='de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,"
+            f"   CAST(sum(CASE WHEN lang_pred='fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr"
+            f"  FROM (SELECT CASE"
+            f"   WHEN {_stop_sql('en')} >= {_stop_sql('es')} AND {_stop_sql('en')} >= {_stop_sql('de')}"
+            f"        AND {_stop_sql('en')} >= {_stop_sql('fr')} THEN 'en'"
+            f"   WHEN {_stop_sql('es')} >= {_stop_sql('de')} AND {_stop_sql('es')} >= {_stop_sql('fr')} THEN 'es'"
+            f"   WHEN {_stop_sql('de')} >= {_stop_sql('fr')} THEN 'de' ELSE 'fr' END AS lang_pred"
+            f"   FROM dirty))"
+            f" SELECT n_docs, n_distinct,"
+            f"  CAST(((n_docs - n_distinct) * 100) // n_docs AS BIGINT) AS dup_pct,"
+            f"  total_chars, CAST(qsum // qn AS BIGINT) AS mean_quality,"
+            f"  n_en, n_es, n_de, n_fr FROM base, q, l"
         ),
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.

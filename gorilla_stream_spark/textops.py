@@ -35,6 +35,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "neardup_pairs",
+    "corpus_report",
 ]
 
 # ---------------------------------------------------------------------------
@@ -501,4 +502,39 @@ def neardup_pairs(
     return (
         joined.filter((100 * inter) >= (threshold_pct * union))
         .select("doc_a", "doc_b")
+    )
+
+
+def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-row corpus health report: dedup pressure, quality, language mix.
+
+    The corpus-level analog of ``analyze_and_recommend`` (reference
+    ``config.ex:26-172``) for text tables — what you run BEFORE deciding to
+    dedup/filter.  All integer-exact (engine-reproducible): duplicate rate
+    as a percentage of rows, mean quality via integer division, stopword-
+    argmax language counts.
+    """
+    q = quality_score(df, text_col=text_col, id_col=id_col)
+    langs = lang_id(df, text_col=text_col, id_col=id_col)
+    base = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("__h"), F.length(text_col).alias("__len")
+    )
+    agg = base.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("__h").cast("long").alias("n_distinct"),
+        F.sum("__len").cast("long").alias("total_chars"),
+    )
+    qagg = q.agg(F.sum("quality").cast("long").alias("qsum"), F.count("*").alias("qn"))
+    lagg = langs.groupBy().pivot("lang_pred", ["en", "es", "de", "fr"]).count().na.fill(0)
+    out = agg.crossJoin(qagg).crossJoin(lagg)
+    return out.select(
+        "n_docs",
+        "n_distinct",
+        F.expr("((n_docs - n_distinct) * 100) div n_docs").cast("long").alias("dup_pct"),
+        "total_chars",
+        F.expr("qsum div qn").cast("long").alias("mean_quality"),
+        F.coalesce(F.col("en"), F.lit(0)).cast("long").alias("n_en"),
+        F.coalesce(F.col("es"), F.lit(0)).cast("long").alias("n_es"),
+        F.coalesce(F.col("de"), F.lit(0)).cast("long").alias("n_de"),
+        F.coalesce(F.col("fr"), F.lit(0)).cast("long").alias("n_fr"),
     )

@@ -139,3 +139,14 @@ def test_simhash_partition_invariance(spark, docs):
     s1 = dict(T.simhash(docs.repartition(1)).collect())
     s5 = dict(T.simhash(docs.repartition(5)).collect())
     assert s1 == s5
+
+
+def test_corpus_report_values(spark, docs):
+    dirty = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).withColumn("doc_id", F.col("doc_id") + 70000)
+    )
+    r = T.corpus_report(dirty).first()
+    assert r.n_docs == 550 and r.n_distinct == 500
+    assert r.dup_pct == (50 * 100) // 550
+    assert 0 <= r.mean_quality <= 100
+    assert r.n_en + r.n_es + r.n_de + r.n_fr == 550
