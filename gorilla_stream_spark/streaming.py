@@ -126,3 +126,41 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def windowed_stats(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = (),
+):
+    """Event-time windowed rollup with a watermark for late data.
+
+    The streaming pre-aggregation in front of ``encode_timeseries``: rows
+    older than the watermark relative to the max seen event time are dropped
+    by the engine (bounded state), everything else lands in its event-time
+    window regardless of arrival order.  Output mode must be ``append`` so
+    finalized windows flow straight into the block encoder.
+    """
+    cols = [F.window(F.col(ts_col), window).alias("win"), *[F.col(k) for k in keys]]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*cols)
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            *[F.col(k) for k in keys],
+            "n",
+            "sum_value",
+            "min_value",
+            "max_value",
+        )
+    )

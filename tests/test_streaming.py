@@ -112,3 +112,65 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     ids = {int(r.doc_id) for r in out.select("doc_id").collect()}
     assert not any(1000 <= i < 1100 for i in ids), "cross-batch dup leaked"
     assert all(2000 + i in ids for i in range(50))
+
+
+@pytest.mark.timeout(300)
+def test_windowed_stats_with_watermark_matches_batch(spark, tmp_path):
+    # two micro-batches with out-of-order event times; finalized windows
+    # must equal the batch groupBy-window over the same data
+    import datetime as dt
+    import time
+
+    src = str(tmp_path / "ws_src")
+    out = str(tmp_path / "ws_out")
+    ck = str(tmp_path / "ws_ck")
+    os.makedirs(src)
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def rows(hours):
+        return [(t0 + dt.timedelta(minutes=m), "a" if m % 2 else "b", float(m))
+                for h in hours for m in range(h * 60, h * 60 + 60, 7)]
+
+    spark.createDataFrame(rows([0, 1]), "ts timestamp, event_type string, value double")\
+        .coalesce(1).write.parquet(src + "/b1")
+    time.sleep(1.1)
+    # batch 2: hours 2-5 plus a LATE row into hour 1 — after batch 1 the
+    # watermark (max 1:53 - 90min = 0:23) has NOT passed hour 1's end, so
+    # the late row must still be aggregated, not dropped
+    late = [(t0 + dt.timedelta(minutes=63), "b", 99.0)]
+    spark.createDataFrame(rows([2, 3, 4, 5]) + late,
+                          "ts timestamp, event_type string, value double")\
+        .coalesce(1).write.parquet(src + "/b2")
+
+    from gorilla_stream_spark.streaming import windowed_stats
+
+    schema = spark.read.parquet(src + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false").parquet(src + "/*")
+    )
+    q = (
+        windowed_stats(stream, window="1 hour", watermark="90 minutes", keys=("event_type",))
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.win_start, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    allrows = spark.read.parquet(src + "/*")
+    expect = {
+        ((r["win"]["start"]), r.event_type): (r.n, r.s)
+        for r in allrows.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s")).collect()
+    }
+    # append mode emits only watermark-finalized windows (final wm =
+    # 5:53 - 90min = 4:23 -> hours 0-3 emitted); each must match the batch
+    # answer exactly, including the late row routed into hour 1
+    assert len(got) == 8, got  # 4 finalized windows x 2 event types
+    for k, v in got.items():
+        assert expect[k] == v, k
+    late_key = (t0 + dt.timedelta(hours=1), "b")
+    assert got[late_key][1] == expect[late_key][1]  # late row included
