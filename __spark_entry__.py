@@ -465,6 +465,14 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_report(_dirty_docs(spark, sf_dir, n_dup=40))
 
 
+def q_neardup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup over the TOKEN arrays (k-gram jaccard of token sequences);
+    tokens here are per-char ascii codes, so the oracle is char trigrams."""
+    from gorilla_stream_spark.textops import neardup_pairs_tokens
+
+    return neardup_pairs_tokens(_tokens_from_documents(spark, sf_dir), threshold_pct=70)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -516,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q42_frame_sample": q_frame_sample,
         "q43_point_lookup": q_point_lookup,
         "q44_corpus_report": q_corpus_report,
+        "q45_neardup_tokens": q_neardup_tokens,
     }
 
 
@@ -819,6 +828,17 @@ FROM a LEFT JOIN g ON a.user_id = g.user_id
             f"  total_chars, CAST(qsum // qn AS BIGINT) AS mean_quality,"
             f"  n_en, n_es, n_de, n_fr FROM base, q, l"
         ),
+        "q45_neardup_tokens": """
+WITH t AS (SELECT doc_id, text FROM documents WHERE length(text) >= 3),
+p AS (SELECT doc_id, text, unnest(range(1, length(text) - 1)) AS i FROM t),
+g AS (SELECT DISTINCT doc_id, substr(text, CAST(i AS INTEGER), 3) AS tg FROM p),
+cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS da, y.doc_id AS db, count(*) AS ii
+          FROM g x JOIN g y ON x.tg = y.tg AND x.doc_id < y.doc_id GROUP BY 1, 2)
+SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b
+FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
+""",
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.
     }

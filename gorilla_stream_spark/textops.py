@@ -36,6 +36,8 @@ __all__ = [
     "lsh_candidate_pairs",
     "neardup_pairs",
     "corpus_report",
+    "token_shingle_minhash",
+    "neardup_pairs_tokens",
 ]
 
 # ---------------------------------------------------------------------------
@@ -538,3 +540,115 @@ def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         F.coalesce(F.col("de"), F.lit(0)).cast("long").alias("n_de"),
         F.coalesce(F.col("fr"), F.lit(0)).cast("long").alias("n_fr"),
     )
+
+
+def token_shingle_minhash(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 3,
+    num_hashes: int = 128,
+) -> DataFrame:
+    """(doc_id, sh, sig) for TOKEN-ARRAY documents — the engine's native
+    data model.  Identical pipeline to :func:`shingle_minhash` but the
+    k-gram rolling combine runs over the raw token values (zero-copy Arrow
+    flatten, no string hashing at all): the cheapest near-dup path when the
+    corpus is already tokenized.
+    """
+    import pyarrow as pa
+
+    from gorilla_stream_spark.engine import _flatten_arrow
+
+    rng = np.random.default_rng(_MINHASH_SEED)
+    A = (rng.integers(1, 2**63 - 1, num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    B = rng.integers(0, 2**63 - 1, num_hashes).astype(np.uint64)
+    mix_rng = np.random.default_rng(_SH_MIX[0] & 0xFFFFFFFF)
+    MIX = (mix_rng.integers(1, 2**63 - 1, k).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
+    max_chunk_shingles = (128 << 20) // (num_hashes * 8)
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("sh", pa.list_(pa.int64())), ("sig", pa.list_(pa.int64()))]
+    )
+
+    def fn(batches):
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat, lens = _flatten_arrow(rb.column(1))
+            wh = flat.view(np.uint64)
+            if wh.size < k:
+                continue
+            m = wh.size - k + 1
+            sh_all = wh[0:m] * MIX[0]
+            for j in range(1, k):
+                sh_all = sh_all + wh[j : m + j] * MIX[j]
+            doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+            in_doc = doc_of[:m] == doc_of[k - 1 :]
+            sh_v = sh_all[in_doc]
+            doc_v = doc_of[:m][in_doc]
+            if sh_v.size == 0:
+                continue
+            order = np.lexsort((sh_v, doc_v))
+            ds, ss = doc_v[order], sh_v[order]
+            uniq = np.empty(ds.size, dtype=bool)
+            uniq[0] = True
+            uniq[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+            h = ss[uniq]
+            dh = ds[uniq]
+            slens = np.bincount(dh, minlength=len(ids))
+            keep = slens > 0
+            offs_all = np.concatenate(([0], np.cumsum(slens[keep])))
+            n_docs = int(keep.sum())
+            sig = np.empty((n_docs, num_hashes), dtype=np.uint64)
+            d0 = 0
+            while d0 < n_docs:
+                d1 = d0 + 1
+                while d1 < n_docs and offs_all[d1 + 1] - offs_all[d0] <= max_chunk_shingles:
+                    d1 += 1
+                hs = h[offs_all[d0] : offs_all[d1]]
+                p = hs[:, None] * A[None, :] + B[None, :]
+                starts = (offs_all[d0:d1] - offs_all[d0]).astype(np.intp)
+                sig[d0:d1] = np.minimum.reduceat(p, starts, axis=0)
+                d0 = d1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids[keep], pa.int64()),
+                    pa.ListArray.from_arrays(
+                        pa.array(offs_all.astype(np.int32), pa.int32()),
+                        pa.array(h.view(np.int64), pa.int64()),
+                    ),
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(sig.view(np.int64).ravel(), type=pa.int64()), num_hashes
+                    ).cast(pa.list_(pa.int64())),
+                ],
+                schema=out_schema,
+            )
+
+    slim = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(tokens_col))
+    return slim.mapInArrow(fn, "doc_id long, sh array<long>, sig array<long>")
+
+
+def neardup_pairs_tokens(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold_pct: int = 70,
+    k: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """:func:`neardup_pairs` over token-array documents (k-gram jaccard of
+    token sequences instead of word shingles)."""
+    shmin = token_shingle_minhash(
+        df, tokens_col=tokens_col, id_col=id_col, k=k, num_hashes=num_hashes
+    )
+    cand = lsh_candidate_pairs(
+        shmin.select("doc_id", "sig"), rows_per_band=rows_per_band, num_hashes=num_hashes
+    )
+    sa = shmin.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = shmin.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    return joined.filter((100 * inter) >= (threshold_pct * union)).select("doc_a", "doc_b")

@@ -150,3 +150,18 @@ def test_corpus_report_values(spark, docs):
     assert r.dup_pct == (50 * 100) // 550
     assert 0 <= r.mean_quality <= 100
     assert r.n_en + r.n_es + r.n_de + r.n_fr == 550
+
+
+def test_neardup_tokens_matches_text_trigrams(spark, docs):
+    # tokens = per-char ascii codes, so token 3-gram jaccard == char trigram
+    # jaccard; planted exact copies must be found
+    toks = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.expr("transform(split(text,''), c -> ascii(c))").cast("array<int>").alias("tokens"),
+    )
+    dirty = toks.unionByName(
+        toks.filter(F.col("doc_id") < 12).withColumn("doc_id", F.col("doc_id") + 8000)
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in T.neardup_pairs_tokens(dirty).collect()}
+    for i in range(12):
+        assert (i, i + 8000) in pairs
