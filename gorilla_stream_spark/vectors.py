@@ -21,7 +21,7 @@ from collections.abc import Iterator
 
 import numpy as np
 from pyspark import TaskContext
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from gorilla_stream_spark.codecs import VECF32, decode_array, floatcodecs
@@ -242,7 +242,7 @@ def decode_vectors(enc_df: DataFrame, strict: bool = True) -> DataFrame:
 QUANT = 1_000_000
 
 
-def quantize_expr(vec_col: str) -> F.Column:
+def quantize_expr(vec_col: str) -> Column:
     """array<float> -> array<long>: round(x*1e6) per component, JVM-side.
 
     Mirrors SQL ``CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)`` exactly
