@@ -37,6 +37,21 @@ __all__ = [
 
 DEFAULT_BLOCK_VALUES = 1 << 20  # flat float32 values per block (~4 MiB raw)
 
+
+def _fixed_dim(lens: np.ndarray, where: str) -> int:
+    """Matrix kernels require a uniform vector dimension — a ragged batch
+    reshaped (n, -1) would silently scramble every row after the first
+    mismatch, so fail loudly instead."""
+    if lens.size == 0:
+        return 0
+    d = int(lens[0])
+    if not (lens == d).all():
+        raise ValueError(
+            f"{where} requires fixed-dimension vectors; got lengths "
+            f"{sorted(set(int(x) for x in lens))[:5]}..."
+        )
+    return d
+
 VEC_ENCODED_DDL = (
     "block_id long, part_id int, seq_in_part int, n_vecs int, n_values long,"
     " vec_ids array<long>, vec_lens array<int>, lsh_keys array<long>,"
@@ -71,6 +86,7 @@ def _with_bucket(slim: DataFrame, n_bits: int = INDEX_BITS) -> DataFrame:
             if rb.num_rows == 0:
                 continue
             flat, lens = _flatten_arrow(rb.column(1), dtype=None)
+            _fixed_dim(np.asarray(lens), "lsh bucket layout")
             M = np.ascontiguousarray(flat, dtype=np.float64).reshape(rb.num_rows, -1)
             if planes is None or planes.shape[1] != M.shape[1]:
                 planes = _index_planes(M.shape[1], n_bits)
@@ -271,6 +287,8 @@ def topk_dot(
     """
     import pyarrow as pa
 
+    if not queries:
+        raise ValueError("topk_dot requires at least one query vector")
     qids = [int(q) for q, _ in queries]
     Q = np.array(
         [[round(float(x) * QUANT) for x in v] for _, v in queries], dtype=np.int64
@@ -288,7 +306,13 @@ def topk_dot(
             flat, lens = _flatten_arrow(rb.column(1))
             if flat.size == 0:
                 continue
-            M = flat.reshape(len(ids), -1)  # fixed dim within a batch
+            d = _fixed_dim(np.asarray(lens), "topk_dot")
+            if d != Q.shape[1]:
+                raise ValueError(
+                    f"topk_dot requires fixed-dimension vectors matching the"
+                    f" query dim {Q.shape[1]}; batch has dim {d}"
+                )
+            M = flat.reshape(len(ids), -1)
             S = M @ Q.T  # (n, nq) int64 exact
             take = min(k, len(ids))
             out_q, out_v, out_s = [], [], []
@@ -342,6 +366,7 @@ def hyperplane_bands(
             flat, lens = _flatten_arrow(rb.column(1))
             if flat.size == 0:
                 continue
+            _fixed_dim(np.asarray(lens), "hyperplane_bands")
             M = flat.reshape(len(ids), -1).astype(np.float64)
             if planes is None or planes.shape[1] != M.shape[1]:
                 rng = np.random.default_rng(seed)  # same planes in every task
@@ -441,6 +466,8 @@ def ann_search(
     Approximate by construction — recall is governed by cluster tightness
     and ``probe_flips`` (see tests for the recall gate).
     """
+    if not queries:
+        raise ValueError("ann_search requires at least one query vector")
     dim = len(queries[0][1])
     planes = _index_planes(dim)
     Q = np.array([v for _, v in queries], dtype=np.float64)

@@ -161,3 +161,13 @@ def test_encode_vectors_partition_invariance(spark, emb):
     a = [(r.vec_id, tuple(r.embedding)) for r in d2.collect()]
     b = [(r.vec_id, tuple(r.embedding)) for r in d7.collect()]
     assert a == b
+
+
+def test_ragged_vectors_fail_loudly(spark):
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="fixed-dimension"):
+        V.topk_dot(df, [(1, [0.1, 0.2])], k=1).collect()
+    with pytest.raises(ValueError, match="at least one query"):
+        V.topk_dot(df, [], k=1)
