@@ -489,8 +489,29 @@ def neardup_pairs(
     )
     sig = shmin.select("doc_id", "sig")
     cand = lsh_candidate_pairs(sig, rows_per_band=rows_per_band, num_hashes=num_hashes)
+    return _verify_pairs(shmin, cand, threshold_pct)
+
+
+def _verify_pairs(shmin: DataFrame, cand: DataFrame, threshold_pct: int) -> DataFrame:
+    """Exact integer-jaccard verification of candidate pairs.
+
+    The shingle-set table is pruned to candidate ids with BROADCAST
+    semi-joins (8 B/id) before the wide join, so the heavy shingle arrays
+    of non-candidate documents never shuffle — the verify stage's cost is
+    proportional to the candidate set, not the corpus.
+
+    ``shmin``/``cand`` feed multiple branches of the plan; they are persisted
+    (memory, spilling to disk) so the signature kernel runs ONCE, not once
+    per branch.  Storage is released when the DataFrames are garbage
+    collected or the session ends; at 10^12 scale checkpoint the signature
+    table to storage instead.
+    """
+    shmin = shmin.persist()
+    cand = cand.persist()
     sa = shmin.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shmin.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    sa = sa.join(F.broadcast(cand.select("doc_a").distinct()), "doc_a", "left_semi")
+    sb = sb.join(F.broadcast(cand.select("doc_b").distinct()), "doc_b", "left_semi")
     joined = cand.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
@@ -627,9 +648,4 @@ def neardup_pairs_tokens(
     cand = lsh_candidate_pairs(
         shmin.select("doc_id", "sig"), rows_per_band=rows_per_band, num_hashes=num_hashes
     )
-    sa = shmin.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shmin.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
-    return joined.filter((100 * inter) >= (threshold_pct * union)).select("doc_a", "doc_b")
+    return _verify_pairs(shmin, cand, threshold_pct)
