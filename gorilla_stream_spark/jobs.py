@@ -162,6 +162,23 @@ def cmd_decode_vectors(args) -> int:
     return 0
 
 
+def cmd_ann(args) -> int:
+    """Top-k search over an lsh-layout encoded vector table."""
+    from gorilla_stream_spark.vectors import ann_search
+
+    spark = _spark("gss-ann")
+    enc = spark.read.parquet(args.input)
+    qdf = spark.read.parquet(args.queries)
+    queries = [
+        (int(r[args.id_col]), list(r[args.vec_col])) for r in qdf.collect()
+    ]
+    out = ann_search(enc, queries, k=args.k)
+    out.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"results": spark.read.parquet(args.output).count(),
+                      "queries": len(queries), "k": args.k}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gorilla_stream_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -228,6 +245,15 @@ def main(argv: list[str] | None = None) -> int:
     dv.add_argument("--output", required=True)
     dv.add_argument("--tolerant", action="store_true")
     dv.set_defaults(fn=cmd_decode_vectors)
+
+    an = sub.add_parser("ann", help="top-k search over lsh-layout vector blocks")
+    an.add_argument("--input", required=True, help="encoded vector table (layout=lsh)")
+    an.add_argument("--queries", required=True, help="parquet of query vectors")
+    an.add_argument("--output", required=True)
+    an.add_argument("--k", type=int, default=10)
+    an.add_argument("--vec-col", default="embedding")
+    an.add_argument("--id-col", default="vec_id")
+    an.set_defaults(fn=cmd_ann)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -53,3 +53,22 @@ def test_neardup_cli(spark, tmp_path, capsys):
     assert jobs.main(["neardup", "--input", src, "--output", out, "--threshold", "70"]) == 0
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["pairs"] >= 1  # sf0.001 documents contain planted near-dups
+
+
+def test_ann_cli(spark, tmp_path, capsys):
+    enc = str(tmp_path / "aenc")
+    qsrc = str(tmp_path / "aq")
+    out = str(tmp_path / "aout")
+    assert jobs.main([
+        "encode-vectors", "--input", f"{SF}/embeddings.parquet", "--output", enc,
+        "--partitions", "2", "--layout", "lsh",
+    ]) == 0
+    capsys.readouterr()
+    spark.read.parquet(f"{SF}/embeddings.parquet").filter(F.col("vec_id") < 2).write.parquet(qsrc)
+    assert jobs.main(["ann", "--input", enc, "--queries", qsrc, "--output", out, "--k", "5"]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["queries"] == 2 and m["results"] <= 10
+    got = spark.read.parquet(out)
+    # self-match must rank first with the max score
+    for r in got.filter(F.col("rank") == 1).collect():
+        assert r.query_id == r.vec_id
