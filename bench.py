@@ -268,7 +268,7 @@ def main() -> int:
 
     qvec = [(int(r.vec_id), list(r.embedding)) for r in vecs.limit(4).collect()]
     t0 = time.time()
-    topk_dot(vecs, qvec, k=10).count()
+    topk_dot(vecs, qvec, k=10, quantize="numpy").count()
     queries["q10_topk_bruteforce"] = time.time() - t0
     venc_df = spark.read.parquet(venc_path)
     t0 = time.time()

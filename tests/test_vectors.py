@@ -171,3 +171,12 @@ def test_ragged_vectors_fail_loudly(spark):
         V.topk_dot(df, [(1, [0.1, 0.2])], k=1).collect()
     with pytest.raises(ValueError, match="at least one query"):
         V.topk_dot(df, [], k=1)
+
+
+def test_topk_numpy_quantize_matches_jvm(spark, emb):
+    queries = [(r.vec_id, list(r.embedding)) for r in emb.limit(2).collect()]
+    a = V.topk_dot(emb, queries, k=8, quantize="jvm").orderBy("query_id", "rank").collect()
+    b = V.topk_dot(emb, queries, k=8, quantize="numpy").orderBy("query_id", "rank").collect()
+    assert [(r.query_id, r.vec_id, r.score) for r in a] == [
+        (r.query_id, r.vec_id, r.score) for r in b
+    ]
