@@ -473,6 +473,31 @@ def q_neardup_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_pairs_tokens(_tokens_from_documents(spark, sf_dir), threshold_pct=70)
 
 
+def q_multi_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column encode over (tokens, mask): each column gets its own codec
+    buffer inside one block row; decode realigns by position."""
+    from gorilla_stream_spark.engine import decode_multi, encode_multi
+
+    src = _tokens_from_documents(spark, sf_dir).select(
+        "doc_id",
+        "tokens",
+        F.expr("transform(tokens, (t, i) -> CASE WHEN i < size(tokens) - 3 THEN 1 ELSE 0 END)")
+        .cast("array<int>").alias("mask"),
+    )
+    dec = decode_multi(encode_multi(src, ["tokens", "mask"], num_partitions=4), ["tokens", "mask"])
+    return (
+        src.alias("s")
+        .join(dec.alias("d"), "doc_id", "inner")
+        .select(
+            "doc_id",
+            (
+                (F.col("s.tokens") == F.col("d.tokens"))
+                & (F.col("s.mask") == F.col("d.mask"))
+            ).alias("ok"),
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -525,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q43_point_lookup": q_point_lookup,
         "q44_corpus_report": q_corpus_report,
         "q45_neardup_tokens": q_neardup_tokens,
+        "q46_multi_column_roundtrip": q_multi_column_roundtrip,
     }
 
 
@@ -839,6 +865,7 @@ SELECT CAST(da AS BIGINT) AS doc_a, CAST(db AS BIGINT) AS doc_b
 FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
 WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
 """,
+        "q46_multi_column_roundtrip": _ROUNDTRIP_ORACLE,
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.
     }

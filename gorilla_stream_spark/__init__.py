@@ -35,6 +35,7 @@ from gorilla_stream_spark.engine import (
     manifest,
     read_timerange,
 )
+from gorilla_stream_spark.engine import decode_multi, encode_multi
 from gorilla_stream_spark.textops import (
     dedup_exact,
     doc_fingerprint,
@@ -64,6 +65,8 @@ __all__ = [
     "estimate",
     "manifest",
     "decode_docs",
+    "encode_multi",
+    "decode_multi",
     "read_timerange",
     "analyze_and_recommend",
     "validate",

@@ -571,3 +571,150 @@ def decode_timeseries(enc_df: DataFrame) -> DataFrame:
                 yield pd.DataFrame({"ts": ts, "value": vals})
 
     return enc_df.mapInPandas(fn, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Multi-column encode — "per-column" across several array<int> columns of the
+# same table (tokens + attention masks + span labels...).  Each column gets
+# its own independently-selected codec buffer; rows stay aligned because all
+# columns of a block share the same doc slice.
+# ---------------------------------------------------------------------------
+
+
+def encode_multi(
+    df: DataFrame,
+    token_cols: list[str],
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    block_tokens: int = DEFAULT_BLOCK_TOKENS,
+    codec: str = "auto",
+) -> DataFrame:
+    """Encode several array<int> columns per row into per-column buffers.
+
+    One block row carries ``len(token_cols)`` self-describing buffers (codec
+    auto-selected per column per page — a mask column RLE-compresses while
+    the tokens column picks forc/fsst).  Blocks chunk on the FIRST column's
+    token budget; every column shares the block's doc slice, so decode
+    realigns by position.
+    """
+    import pyarrow as pa
+
+    from gorilla_stream_spark.codecs import codec_of, encode_paged
+
+    if not token_cols:
+        raise ValueError("token_cols must be non-empty")
+    slim = df.select(id_col, *token_cols)
+    if num_partitions:
+        slim = salted_repartition(
+            slim, num_partitions=num_partitions, id_col=id_col, sort_cols=[id_col]
+        )
+
+    out_schema = pa.schema(
+        [
+            ("block_id", pa.int64()),
+            ("part_id", pa.int32()),
+            ("n_docs", pa.int32()),
+            ("doc_ids", pa.list_(pa.string())),
+            ("col_names", pa.list_(pa.string())),
+            ("codecs", pa.list_(pa.string())),
+            ("col_lens", pa.list_(pa.list_(pa.int32()))),
+            ("raw_bytes", pa.int64()),
+            ("enc_bytes", pa.int64()),
+            ("crc32_bufs", pa.list_(pa.int64())),
+            ("buffers", pa.list_(pa.binary())),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids_arr = rb.column(0)
+            flats, lens_by_col = [], []
+            for ci in range(len(token_cols)):
+                fl, ln = _flatten_arrow(rb.column(1 + ci))
+                flats.append(fl)
+                lens_by_col.append(ln)
+            offs = [np.concatenate(([0], np.cumsum(ln))) for ln in lens_by_col]
+            cols: dict[str, list] = {n: [] for n in out_schema.names}
+            for lo, hi in _block_bounds(lens_by_col[0], block_tokens):
+                bufs, codecs_, col_lens, raw = [], [], [], 0
+                for ci in range(len(token_cols)):
+                    flat = flats[ci][offs[ci][lo] : offs[ci][hi]]
+                    buf, _name = encode_paged(flat, codec=codec)
+                    bufs.append(buf)
+                    codecs_.append(codec_of(buf))
+                    col_lens.append(lens_by_col[ci][lo:hi].astype(np.int32))
+                    raw += 4 * int(flat.size)
+                cols["block_id"].append((pid << 24) | seq)
+                cols["part_id"].append(pid)
+                cols["n_docs"].append(hi - lo)
+                cols["doc_ids"].append(ids_arr.slice(lo, hi - lo).to_pylist())
+                cols["col_names"].append(list(token_cols))
+                cols["codecs"].append(codecs_)
+                cols["col_lens"].append(col_lens)
+                cols["raw_bytes"].append(raw)
+                cols["enc_bytes"].append(sum(len(b) for b in bufs))
+                cols["crc32_bufs"].append([zlib.crc32(b) for b in bufs])
+                cols["buffers"].append(bufs)
+                seq += 1
+            if cols["block_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(cols[n], type=out_schema.field(n).type) for n in out_schema.names],
+                    schema=out_schema,
+                )
+
+    ddl = (
+        "block_id long, part_id int, n_docs int, doc_ids array<string>,"
+        " col_names array<string>, codecs array<string>,"
+        " col_lens array<array<int>>, raw_bytes long, enc_bytes long,"
+        " crc32_bufs array<long>, buffers array<binary>"
+    )
+    return slim.mapInArrow(fn, ddl)
+
+
+def decode_multi(enc_df: DataFrame, token_cols: list[str], strict: bool = True) -> DataFrame:
+    """Decode multi-column blocks back to (doc_id, *token_cols) rows."""
+    import pyarrow as pa
+
+    out_schema = pa.schema(
+        [("doc_id", pa.string())] + [(c, pa.list_(pa.int32())) for c in token_cols]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        for rb in batches:
+            col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            for i in range(rb.num_rows):
+                names = col["col_names"][i].as_py()
+                if names != list(token_cols):
+                    raise ValueError(f"block has columns {names}, expected {token_cols}")
+                bufs = col["buffers"][i].as_py()
+                crcs = col["crc32_bufs"][i].as_py()
+                arrays = []
+                for ci, buf in enumerate(bufs):
+                    if strict and zlib.crc32(buf) != crcs[ci]:
+                        raise ValueError(
+                            f"buffer crc32 mismatch on block"
+                            f" {col['block_id'][i].as_py()} column {token_cols[ci]}"
+                        )
+                    flat = decode_array(buf)
+                    lens = np.asarray(col["col_lens"][i][ci].as_py(), dtype=np.int64)
+                    if int(lens.sum()) != flat.size:
+                        raise ValueError("column length sum != decoded count")
+                    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+                    arrays.append(
+                        pa.ListArray.from_arrays(
+                            pa.array(offsets, type=pa.int32()),
+                            pa.array(flat.astype(np.int32), type=pa.int32()),
+                        )
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [col["doc_ids"][i].values.cast(pa.string())] + arrays,
+                    schema=out_schema,
+                )
+
+    ddl = "doc_id string, " + ", ".join(f"{c} array<int>" for c in token_cols)
+    return enc_df.mapInArrow(fn, ddl)

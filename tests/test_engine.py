@@ -325,3 +325,45 @@ def test_analyze_empty_input(spark):
     rec = analyze_and_recommend(df)
     assert rec["n_docs"] == 0
     assert rec["recommended_partitions"] == 1
+
+
+def test_multi_column_roundtrip(spark, toks):
+    from gorilla_stream_spark.engine import decode_multi, encode_multi
+
+    # second column: per-doc attention-mask-like runs (RLE-friendly), third:
+    # reversed tokens — each column should pick its own codec
+    src = toks.select(
+        "doc_id",
+        "tokens",
+        F.expr("transform(tokens, (t, i) -> CASE WHEN i < size(tokens) - 3 THEN 1 ELSE 0 END)")
+        .cast("array<int>").alias("mask"),
+        F.reverse("tokens").alias("rev"),
+    )
+    enc = encode_multi(src, ["tokens", "mask", "rev"], num_partitions=3)
+    enc.cache()
+    # per-column codec independence: mask must RLE/for-collapse
+    mixes = {tuple(r["codecs"]) for r in enc.select("codecs").collect()}
+    assert all(len(m) == 3 for m in mixes)
+    dec = decode_multi(enc, ["tokens", "mask", "rev"])
+    j = src.alias("s").join(dec.alias("d"), "doc_id")
+    bad = j.filter(
+        (F.col("s.tokens") != F.col("d.tokens"))
+        | (F.col("s.mask") != F.col("d.mask"))
+        | (F.col("s.rev") != F.col("d.rev"))
+    ).count()
+    assert bad == 0
+    assert dec.count() == src.count()
+    # crc gate per column
+    corrupted = enc.withColumn(
+        "crc32_bufs", F.expr("transform(crc32_bufs, c -> c + 1)")
+    )
+    with pytest.raises(Exception, match="crc32 mismatch"):
+        decode_multi(corrupted, ["tokens", "mask", "rev"]).count()
+
+
+def test_multi_column_wrong_cols_fails(spark, toks):
+    from gorilla_stream_spark.engine import decode_multi, encode_multi
+
+    enc = encode_multi(toks.select("doc_id", "tokens"), ["tokens"], num_partitions=2)
+    with pytest.raises(Exception, match="expected"):
+        decode_multi(enc, ["tokens", "other"]).count()
