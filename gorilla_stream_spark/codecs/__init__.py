@@ -233,7 +233,22 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
                     raise ValueError("zstd container but codec unavailable")
                 inner = bytes(_ZSTD_CODEC.decompress(body, orig_len))
             else:
-                inner = _zlib.decompressobj().decompress(body, orig_len)
+                # decompress(body, max_length=orig_len) TRUNCATES at orig_len,
+                # so a corrupt header declaring a too-small size would pass the
+                # length check below with a silent prefix — verify the stream
+                # actually ENDS at orig_len (no buffered output, no pending
+                # input, end-of-stream marker reached)
+                dec = _zlib.decompressobj()
+                inner = dec.decompress(body, orig_len)
+                # a valid stream parks its trailer in unconsumed_tail when
+                # max_length stops it; feeding the tail back must produce NO
+                # further output and must reach end-of-stream cleanly
+                excess = dec.decompress(dec.unconsumed_tail, 1)
+                if excess or not dec.eof or dec.unused_data:
+                    raise ValueError(
+                        "container stream does not end at declared orig_len"
+                        " (corrupt header, excess data, or trailing garbage)"
+                    )
         except (_zlib.error, OSError) as e:  # corrupt stream -> clean error
             raise ValueError(f"container decompression failed: {e}") from e
         if len(inner) != orig_len:

@@ -677,7 +677,12 @@ def encode_multi(
 
 
 def decode_multi(enc_df: DataFrame, token_cols: list[str], strict: bool = True) -> DataFrame:
-    """Decode multi-column blocks back to (doc_id, *token_cols) rows."""
+    """Decode multi-column blocks back to (doc_id, *token_cols) rows.
+
+    Mirrors ``decode``: only the columns the decoder reads cross the Arrow
+    boundary, so extra manifest columns (codecs, sizes, part ids) are pruned
+    at the parquet scan.
+    """
     import pyarrow as pa
 
     out_schema = pa.schema(
@@ -717,4 +722,5 @@ def decode_multi(enc_df: DataFrame, token_cols: list[str], strict: bool = True) 
                 )
 
     ddl = "doc_id string, " + ", ".join(f"{c} array<int>" for c in token_cols)
-    return enc_df.mapInArrow(fn, ddl)
+    needed = ["block_id", "doc_ids", "col_names", "col_lens", "crc32_bufs", "buffers"]
+    return enc_df.select(*needed).mapInArrow(fn, ddl)

@@ -3,10 +3,14 @@
 The training-data engine treats media payloads exactly like token buffers:
 opaque ``binary`` columns with typed manifest metadata, moved in Arrow
 batches, partitioned by content hash.  The *decode* step (pixel/sample
-decoding) requires media libraries that are not in this environment — it is
-STUBBED behind an import-try with a deterministic fake (clearly marked), but
-everything Spark-side is real and tested: schemas, Arrow batch shapes,
-partitioning, frame chunk arithmetic, metadata extraction.
+decoding) requires media libraries that are not in this environment, so the
+decode kernel is PLUGGABLE: ``image_features``/``resize_images`` take a
+``kernel=`` callable that runs inside the Arrow batch loop on executors —
+a real PIL/ffmpeg kernel drops in without touching any Spark plumbing.  The
+default kernel is a DETERMINISTIC FAKE (clearly marked) that parses the
+synthetic 8-byte header the tests generate; everything Spark-side is real
+and tested: schemas, Arrow batch shapes, partitioning, frame chunk
+arithmetic, metadata extraction.
 
 No reference analog (the reference is numeric-timeseries only); this module
 exists because a 100 TB training pipeline carries media next to text
@@ -15,7 +19,7 @@ exists because a 100 TB training pipeline carries media next to text
 
 from __future__ import annotations
 
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -26,6 +30,7 @@ __all__ = [
     "frame_sample",
     "image_features",
     "resize_images",
+    "fake_image_kernel",
 ]
 
 
@@ -81,28 +86,41 @@ def frame_sample(
     )
 
 
-try:  # pragma: no cover - environment-dependent
-    import PIL.Image  # noqa: F401
+def fake_image_kernel(raw: bytes) -> tuple[int, int, float]:
+    """DETERMINISTIC FAKE decode kernel (no imaging libs in this env).
 
-    _HAVE_PIL = True
-except Exception:
-    _HAVE_PIL = False
+    Reads the synthetic 8-byte header the tests generate (width, height as
+    uint32-LE) and computes the byte-level mean over the body.  Stands in
+    for a real ``PIL.Image.open`` kernel with the identical signature.
+    """
+    if len(raw) >= 8:
+        w = int.from_bytes(raw[0:4], "little")
+        h = int.from_bytes(raw[4:8], "little")
+    else:
+        w = h = 0
+    body = np.frombuffer(raw[8:], dtype=np.uint8)
+    mean = float(body.mean()) if body.size else 0.0
+    return w, h, mean
 
 
 def image_features(
-    df: DataFrame, payload_col: str = "payload", id_col: str = "item_id"
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "item_id",
+    kernel: Callable[[bytes], tuple[int, int, float]] | None = None,
 ) -> DataFrame:
-    """Per-image features via one Arrow pass.
+    """Per-image (width, height, mean) features via one Arrow pass.
 
-    With a real imaging library the kernel would decode pixels; this
-    environment has none, so the kernel is a DETERMINISTIC FAKE clearly
-    marked below: it reads a synthetic 8-byte header (width,height as
-    uint32-LE — the tests generate payloads in this shape) and computes the
-    byte-level mean/entropy proxy over the body.  The Spark-side contract —
-    Arrow batch shape, schema, bounded memory per batch — is the real,
-    tested part.
+    ``kernel`` is the pluggable decode step: a picklable callable
+    ``bytes -> (width, height, mean)`` executed per payload inside the Arrow
+    batch loop on executors — wire a real imaging decode here (e.g. a
+    PIL-based closure) without touching the Spark plumbing.  Defaults to
+    :func:`fake_image_kernel`, the deterministic test kernel; installing an
+    imaging library changes nothing until a caller passes a real kernel.
     """
     import pyarrow as pa
+
+    decode_one = kernel or fake_image_kernel
 
     def fn(batches: Iterator) -> Iterator:
         for rb in batches:
@@ -113,21 +131,10 @@ def image_features(
             w_out, h_out, mean_out = [], [], []
             for i in range(rb.num_rows):
                 raw = payloads[i].as_py() or b""
-                if _HAVE_PIL:  # pragma: no cover - not in this environment
-                    raise NotImplementedError(
-                        "real image decode path not wired in this sandbox"
-                    )
-                # --- DETERMINISTIC FAKE DECODE (no imaging libs present) ---
-                if len(raw) >= 8:
-                    w = int.from_bytes(raw[0:4], "little")
-                    h = int.from_bytes(raw[4:8], "little")
-                else:
-                    w = h = 0
-                body = np.frombuffer(raw[8:], dtype=np.uint8)
-                mean = float(body.mean()) if body.size else 0.0
-                w_out.append(w)
-                h_out.append(h)
-                mean_out.append(mean)
+                w, h, mean = decode_one(raw)
+                w_out.append(int(w))
+                h_out.append(int(h))
+                mean_out.append(float(mean))
             yield pa.RecordBatch.from_pydict(
                 {
                     "item_id": pa.array(ids, pa.int64()),
@@ -141,16 +148,46 @@ def image_features(
     return slim.mapInArrow(fn, "item_id long, width int, height int, mean_byte double")
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Image resize — requires an imaging library; explicitly unavailable.
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "item_id",
+    kernel: Callable[[bytes, int, int], bytes] | None = None,
+) -> DataFrame:
+    """Image resize through a pluggable kernel ``(bytes, w, h) -> bytes``.
 
-    Raises immediately so a pipeline fails at plan-build time, not inside an
-    executor after hours of upstream work.
+    Without a kernel this raises at PLAN-BUILD time (no imaging library is
+    bundled in this environment) so a pipeline fails before any upstream
+    work runs, never inside an executor hours in.  With a kernel (e.g. a
+    PIL resize closure) the resize runs in the same Arrow batch loop as
+    :func:`image_features` — the Spark plumbing is identical and tested.
     """
-    if not _HAVE_PIL:
+    if kernel is None:
         raise NotImplementedError(
-            "resize_images needs an imaging library (PIL/opencv); not bundled"
-            " in this environment — the Arrow/partitioning plumbing to slot a"
-            " real kernel into is image_features()"
+            "resize_images needs a decode kernel: no imaging library"
+            " (PIL/opencv) is bundled in this environment — pass"
+            " kernel=(bytes, w, h) -> bytes to wire a real one in"
         )
-    raise NotImplementedError("real resize kernel not wired in this sandbox")
+    import pyarrow as pa
+
+    if width <= 0 or height <= 0:
+        raise ValueError("width and height must be positive")
+
+    def fn(batches: Iterator) -> Iterator:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            payloads = rb.column(1)
+            out = [kernel(payloads[i].as_py() or b"", width, height) for i in range(rb.num_rows)]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "item_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(out, pa.binary()),
+                }
+            )
+
+    slim = df.select(F.col(id_col).cast("long").alias("item_id"), F.col(payload_col))
+    return slim.mapInArrow(fn, "item_id long, payload binary")

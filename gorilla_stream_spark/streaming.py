@@ -17,14 +17,42 @@ protocol in ``checkpoint.py``.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from gorilla_stream_spark.engine import DEFAULT_BLOCK_TOKENS, encode
 
 __all__ = ["encode_stream"]
+
+
+def _ckpt_join(*parts: str) -> str:
+    """URI-safe path join for checkpoint locations (local, HDFS, S3)."""
+    return "/".join(p.rstrip("/") for p in parts)
+
+
+def _hadoop_path(spark, path_str: str):
+    """(FileSystem, Path) for ``path_str`` via the Hadoop FS API.
+
+    The replay-guard markers MUST live on the same filesystem as the
+    checkpoint dir — driver-local ``os.path`` would silently break
+    exactly-once the moment ``checkpoint_dir`` is an HDFS/S3 URI.
+    """
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def marker_exists(spark, marker: str) -> bool:
+    fs, jpath = _hadoop_path(spark, marker)
+    return bool(fs.exists(jpath))
+
+
+def write_marker(spark, marker: str) -> None:
+    """Create an (empty) commit marker through the checkpoint filesystem."""
+    fs, jpath = _hadoop_path(spark, marker)
+    fs.mkdirs(jpath.getParent())
+    out = fs.create(jpath, True)
+    out.close()
 
 
 def encode_stream(
@@ -42,11 +70,14 @@ def encode_stream(
     Returns the StreamingQuery; caller awaits/stops it.
     """
     spark = stream_df.sparkSession
-    committed_marker = os.path.join(checkpoint_dir, "committed_batches")
+    committed_marker = _ckpt_join(checkpoint_dir, "committed_batches")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(committed_marker, str(batch_id))
-        if os.path.exists(marker):  # replayed batch already fully committed
+        marker = _ckpt_join(committed_marker, str(batch_id))
+        # replayed batch already fully committed — markers round-trip through
+        # the Hadoop FS of the checkpoint location, so exactly-once holds on
+        # HDFS/S3 checkpoint dirs, not just the driver's local disk
+        if marker_exists(spark, marker):
             return
         enc = encode(
             batch_df,
@@ -55,12 +86,10 @@ def encode_stream(
             block_tokens=block_tokens,
         ).withColumn("batch_id", F.lit(batch_id))
         enc.write.mode("append").option("compression", "zstd").parquet(output_path)
-        os.makedirs(committed_marker, exist_ok=True)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+        write_marker(spark, marker)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
-        "checkpointLocation", os.path.join(checkpoint_dir, "spark")
+        "checkpointLocation", _ckpt_join(checkpoint_dir, "spark")
     )
     trigger = trigger or {"availableNow": True}
     return writer.trigger(**trigger).start()
@@ -92,6 +121,10 @@ def dedup_stream(
     keyed = stream_df.select(
         F.col(id_col).cast("string").alias("doc_id"),
         F.col(text_col).alias("text"),
+        # carry the ORIGINAL-typed id for within-batch ordering: sorting the
+        # string cast would rank '10' < '9' and pick a different survivor
+        # than batch dedup_exact (which orders by the native column type)
+        F.col(id_col).alias("__oid"),
         F.unhex(F.md5(text_col)).alias("__h"),
         F.pmod(F.xxhash64(text_col), F.lit(n_buckets)).alias("__b"),
     )
@@ -106,7 +139,7 @@ def dedup_stream(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            pdf = pdf.sort_values("doc_id", kind="stable")
+            pdf = pdf.sort_values("__oid", kind="stable")
             pdf = pdf[~pdf["__h"].apply(bytes).isin(seen)]
             pdf = pdf.drop_duplicates("__h", keep="first")
             for h in pdf["__h"]:

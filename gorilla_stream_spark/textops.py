@@ -48,13 +48,17 @@ __all__ = [
 def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Drop duplicate-content rows, keeping the lowest ``id_col`` per content.
 
-    Shuffle key is ``(md5(content), length(content))`` — 24 bytes per row
-    regardless of document size, so the shuffle moves hashes, not documents,
-    as the partitioner input.  md5+length collisions across *different*
-    contents are ~2^-128; grouping by the pair (not the raw content) keeps
-    the plan identical at any scale.  Keep-first is deterministic
-    (``row_number`` ordered by id), matching the reference's sort-and-dedup
-    validator semantics (``validator.ex:205-216``) applied to content.
+    Partitioning key is ``(md5(content), length(content))`` — 24 bytes per
+    row regardless of document size; the window Exchange still moves full
+    surviving rows, but Spark's map-side WindowGroupLimit drops duplicate
+    copies BEFORE the shuffle, so each distinct document crosses the wire
+    exactly once (if hash-only shuffle volume matters more than row
+    survival, aggregate ``(md5,len) -> min(id)`` and semi-join instead).
+    md5+length collisions across *different* contents are ~2^-128; grouping
+    by the pair (not the raw content) keeps the plan identical at any
+    scale.  Keep-first is deterministic (``row_number`` ordered by id),
+    matching the reference's sort-and-dedup validator semantics
+    (``validator.ex:205-216``) applied to content.
     """
     w = Window.partitionBy(F.md5(F.col(content_col)), F.length(content_col)).orderBy(id_col)
     return (

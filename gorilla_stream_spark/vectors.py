@@ -38,6 +38,32 @@ __all__ = [
 DEFAULT_BLOCK_VALUES = 1 << 20  # flat float32 values per block (~4 MiB raw)
 
 
+def _np_maxabs_i64(a: np.ndarray) -> int:
+    """max |x| of an int64 array as an exact Python int (np.abs would wrap
+    silently on INT64_MIN)."""
+    if a.size == 0:
+        return 0
+    return max(abs(int(a.max())), abs(int(a.min())))
+
+
+def _check_i64_dot_safe(max_a: int, max_b: int, dim: int, where: str) -> None:
+    """Fail loudly when an integer dot product could exceed int64.
+
+    Scores are exact integer dots of 1e-6-quantized components; numpy wraps
+    int64 overflow SILENTLY, producing wrong rankings with no error (the JVM
+    aggregate path would instead throw under Spark 4 ANSI).  |dot| is bounded
+    by dim * max|a| * max|b| — require that below 2^63.  Python ints are
+    arbitrary precision, so the check itself cannot overflow.
+    """
+    if dim and max_a * max_b * dim >= 2**63:
+        raise ValueError(
+            f"{where}: quantized components too large for exact int64 scoring"
+            f" (max|a|={max_a}, max|b|={max_b}, dim={dim}:"
+            f" bound {max_a * max_b * dim} >= 2^63). Normalize the embeddings"
+            f" (unit-norm) or reduce QUANT."
+        )
+
+
 def _fixed_dim(lens: np.ndarray, where: str) -> int:
     """Matrix kernels require a uniform vector dimension — a ragged batch
     reshaped (n, -1) would silently scramble every row after the first
@@ -302,6 +328,7 @@ def topk_dot(
     Q = np.array(
         [[round(float(x) * QUANT) for x in v] for _, v in queries], dtype=np.int64
     )
+    _q_max = _np_maxabs_i64(Q)
 
     if quantize == "jvm":
         quant = df.select(
@@ -329,6 +356,7 @@ def topk_dot(
                     f"topk_dot requires fixed-dimension vectors matching the"
                     f" query dim {Q.shape[1]}; batch has dim {d}"
                 )
+            _check_i64_dot_safe(_np_maxabs_i64(flat), _q_max, d, "topk_dot")
             M = flat.reshape(len(ids), -1)
             S = M @ Q.T  # (n, nq) int64 exact
             take = min(k, len(ids))
@@ -422,6 +450,12 @@ def cosine_neardup_pairs(
     integer-quantized dot/norms, compared as
     ``dot > 0 AND dot^2 >= t^2 * |a|^2 * |b|^2`` in double — identical IEEE
     ops in any engine, no float-sum order dependence.
+
+    Magnitude: the dot/norm aggregates run JVM-side, where Spark 4's ANSI
+    mode throws on int64 overflow (loud, never a silent wrap) — non-unit-norm
+    vectors with |x| large enough that ``dim * (x*1e6)^2 >= 2^63`` fail the
+    job rather than mis-rank (see ``_check_i64_dot_safe`` for the numpy
+    kernels' equivalent guard).
     """
     quant = df.select(
         F.col(id_col).cast("long").alias("vec_id"), quantize_expr(vec_col).alias("qv")

@@ -325,10 +325,22 @@ def test_zlib_container_length_bound_and_mismatch():
     bad = bytes([_codecs.CONTAINER, 1]) + _struct.pack("<I", 2**31 + 2**20) + comp
     with pytest.raises(ValueError, match="implausible container"):
         _codecs.decode_array(bad)
-    # corrupt header: declared size smaller than the actual payload
+    # corrupt header: declared size smaller than the actual payload — the
+    # container's own gate must catch it (decompress(max_length) truncates,
+    # so without the end-of-stream check a silent prefix would reach the
+    # inner decoder)
     bad2 = bytes([_codecs.CONTAINER, 1]) + _struct.pack("<I", len(inner) - 7) + comp
-    with pytest.raises((ValueError, KeyError, IndexError, _struct.error)):
+    with pytest.raises(ValueError, match="does not end at declared"):
         _codecs.decode_array(bad2)
+    # trailing garbage after a valid zlib stream must also fail the gate
+    bad3 = bytes([_codecs.CONTAINER, 1]) + _struct.pack("<I", len(inner)) + comp + b"JUNK"
+    with pytest.raises(ValueError, match="does not end at declared"):
+        _codecs.decode_array(bad3)
+    # and the well-formed wrapper still round-trips
+    good = bytes([_codecs.CONTAINER, 1]) + _struct.pack("<I", len(inner)) + comp
+    np.testing.assert_array_equal(
+        _codecs.decode_array(good), np.arange(100, dtype=np.int64)
+    )
 
 
 def test_scaledf_inner_count_mismatch_raises():

@@ -62,3 +62,29 @@ def test_image_features_fake_decode(spark, media):
 def test_resize_raises_plan_time(spark, media):
     with pytest.raises(NotImplementedError, match="imaging library"):
         M.resize_images(media, 64, 64)
+
+
+def test_image_features_custom_kernel_injection(spark, media):
+    # custom kernel (a closure, pickled by value): proves the pluggable
+    # seam — real PIL/ffmpeg kernels slot in the same way without touching
+    # the Spark plumbing
+    def _toy_kernel(raw: bytes) -> tuple[int, int, float]:
+        return len(raw), zlib.crc32(raw) % 1000, float(raw[0]) if raw else -1.0
+
+    rows = {r.item_id: r for r in M.image_features(media, kernel=_toy_kernel).collect()}
+    for r in media.collect():
+        raw = bytes(r.payload)
+        w, h, m = _toy_kernel(raw)
+        got = rows[r.item_id]
+        assert (got.width, got.height) == (w, h)
+        assert abs(got.mean_byte - m) < 1e-12
+
+
+def test_resize_with_custom_kernel_runs(spark, media):
+    # with a kernel injected, resize is a plain Arrow pass (no raise)
+    def crop_kernel(raw: bytes, w: int, h: int) -> bytes:
+        return raw[: w * h]
+
+    out = {r.item_id: bytes(r.payload) for r in M.resize_images(media, 4, 2, kernel=crop_kernel).collect()}
+    src = {r.item_id: bytes(r.payload) for r in media.collect()}
+    assert out == {i: p[:8] for i, p in src.items()}

@@ -174,3 +174,78 @@ def test_windowed_stats_with_watermark_matches_batch(spark, tmp_path):
         assert expect[k] == v, k
     late_key = (t0 + dt.timedelta(hours=1), "b")
     assert got[late_key][1] == expect[late_key][1]  # late row included
+
+
+def test_marker_roundtrip_hadoop_fs(spark, tmp_path):
+    # replay-guard markers must round-trip through the Hadoop filesystem of
+    # the checkpoint location (exactly-once survives HDFS/S3 checkpoint
+    # dirs, not just driver-local disk) — exercised via an explicit
+    # file:// URI so os.path would NOT resolve it verbatim
+    from gorilla_stream_spark.streaming import _ckpt_join, marker_exists, write_marker
+
+    ck = "file://" + str(tmp_path / "ck_uri")
+    marker = _ckpt_join(ck, "committed_batches", "7")
+    assert not marker_exists(spark, marker)
+    write_marker(spark, marker)
+    assert marker_exists(spark, marker)
+    # idempotent re-write (a replayed commit) is fine
+    write_marker(spark, marker)
+    assert marker_exists(spark, marker)
+    # the marker physically exists under the local path behind the URI
+    assert os.path.exists(str(tmp_path / "ck_uri" / "committed_batches" / "7"))
+
+
+@pytest.mark.timeout(300)
+def test_replayed_batch_skipped_via_marker(spark, tmp_path):
+    # pre-committing batch 0's marker simulates a post-commit crash replay:
+    # the replayed batch must be skipped (no duplicate blocks appended)
+    from gorilla_stream_spark.streaming import _ckpt_join, write_marker
+
+    src_dir = str(tmp_path / "rp_src")
+    out_dir = str(tmp_path / "rp_out")
+    ckpt_dir = str(tmp_path / "rp_ckpt")
+    toks = tokens_df(spark, 50, seed=11)
+    toks.write.parquet(src_dir)
+    write_marker(spark, _ckpt_join(ckpt_dir, "committed_batches", "0"))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema).parquet(src_dir)
+    )
+    q = encode_stream(stream, out_dir, ckpt_dir, codec="auto", num_partitions=2)
+    q.awaitTermination(240)
+    # batch 0 (the whole input, availableNow) was marked committed -> skipped
+    assert not os.path.exists(os.path.join(out_dir, "_SUCCESS")) or (
+        spark.read.parquet(out_dir).count() == 0
+    )
+
+
+@pytest.mark.timeout(300)
+def test_dedup_stream_numeric_id_order_matches_batch(spark, tmp_path):
+    # ids 9 and 10 share content in one batch: numeric order keeps 9, while
+    # a string sort would keep 10 ('10' < '9') — parity with dedup_exact
+    import time
+
+    from gorilla_stream_spark.streaming import dedup_stream
+    from gorilla_stream_spark.textops import dedup_exact
+
+    src_dir = str(tmp_path / "ord_src")
+    out_dir = str(tmp_path / "ord_out")
+    ck = str(tmp_path / "ord_ck")
+    os.makedirs(src_dir)
+    rows = [(10, "same content"), (9, "same content"), (2, "unique")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(src_dir + "/b1")
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src_dir + "/*")
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = sorted(int(r.doc_id) for r in spark.read.parquet(out_dir).collect())
+    want = sorted(int(r.doc_id) for r in dedup_exact(df).collect())
+    assert got == want == [2, 9]

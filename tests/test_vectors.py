@@ -180,3 +180,17 @@ def test_topk_numpy_quantize_matches_jvm(spark, emb):
     assert [(r.query_id, r.vec_id, r.score) for r in a] == [
         (r.query_id, r.vec_id, r.score) for r in b
     ]
+
+
+def test_topk_int64_overflow_guard(spark):
+    # non-unit-norm components large enough that dim*maxq^2 >= 2^63 must fail
+    # loudly — numpy would otherwise wrap int64 silently and mis-rank
+    from gorilla_stream_spark.vectors import topk_dot
+
+    big = [[1.0e4] * 64, [9.9e3] * 64]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(big)], "vec_id long, embedding array<float>"
+    )
+    q = [(0, big[0])]
+    with pytest.raises(Exception, match="int64|overflow|too large"):
+        topk_dot(df, q, k=1, quantize="numpy").collect()
