@@ -184,7 +184,12 @@ def main() -> int:
 
     # --- LLM-pipeline operators (round 2) ----------------------------------
     from gorilla_stream_spark.textops import dedup_exact, neardup_pairs
-    from gorilla_stream_spark.vectors import ann_search, encode_vectors, topk_dot
+    from gorilla_stream_spark.vectors import (
+        ann_search,
+        encode_vectors,
+        topk_dot,
+        write_vectors,
+    )
 
     # text corpus derived from the DIVERSE synthetic strata (the constant /
     # run strata collapse to near-identical shingle sets, which makes every
@@ -258,7 +263,7 @@ def main() -> int:
     t0 = time.time()
     venc = encode_vectors(vecs, num_partitions=int(CPUS), layout="lsh")
     venc_path = os.path.join(CACHE, f"vecs_enc_{n_vecs}")
-    venc.write.mode("overwrite").option("compression", "snappy").parquet(venc_path)
+    write_vectors(venc, venc_path)  # partitioned by bucket_pfx (ann pruning)
     queries["q9_encode_vectors"] = time.time() - t0
     extras["vector_values_per_sec"] = n_vecs * dim / queries["q9_encode_vectors"]
     vm = spark.read.parquet(venc_path).agg(

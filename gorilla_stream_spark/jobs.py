@@ -132,7 +132,7 @@ def cmd_neardup(args) -> int:
 
 
 def cmd_encode_vectors(args) -> int:
-    from gorilla_stream_spark.vectors import encode_vectors
+    from gorilla_stream_spark.vectors import encode_vectors, write_vectors
 
     spark = _spark("gss-encode-vectors")
     df = spark.read.parquet(args.input)
@@ -140,7 +140,8 @@ def cmd_encode_vectors(args) -> int:
         df, vec_col=args.vec_col, id_col=args.id_col,
         num_partitions=args.partitions, layout=args.layout,
     )
-    enc.write.mode("overwrite").option("compression", "snappy").parquet(args.output)
+    # lsh layout partitions the sink by bucket_pfx -> ann probes prune dirs
+    write_vectors(enc, args.output)
     m = spark.read.parquet(args.output).agg(
         F.count("*").alias("blocks"), F.sum("raw_bytes").alias("raw"),
         F.sum("enc_bytes").alias("enc"),

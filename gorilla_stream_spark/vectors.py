@@ -30,9 +30,11 @@ from gorilla_stream_spark.engine import _block_bounds, _flatten_arrow
 __all__ = [
     "encode_vectors",
     "decode_vectors",
+    "write_vectors",
     "quantize_expr",
     "topk_dot",
     "cosine_neardup_pairs",
+    "ann_search",
 ]
 
 DEFAULT_BLOCK_VALUES = 1 << 20  # flat float32 values per block (~4 MiB raw)
@@ -86,6 +88,8 @@ VEC_ENCODED_DDL = (
 )
 
 INDEX_BITS = 10  # 2^10 coarse LSH buckets in the "lsh" layout
+PFX_BITS = 4  # top bits of the bucket key = the write-partition column
+_PFX_SHIFT = INDEX_BITS - PFX_BITS
 _INDEX_SEED = 4211
 
 
@@ -148,7 +152,11 @@ def encode_vectors(
     bucket set is stored in the ``lsh_keys`` manifest column and
     :func:`ann_search` prunes blocks by key overlap BEFORE any buffer is
     decoded — the vector analog of the engine's manifest-pruned time-range
-    reads (``engine.py:373``).
+    reads (``engine.py:373``).  Blocks never straddle a bucket PREFIX
+    (top ``PFX_BITS`` bucket bits) boundary; the per-block ``bucket_pfx``
+    manifest column becomes a Hive partition column in :func:`write_vectors`,
+    so probe-key filters prune whole directories at the scan — no driver
+    collect, no plan-size growth with the corpus.
     """
     import pyarrow as pa
 
@@ -167,24 +175,27 @@ def encode_vectors(
 
     import pyarrow as _pa
 
-    out_schema = _pa.schema(
-        [
-            ("block_id", _pa.int64()),
-            ("part_id", _pa.int32()),
-            ("seq_in_part", _pa.int32()),
-            ("n_vecs", _pa.int32()),
-            ("n_values", _pa.int64()),
-            ("vec_ids", _pa.list_(_pa.int64())),
-            ("vec_lens", _pa.list_(_pa.int32())),
-            ("lsh_keys", _pa.list_(_pa.int64())),
-            ("codec", _pa.string()),
-            ("raw_bytes", _pa.int64()),
-            ("enc_bytes", _pa.int64()),
-            ("crc32_raw", _pa.int64()),
-            ("crc32_buf", _pa.int64()),
-            ("buffer", _pa.binary()),
-        ]
-    )
+    fields = [
+        ("block_id", _pa.int64()),
+        ("part_id", _pa.int32()),
+        ("seq_in_part", _pa.int32()),
+        ("n_vecs", _pa.int32()),
+        ("n_values", _pa.int64()),
+        ("vec_ids", _pa.list_(_pa.int64())),
+        ("vec_lens", _pa.list_(_pa.int32())),
+        ("lsh_keys", _pa.list_(_pa.int64())),
+        ("codec", _pa.string()),
+        ("raw_bytes", _pa.int64()),
+        ("enc_bytes", _pa.int64()),
+        ("crc32_raw", _pa.int64()),
+        ("crc32_buf", _pa.int64()),
+        ("buffer", _pa.binary()),
+    ]
+    ddl = VEC_ENCODED_DDL
+    if layout == "lsh":
+        fields.append(("bucket_pfx", _pa.int32()))
+        ddl = VEC_ENCODED_DDL + ", bucket_pfx int"
+    out_schema = _pa.schema(fields)
 
     def fn(batches: Iterator) -> Iterator:
         import pyarrow as pa
@@ -201,9 +212,10 @@ def encode_vectors(
             buckets = (
                 rb.column(2).to_numpy(zero_copy_only=False) if rb.num_columns > 2 else None
             )
+            pfx = (buckets >> _PFX_SHIFT) if buckets is not None else None
             offs = np.concatenate(([0], np.cumsum(lens)))
             out: dict[str, list] = {k: [] for k in out_schema.names}
-            for lo, hi in _block_bounds(lens, block_values):
+            for lo, hi in _grouped_bounds(lens, block_values, pfx):
                 flat = flat_all[offs[lo] : offs[hi]]
                 body = floatcodecs.f32_encode(flat)
                 buf = bytes([VECF32]) + body
@@ -224,6 +236,8 @@ def encode_vectors(
                 out["crc32_raw"].append(zlib.crc32(raw))
                 out["crc32_buf"].append(zlib.crc32(buf))
                 out["buffer"].append(buf)
+                if pfx is not None:
+                    out["bucket_pfx"].append(int(pfx[lo]))
                 seq += 1
             if out["block_id"]:
                 yield pa.RecordBatch.from_arrays(
@@ -234,7 +248,42 @@ def encode_vectors(
                     schema=out_schema,
                 )
 
-    return slim.mapInArrow(fn, VEC_ENCODED_DDL)
+    return slim.mapInArrow(fn, ddl)
+
+
+def _grouped_bounds(
+    lens: np.ndarray, block_values: int, groups: np.ndarray | None
+) -> list[tuple[int, int]]:
+    """Block bounds that never straddle a change in ``groups``.
+
+    Rows arrive sorted by bucket, so the group values (bucket prefixes) form
+    contiguous runs; each run is chunked independently — this is what makes
+    ``bucket_pfx`` a single-valued (and therefore partitionable) column per
+    block.
+    """
+    if groups is None:
+        return _block_bounds(lens, block_values)
+    change = np.flatnonzero(groups[1:] != groups[:-1]) + 1
+    seg_starts = np.concatenate(([0], change))
+    seg_ends = np.concatenate((change, [len(lens)]))
+    bounds: list[tuple[int, int]] = []
+    for s, e in zip(seg_starts, seg_ends):
+        for lo, hi in _block_bounds(lens[s:e], block_values):
+            bounds.append((int(s) + lo, int(s) + hi))
+    return bounds
+
+
+def write_vectors(
+    enc_df: DataFrame, path: str, mode: str = "overwrite", compression: str = "snappy"
+) -> None:
+    """Write encoded vector blocks; lsh-layout tables partition by
+    ``bucket_pfx`` so :func:`ann_search` probe filters prune whole
+    directories at the parquet scan (Hive partition pruning — the scan
+    never opens pruned files, and nothing is collected to the driver)."""
+    w = enc_df.write.mode(mode).option("compression", compression)
+    if "bucket_pfx" in enc_df.columns:
+        w = w.partitionBy("bucket_pfx")
+    w.parquet(path)
 
 
 def decode_vectors(enc_df: DataFrame, strict: bool = True) -> DataFrame:
@@ -516,6 +565,19 @@ def ann_search(
     expensive decode touches a handful of blocks, never the table.
     Approximate by construction — recall is governed by cluster tightness
     and ``probe_flips`` (see tests for the recall gate).
+
+    NOTHING is collected to the driver, at any corpus size:
+
+    * Tables with a ``bucket_pfx`` column (lsh layout): the probe keys'
+      prefix set — at most ``2^PFX_BITS`` literals, independent of corpus
+      size — filters the partition column, so a :func:`write_vectors` table
+      prunes whole directories at the scan; ``arrays_overlap`` then refines
+      block-by-block within the surviving partitions.
+    * Older tables without the column: a broadcast left-semi join of the
+      matching (block_id) manifest rows replaces the former driver
+      ``collect()`` + literal ``IN`` list, which grew with the corpus (36%
+      of all block ids on random vectors) and blew up driver memory + plan
+      size at scale.
     """
     if not queries:
         raise ValueError("ann_search requires at least one query vector")
@@ -530,15 +592,13 @@ def ann_search(
             for i in range(planes.shape[0]):
                 probes.add(key ^ (1 << i))
     wanted = F.array(*[F.lit(int(p)).cast("long") for p in sorted(probes)])
-    pruned = enc_df.filter(F.arrays_overlap(F.col("lsh_keys"), wanted))
-    if two_phase:
-        # arrays_overlap cannot push into the parquet scan, so a single-phase
-        # plan still reads every block's buffer bytes.  Phase 1 scans ONLY the
-        # (block_id, lsh_keys) manifest columns; phase 2 re-reads with a
-        # block_id IN (...) filter that DOES push down to row-group stats —
-        # the buffer column of pruned blocks is never fetched.
-        ids = [r["block_id"] for r in pruned.select("block_id").collect()]
-        if not ids:
-            return topk_dot(decode_vectors(enc_df.limit(0)), queries, k=k)
-        pruned = enc_df.filter(F.col("block_id").isin(ids))
+    overlap = F.arrays_overlap(F.col("lsh_keys"), wanted)
+    if "bucket_pfx" in enc_df.columns:
+        pfxs = sorted({int(p) >> _PFX_SHIFT for p in probes})
+        pruned = enc_df.filter(F.col("bucket_pfx").isin(pfxs) & overlap)
+    elif two_phase:
+        ids = enc_df.select("block_id", "lsh_keys").filter(overlap).select("block_id")
+        pruned = enc_df.join(F.broadcast(ids), "block_id", "left_semi")
+    else:
+        pruned = enc_df.filter(overlap)
     return topk_dot(decode_vectors(pruned), queries, k=k)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -194,3 +196,52 @@ def test_topk_int64_overflow_guard(spark):
     q = [(0, big[0])]
     with pytest.raises(Exception, match="int64|overflow|too large"):
         topk_dot(df, q, k=1, quantize="numpy").collect()
+
+
+def test_ann_partition_pruning_no_collect(spark, tmp_path):
+    # lsh layout written via write_vectors is Hive-partitioned by bucket_pfx;
+    # ann_search's probe filter must reach the scan as a PartitionFilter
+    # (directories pruned, zero driver collect) and still match brute force
+    rng = np.random.default_rng(23)
+    dim, per, nc = 16, 60, 30
+    centers = rng.normal(0, 1, (nc, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(per):
+            v = c + rng.normal(0, 0.03, dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enc = V.encode_vectors(df, num_partitions=4, block_values=dim * 40, layout="lsh")
+    path = str(tmp_path / "vec_lsh")
+    V.write_vectors(enc, path)
+    # partition directories exist
+    assert any(d.startswith("bucket_pfx=") for d in os.listdir(path)), os.listdir(path)
+    table = spark.read.parquet(path)
+    queries = [(rows[3][0], rows[3][1])]
+    out = V.ann_search(table, queries, k=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket_pfx" in plan, plan[:2000]
+    got = {r.vec_id for r in out.collect()}
+    bf = {r.vec_id for r in V.topk_dot(df, queries, k=10).collect()}
+    assert len(got & bf) / 10 >= 0.9
+    # every block holds exactly one bucket prefix (what makes the column
+    # partitionable): lsh_keys of each block must share the same top bits
+    for r in table.select("bucket_pfx", "lsh_keys").collect():
+        assert {int(k) >> V._PFX_SHIFT for k in r.lsh_keys} == {r.bucket_pfx}
+
+
+def test_ann_fallback_semi_join_no_pfx(spark):
+    # tables without bucket_pfx (hash layout / pre-existing data) take the
+    # broadcast semi-join path — still no driver collect in the plan
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in (rng.normal(0, 1, 8) / 3).astype(np.float32)])
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    enc = V.encode_vectors(df, num_partitions=2, layout="lsh").drop("bucket_pfx")
+    out = V.ann_search(enc, [(0, rows[0][1])], k=5)
+    assert out.count() <= 5  # runs end-to-end through the semi-join path
