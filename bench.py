@@ -232,6 +232,20 @@ def main() -> int:
     extras["neardup_docs_per_sec"] = n_corpus / queries["q8_neardup_minhash"]
     extras["neardup_pairs"] = n_pairs
 
+    # simhash: fused Arrow kernel (production) vs interpreted HOF (oracle)
+    from gorilla_stream_spark.textops import simhash
+
+    t0 = time.time()
+    simhash(corpus, impl="kernel").agg(F.expr("bit_xor(simhash)")).first()
+    queries["q8b_simhash_kernel"] = time.time() - t0
+    t0 = time.time()
+    simhash(corpus, impl="hof").agg(F.expr("bit_xor(simhash)")).first()
+    queries["q8c_simhash_hof"] = time.time() - t0
+    extras["simhash_kernel_docs_per_sec"] = n_corpus / queries["q8b_simhash_kernel"]
+    extras["simhash_speedup_vs_hof"] = (
+        queries["q8c_simhash_hof"] / queries["q8b_simhash_kernel"]
+    )
+
     # vectors: deterministic pseudo-random float32, 10M values per sf-unit
     n_vecs = max(10_000, int(10_000_000 * sf))
     dim = 64

@@ -165,3 +165,29 @@ def test_neardup_tokens_matches_text_trigrams(spark, docs):
     pairs = {(r.doc_a, r.doc_b) for r in T.neardup_pairs_tokens(dirty).collect()}
     for i in range(12):
         assert (i, i + 8000) in pairs
+
+
+def test_simhash_kernel_matches_hof_bit_for_bit(spark, docs):
+    # the fused Arrow kernel (production) and the SQL HOF formulation
+    # (oracle) must agree on every signature, including edge cases
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),                      # empty text -> [''] word list
+            (9002, "one"),
+            (9003, "a a a a"),               # duplicate words count
+            (9004, "Ünïcôdé wörds ärê fine"),
+            (9005, "  leading and   multi  spaces "),
+        ],
+        "doc_id long, text string",
+    )
+    df = docs.select("doc_id", "text").unionByName(edge)
+    k = {r.doc_id: r.simhash for r in T.simhash(df, impl="kernel").collect()}
+    h = {r.doc_id: r.simhash for r in T.simhash(df, impl="hof").collect()}
+    assert k == h
+    assert len(k) == df.count()
+
+
+def test_simhash_kernel_null_text(spark):
+    df = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
+    got = {r.doc_id: r.simhash for r in T.simhash(df).collect()}
+    assert got[1] is None and got[2] is not None
