@@ -404,6 +404,41 @@ def q_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(dirty, threshold_pct=90, exact=False)
 
 
+def q_vec_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossy int8 vector storage: decode must satisfy the max-abs-error
+    bound (<= max|x|/254 per vector), and the stored integer codes —
+    recovered exactly from the dequantized stream via round(x/scale) —
+    must match DuckDB's recomputation of the quantization rule."""
+    from gorilla_stream_spark.vectors import decode_vectors, encode_vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    enc = encode_vectors(emb, num_partitions=4, quantize="int8")
+    dec = decode_vectors(enc, with_scale=True)
+    j = emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding").alias(
+        "s"
+    ).join(dec.alias("d"), "vec_id")
+    err = F.expr(
+        "aggregate(zip_with(s.embedding, d.embedding,"
+        " (x, y) -> abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),"
+        " CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"
+    )
+    mx = F.expr(
+        "aggregate(s.embedding, CAST(0 AS DOUBLE),"
+        " (a, v) -> greatest(a, abs(CAST(v AS DOUBLE))))"
+    )
+    code_sum = F.expr(
+        "CAST(aggregate(d.embedding, CAST(0 AS DOUBLE),"
+        " (a, y) -> a + CASE WHEN scale > 0"
+        " THEN round(CAST(y AS DOUBLE) / scale) ELSE CAST(0 AS DOUBLE) END)"
+        " AS BIGINT)"
+    )
+    return j.select(
+        "vec_id",
+        (err <= mx / 254 * 1.000001 + 1e-12).alias("ok"),
+        code_sum.alias("code_sum"),
+    )
+
+
 def q_validate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gorilla_stream_spark.validate import validate_timeseries
 
@@ -551,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q44_corpus_report": q_corpus_report,
         "q45_neardup_tokens": q_neardup_tokens,
         "q46_multi_column_roundtrip": q_multi_column_roundtrip,
+        "q47_vec_quantized": q_vec_quantized,
     }
 
 
@@ -866,6 +902,21 @@ FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
 WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
 """,
         "q46_multi_column_roundtrip": _ROUNDTRIP_ORACLE,
+        "q47_vec_quantized": (
+            # recompute the int8 quantization rule from the source floats:
+            # scale = max|x|/127 (IEEE double), code = round(x/scale)
+            # (half-away, same as the engine kernel); the engine's code_sum
+            # comes from the actual stored bytes, so equality proves the
+            # stored integers match bit-for-bit
+            "WITH v AS (SELECT CAST(vec_id AS BIGINT) AS vec_id,"
+            "  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,"
+            "  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127"
+            "    AS scale FROM embeddings)"
+            " SELECT vec_id, TRUE AS ok,"
+            "  CAST(list_sum(list_transform(e, x -> CASE WHEN scale > 0"
+            "    THEN round(x / scale) ELSE 0 END)) AS BIGINT) AS code_sum"
+            " FROM v"
+        ),
         # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
         # topology — not SQL-expressible; rows-only checks.
     }

@@ -285,6 +285,13 @@ def main() -> int:
     ).first()
     extras["vector_ratio"] = vm["e"] / vm["r"] if vm["r"] else None
 
+    # opt-in lossy int8 storage: the realistic 100TB embedding-store ratio
+    t0 = time.time()
+    venc8 = encode_vectors(vecs, num_partitions=int(CPUS), quantize="int8")
+    v8 = venc8.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+    queries["q9b_encode_vectors_int8"] = time.time() - t0
+    extras["vector_ratio_int8"] = v8["e"] / v8["r"] if v8["r"] else None
+
     qvec = [(int(r.vec_id), list(r.embedding)) for r in vecs.limit(4).collect()]
     t0 = time.time()
     topk_dot(vecs, qvec, k=10, quantize="numpy").count()

@@ -13,8 +13,8 @@ from gorilla_stream_spark.codecs import floatcodecs, fsst, intcodecs
 
 (
     RAW, FOR, RLE, DICT, DELTA, DOD, FSST, GXOR, PAGED, SCALEDF, XORLAG,
-    CONTAINER, FORC, VECF32,
-) = range(14)
+    CONTAINER, FORC, VECF32, VECI8, VECF16,
+) = range(16)
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -31,6 +31,8 @@ CODEC_NAMES = {
     CONTAINER: "container",
     FORC: "forc",
     VECF32: "vecf32",
+    VECI8: "veci8",
+    VECF16: "vecf16",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 
@@ -57,6 +59,8 @@ DECODERS = {
     SCALEDF: floatcodecs.scaledf_decode,
     XORLAG: floatcodecs.xorlag_decode,
     VECF32: floatcodecs.f32_decode,
+    VECI8: floatcodecs.veci8_decode,
+    VECF16: floatcodecs.vecf16_decode,
 }
 
 FLOAT_CODECS = {"gxor", "xorlag", "scaledf", "fauto"}

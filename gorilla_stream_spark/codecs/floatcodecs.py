@@ -421,3 +421,98 @@ def f32_decode(buf: bytes | memoryview) -> np.ndarray:
             raise ValueError("f32scaled neg-zero index out of range")
         out[zidx] = np.float32(-0.0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Lossy vector-storage codecs (opt-in): per-vector int8 affine quantization
+# and fp16 truncation.  Reference precedent for lossy-given-N storage is the
+# decimal quantization helper (/root/reference/lib/gorilla_stream/
+# enhancements.ex:19-28); these are its embedding-storage analogs.  The
+# quantization rule is pure IEEE double arithmetic (abs/max/divide/
+# round-half-away) so codes are engine-reproducible (DuckDB recomputes them
+# bit-for-bit from the source floats).
+# ---------------------------------------------------------------------------
+
+
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    """SQL-round semantics (half away from zero) — numpy's np.round is
+    half-to-even and would disagree with Spark/DuckDB on exact .5."""
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+
+def veci8_encode(flat: np.ndarray, lens: np.ndarray) -> bytes:
+    """Body: [n_vecs u32][lens u32*n][scales f64*n][codes i8*total].
+
+    Per vector: scale = max|x|/127 (f64); code = clip(round_half_away(
+    x/scale), -127, 127) as int8.  Zero vectors get scale 0 / codes 0.
+    Self-describing (lens ride the buffer), so ``decode_array`` needs no
+    manifest.
+    """
+    flat = np.ascontiguousarray(flat, dtype=np.float32).astype(np.float64)
+    lens = np.asarray(lens, dtype=np.int64)
+    n = int(lens.size)
+    bitio.check_count(flat.size)
+    if int(lens.sum()) != flat.size:
+        raise ValueError("veci8: lens sum != value count")
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.intp)
+    scales = np.zeros(n, dtype=np.float64)
+    if flat.size:
+        maxabs = np.maximum.reduceat(np.abs(flat), starts)
+        maxabs[lens == 0] = 0.0
+        scales = maxabs / 127.0
+    codes = np.zeros(flat.size, dtype=np.int8)
+    nz = scales > 0
+    if nz.any():
+        per_val_scale = np.repeat(scales, lens)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            q = _round_half_away(np.where(per_val_scale > 0, flat / per_val_scale, 0.0))
+        codes = np.clip(q, -127, 127).astype(np.int8)
+    head = struct.pack("<I", n)
+    return (
+        head
+        + lens.astype("<u4").tobytes()
+        + scales.astype("<f8").tobytes()
+        + codes.tobytes()
+    )
+
+
+def veci8_parse(buf: bytes | memoryview):
+    """(lens:int64[n], scales:f64[n], codes:int8[total]) from a veci8 body."""
+    mv = memoryview(buf)
+    (n,) = struct.unpack_from("<I", mv, 0)
+    bitio.check_count(n)
+    off = 4
+    lens = np.frombuffer(mv, dtype="<u4", count=n, offset=off).astype(np.int64)
+    off += 4 * n
+    scales = np.frombuffer(mv, dtype="<f8", count=n, offset=off)
+    off += 8 * n
+    total = int(lens.sum())
+    bitio.check_count(total)
+    codes = np.frombuffer(mv, dtype=np.int8, count=total, offset=off)
+    if len(mv) != off + total:
+        raise ValueError(
+            f"veci8 length mismatch: buffer {len(mv)} != declared {off + total}"
+        )
+    return lens, scales, codes
+
+
+def veci8_decode(buf: bytes | memoryview) -> np.ndarray:
+    """Dequantize to float32: f32(code * scale) per value."""
+    lens, scales, codes = veci8_parse(buf)
+    per_val_scale = np.repeat(scales, lens)
+    return (codes.astype(np.float64) * per_val_scale).astype(np.float32)
+
+
+def vecf16_encode(flat: np.ndarray) -> bytes:
+    """Body: raw little-endian float16 truncation of the float32 values."""
+    flat = np.ascontiguousarray(flat, dtype=np.float32)
+    bitio.check_count(flat.size)
+    return flat.astype("<f2").tobytes()
+
+
+def vecf16_decode(buf: bytes | memoryview) -> np.ndarray:
+    """float16 -> float32 (exact widening)."""
+    mv = memoryview(buf)
+    if len(mv) % 2:
+        raise ValueError("vecf16 buffer length must be even")
+    return np.frombuffer(mv, dtype="<f2").astype(np.float32)

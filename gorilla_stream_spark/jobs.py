@@ -139,6 +139,7 @@ def cmd_encode_vectors(args) -> int:
     enc = encode_vectors(
         df, vec_col=args.vec_col, id_col=args.id_col,
         num_partitions=args.partitions, layout=args.layout,
+        quantize=args.quantize,
     )
     # lsh layout partitions the sink by bucket_pfx -> ann probes prune dirs
     write_vectors(enc, args.output)
@@ -239,6 +240,10 @@ def main(argv: list[str] | None = None) -> int:
     ev.add_argument("--id-col", default="vec_id")
     ev.add_argument("--partitions", type=int, default=None)
     ev.add_argument("--layout", default="hash", choices=["hash", "lsh"])
+    ev.add_argument(
+        "--quantize", default=None, choices=["int8", "fp16"],
+        help="opt-in lossy storage (default: bit-lossless f32)",
+    )
     ev.set_defaults(fn=cmd_encode_vectors)
 
     dv = sub.add_parser("decode-vectors", help="embedding block codec decode")

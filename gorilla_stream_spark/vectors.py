@@ -24,7 +24,13 @@ from pyspark import TaskContext
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from gorilla_stream_spark.codecs import VECF32, decode_array, floatcodecs
+from gorilla_stream_spark.codecs import (
+    VECF16,
+    VECF32,
+    VECI8,
+    decode_array,
+    floatcodecs,
+)
 from gorilla_stream_spark.engine import _block_bounds, _flatten_arrow
 
 __all__ = [
@@ -137,14 +143,23 @@ def encode_vectors(
     block_values: int = DEFAULT_BLOCK_VALUES,
     repartition: bool = True,
     layout: str = "hash",
+    quantize: str | None = None,
 ) -> DataFrame:
     """Encode an (id, array<float>) table into self-describing f32 blocks.
 
-    Bit-lossless: quantized/rounded embeddings collapse through the scaled
-    path onto the int codec family; full-precision embeddings ride the raw
-    floor (~4 B/value).  Each block row carries its vec-id list inline so
-    point lookups prune blocks without decoding (``decode_docs`` pattern,
-    ``engine.py:355``).
+    Default is bit-lossless: quantized/rounded embeddings collapse through
+    the scaled path onto the int codec family; full-precision embeddings
+    ride the raw floor (~4 B/value).  Each block row carries its vec-id list
+    inline so point lookups prune blocks without decoding (``decode_docs``
+    pattern, ``engine.py:355``).
+
+    ``quantize`` opts into LOSSY storage (a real 100 TB embedding store's
+    default): ``"int8"`` = per-vector affine quantization (scale =
+    max|x|/127 in the buffer; ~4x smaller, max abs error max|x|/254,
+    cosine/top-k rankings essentially preserved for unit-norm embeddings);
+    ``"fp16"`` = half-precision truncation (2x smaller, ~3 decimal digits).
+    ``crc32_raw`` gates the DEQUANTIZED float32 stream, so the strict decode
+    integrity check works identically for lossy blocks.
 
     ``layout="lsh"`` is the IVF-style similarity layout: rows shuffle by a
     coarse random-hyperplane bucket (2^INDEX_BITS cells) and sort by
@@ -160,6 +175,8 @@ def encode_vectors(
     """
     import pyarrow as pa
 
+    if quantize not in (None, "int8", "fp16"):
+        raise ValueError(f"unknown quantize mode {quantize!r}")
     slim = df.select(
         F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
     )
@@ -217,9 +234,24 @@ def encode_vectors(
             out: dict[str, list] = {k: [] for k in out_schema.names}
             for lo, hi in _grouped_bounds(lens, block_values, pfx):
                 flat = flat_all[offs[lo] : offs[hi]]
-                body = floatcodecs.f32_encode(flat)
-                buf = bytes([VECF32]) + body
                 raw = flat.tobytes()
+                if quantize == "int8":
+                    buf = bytes([VECI8]) + floatcodecs.veci8_encode(flat, lens[lo:hi])
+                    codec_name = "veci8"
+                elif quantize == "fp16":
+                    buf = bytes([VECF16]) + floatcodecs.vecf16_encode(flat)
+                    codec_name = "vecf16"
+                else:
+                    body = floatcodecs.f32_encode(flat)
+                    buf = bytes([VECF32]) + body
+                    codec_name = "f32scaled" if body[0] == 1 else "f32bits"
+                # lossy codecs crc the DEQUANTIZED stream (what decode
+                # returns) so the strict integrity gate stays meaningful
+                crc_raw = (
+                    zlib.crc32(raw)
+                    if quantize is None
+                    else zlib.crc32(decode_array(buf).astype(np.float32).tobytes())
+                )
                 out["block_id"].append((pid << 24) | seq)
                 out["part_id"].append(pid)
                 out["seq_in_part"].append(seq)
@@ -230,10 +262,10 @@ def encode_vectors(
                 out["lsh_keys"].append(
                     np.unique(buckets[lo:hi]) if buckets is not None else None
                 )
-                out["codec"].append("f32scaled" if body[0] == 1 else "f32bits")
+                out["codec"].append(codec_name)
                 out["raw_bytes"].append(len(raw))
                 out["enc_bytes"].append(len(buf))
-                out["crc32_raw"].append(zlib.crc32(raw))
+                out["crc32_raw"].append(crc_raw)
                 out["crc32_buf"].append(zlib.crc32(buf))
                 out["buffer"].append(buf)
                 if pfx is not None:
@@ -286,8 +318,18 @@ def write_vectors(
     w.parquet(path)
 
 
-def decode_vectors(enc_df: DataFrame, strict: bool = True) -> DataFrame:
-    """Decode vector blocks back to (vec_id, embedding) rows, bit-identical."""
+def decode_vectors(
+    enc_df: DataFrame, strict: bool = True, with_scale: bool = False
+) -> DataFrame:
+    """Decode vector blocks back to (vec_id, embedding) rows.
+
+    Lossless blocks reconstruct bit-identical; quantized blocks dequantize
+    (int8: f32(code*scale); fp16: exact widening).  ``with_scale=True`` adds
+    the per-vector int8 quantization ``scale`` column (NULL for non-int8
+    blocks) — with it the stored integer codes are exactly recoverable as
+    ``round(x/scale)``, which is what the q47 oracle cross-checks engine-
+    for-engine against DuckDB.
+    """
     import pyarrow as pa
 
     def fn(batches: Iterator) -> Iterator:
@@ -314,13 +356,20 @@ def decode_vectors(enc_df: DataFrame, strict: bool = True) -> DataFrame:
                     pa.array(offsets, type=pa.int32()),
                     pa.array(flat.astype(np.float32), type=pa.float32()),
                 )
-                yield pa.RecordBatch.from_arrays(
-                    [col["vec_ids"][i].values.cast(pa.int64()), vecs],
-                    names=["vec_id", "embedding"],
-                )
+                arrays = [col["vec_ids"][i].values.cast(pa.int64()), vecs]
+                names = ["vec_id", "embedding"]
+                if with_scale:
+                    if buf[0] == VECI8:
+                        _lens, scales, _codes = floatcodecs.veci8_parse(buf[1:])
+                        arrays.append(pa.array(scales, pa.float64()))
+                    else:
+                        arrays.append(pa.nulls(len(lens), pa.float64()))
+                    names.append("scale")
+                yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     needed = ["block_id", "vec_ids", "vec_lens", "crc32_raw", "crc32_buf", "buffer"]
-    return enc_df.select(*needed).mapInArrow(fn, "vec_id long, embedding array<float>")
+    ddl = "vec_id long, embedding array<float>" + (", scale double" if with_scale else "")
+    return enc_df.select(*needed).mapInArrow(fn, ddl)
 
 
 # ---------------------------------------------------------------------------

@@ -245,3 +245,71 @@ def test_ann_fallback_semi_join_no_pfx(spark):
     enc = V.encode_vectors(df, num_partitions=2, layout="lsh").drop("bucket_pfx")
     out = V.ann_search(enc, [(0, rows[0][1])], k=5)
     assert out.count() <= 5  # runs end-to-end through the semi-join path
+
+
+def test_int8_quantized_roundtrip_bound_and_ratio(spark, emb):
+    # per-vector int8: error bounded by max|x|/254, ~4x smaller, codec tagged
+    enc = V.encode_vectors(emb, num_partitions=3, quantize="int8").cache()
+    assert {r.codec for r in enc.select("codec").distinct().collect()} == {"veci8"}
+    m = enc.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+    assert m["e"] / m["r"] < 0.35, m
+    dec = V.decode_vectors(enc, with_scale=True)
+    j = (
+        emb.select(F.col("vec_id").cast("long").alias("vec_id"), "embedding")
+        .alias("s")
+        .join(dec.alias("d"), "vec_id")
+    )
+    rows = j.select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(s.embedding, d.embedding,"
+            " (x,y) -> abs(CAST(x AS DOUBLE)-CAST(y AS DOUBLE))),"
+            " CAST(0 AS DOUBLE), (a,v) -> greatest(a,v))"
+        ).alias("err"),
+        F.expr(
+            "aggregate(s.embedding, CAST(0 AS DOUBLE),"
+            " (a,v) -> greatest(a, abs(CAST(v AS DOUBLE))))"
+        ).alias("mx"),
+        "d.scale",
+    ).collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert r.err <= r.mx / 254 * 1.000001 + 1e-12, r
+        assert r.scale is not None and abs(r.scale - r.mx / 127) < 1e-15
+
+
+def test_int8_codes_match_numpy_recompute(spark, emb):
+    # the stored integer codes, recovered from the dequantized stream, equal
+    # an independent numpy recomputation of the quantization rule
+    enc = V.encode_vectors(emb, num_partitions=2, quantize="int8")
+    dec = {
+        r.vec_id: (np.array(r.embedding, np.float32), r.scale)
+        for r in V.decode_vectors(enc, with_scale=True).collect()
+    }
+    for r in emb.collect():
+        x = np.array(r.embedding, np.float64)
+        scale = np.abs(x).max() / 127.0
+        v = x / scale if scale > 0 else np.zeros_like(x)
+        want = np.clip(np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)), -127, 127)
+        got_f, got_scale = dec[int(r.vec_id)]
+        got = np.round(got_f.astype(np.float64) / got_scale) if got_scale > 0 else got_f
+        np.testing.assert_array_equal(got, want)
+
+
+def test_fp16_quantized_roundtrip_exact_half(spark, emb):
+    # fp16 mode stores exactly the half-precision truncation (2x smaller)
+    enc = V.encode_vectors(emb, num_partitions=2, quantize="fp16")
+    assert {r.codec for r in enc.select("codec").distinct().collect()} == {"vecf16"}
+    dec = {r.vec_id: np.array(r.embedding, np.float32) for r in V.decode_vectors(enc).collect()}
+    for r in emb.collect():
+        want = np.array(r.embedding, np.float32).astype(np.float16).astype(np.float32)
+        np.testing.assert_array_equal(dec[int(r.vec_id)], want)
+
+
+def test_quantized_decode_strict_crc_gate(spark, emb):
+    # strict decode still gates integrity on the DEQUANTIZED stream
+    enc = V.encode_vectors(emb, num_partitions=1, quantize="int8")
+    bad = enc.withColumn("crc32_buf", F.col("crc32_buf") + 1)
+    with pytest.raises(Exception, match="crc32 mismatch"):
+        V.decode_vectors(bad, strict=True).count()
+    assert V.decode_vectors(bad, strict=False).count() == emb.count()
