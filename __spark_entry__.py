@@ -11,8 +11,10 @@ codec auto-selection, return the per-codec manifest rollup.
 * codec-stage queries (delta, delta-of-delta, zigzag, RLE run stats,
   frame-of-reference residuals, dict codes, counter-undelta, selector
   features) are expressed both in Spark and ANSI SQL — strong value oracles.
-* bit-level-only operators (estimate, skew stats, manifest sizes) have no
-  SQL form -> rows-only checks (documented weaker gate).
+* bit-level/topology operators (estimate, codec mix, skew stats) check
+  reduced INVARIANT oracles: exact conservation totals (token/doc sums)
+  plus boolean bounds (est <= raw, codec in registry, skew bounded) — every
+  query carries an oracle, none are rows-only.
 
 Tokens are derived deterministically from ``documents.text`` (one token per
 character, ascii code) so the Spark side and the DuckDB oracle agree on the
@@ -221,30 +223,53 @@ def q_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return validate(dirty).groupBy("issue").agg(F.count("*").cast("long").alias("n"))
 
 
-# --- rows-only operators (no SQL form; driver records weaker check) --------
+# --- bit-level / topology operators: reduced INVARIANT oracles -------------
+# Per-block est sizes, codec mix, and partition topology have no SQL form,
+# but their engine invariants do: exact token/doc conservation totals plus
+# boolean bounds (est <= raw, codec in registry, skew bounded).  The Spark
+# side computes the real operator and checks the invariants; the oracle
+# recomputes the exact totals and asserts the booleans TRUE.
+
+_CODEC_REGISTRY = "('raw','for','forc','rle','dict','delta','dod','fsst','paged')"
 
 
 def q_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gorilla_stream_spark import estimate
 
-    return estimate(_tokens_from_documents(spark, sf_dir))
+    est = estimate(_tokens_from_documents(spark, sf_dir))
+    return est.agg(
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        F.expr("bool_and(est_bytes > 0 AND est_bytes <= raw_bytes)").alias("ok_est_bounds"),
+        F.expr(f"bool_and(codec IN {_CODEC_REGISTRY})").alias("ok_codecs"),
+        F.expr("bool_and(card <= n_tokens AND n_runs <= n_tokens)").alias("ok_features"),
+    )
 
 
 def q_codec_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gorilla_stream_spark import encode
 
     enc = encode(_tokens_from_documents(spark, sf_dir), codec="auto", num_partitions=4)
-    return enc.groupBy("codec").agg(
-        F.count("*").alias("n_blocks"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.sum("enc_bytes").alias("enc_bytes"),
+    return enc.agg(
+        F.sum("n_docs").cast("long").alias("n_docs_total"),
+        F.sum("n_tokens").cast("long").alias("n_tokens_total"),
+        F.expr(f"bool_and(codec IN {_CODEC_REGISTRY})").alias("ok_codecs"),
+        F.expr("bool_and(enc_bytes > 0 AND enc_bytes < raw_bytes)").alias("ok_compresses"),
     )
 
 
 def q_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gorilla_stream_spark.skew import salted_repartition, skew_stats
 
-    return skew_stats(salted_repartition(_tokens_from_documents(spark, sf_dir), num_partitions=4))
+    st = skew_stats(
+        salted_repartition(_tokens_from_documents(spark, sf_dir), num_partitions=4)
+    )
+    return st.agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.sum("rows").cast("long").alias("rows_total"),
+        F.sum("tokens").cast("long").alias("tokens_total"),
+        # hash-salted: no partition may hold more than half the corpus
+        F.expr("max(tokens) * 2 <= sum(tokens)").alias("ok_balance"),
+    )
 
 
 def q_scaledf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -716,6 +741,22 @@ def oracle_sql() -> dict[str, str]:
         "q20_validate": (
             "SELECT 'duplicate_doc_id' AS issue, CAST(5 AS BIGINT) AS n"
         ),
+        "q21_estimate": (
+            "SELECT CAST(sum(length(text)) AS BIGINT) AS n_tokens_total,"
+            " TRUE AS ok_est_bounds, TRUE AS ok_codecs, TRUE AS ok_features"
+            " FROM documents"
+        ),
+        "q22_codec_mix": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs_total,"
+            " CAST(sum(length(text)) AS BIGINT) AS n_tokens_total,"
+            " TRUE AS ok_codecs, TRUE AS ok_compresses FROM documents"
+        ),
+        "q23_skew_stats": (
+            "SELECT CAST(4 AS BIGINT) AS n_parts,"
+            " CAST(count(*) AS BIGINT) AS rows_total,"
+            " CAST(sum(length(text)) AS BIGINT) AS tokens_total,"
+            " TRUE AS ok_balance FROM documents"
+        ),
         "q24_roundtrip_container": _ROUNDTRIP_ORACLE,
         "q25_scaledf_roundtrip": (
             "SELECT CAST(count(*) AS BIGINT) AS cnt,"
@@ -902,6 +943,8 @@ FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
 WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
 """,
         "q46_multi_column_roundtrip": _ROUNDTRIP_ORACLE,
+        # (every query now carries an oracle — q21/q22/q23 use reduced
+        # invariant oracles: exact conservation totals + boolean bounds)
         "q47_vec_quantized": (
             # recompute the int8 quantization rule from the source floats:
             # scale = max|x|/127 (IEEE double), code = round(x/scale)
@@ -917,6 +960,4 @@ WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
             "    THEN round(x / scale) ELSE 0 END)) AS BIGINT) AS code_sum"
             " FROM v"
         ),
-        # q21_estimate / q22_codec_mix / q23_skew_stats: bit-level + partition
-        # topology — not SQL-expressible; rows-only checks.
     }

@@ -246,19 +246,36 @@ def main() -> int:
         queries["q8c_simhash_hof"] / queries["q8b_simhash_kernel"]
     )
 
-    # vectors: deterministic pseudo-random float32, 10M values per sf-unit
+    # vectors: mixture-of-Gaussians embeddings (256 unit-norm cluster
+    # centers, ~86% clustered members + ~14% background noise, all rows
+    # L2-normalized) — the realistic shape for ANN pruning and quantized
+    # storage, replacing the former pure-noise fixture whose ratio/pruning
+    # numbers were worst-case by construction (FIXTURES.md "embeddings-mog")
     n_vecs = max(10_000, int(10_000_000 * sf))
     dim = 64
-    vec_path = os.path.join(CACHE, f"vecs_{n_vecs}")
+    n_clusters = 256
+    vec_path = os.path.join(CACHE, f"vecs_mog_{n_vecs}")
     if not os.path.exists(os.path.join(vec_path, "_SUCCESS")):
         import numpy as _np
         import pyarrow as _pa
 
+        _crng = _np.random.default_rng(777)
+        centers = _crng.normal(0, 1.0, (n_clusters, dim))
+        centers /= _np.linalg.norm(centers, axis=1, keepdims=True)
+
         def gen(batches):
             for rb in batches:
                 ids = rb.column(0).to_numpy(zero_copy_only=False)
-                rng = _np.random.default_rng(ids[0] if len(ids) else 0)
-                M = rng.normal(0, 0.2, (len(ids), dim)).astype(_np.float32)
+                if not len(ids):
+                    continue
+                rng = _np.random.default_rng(1_000_003 + int(ids[0]))
+                cl = (ids % n_clusters).astype(int)
+                M = centers[cl] + rng.normal(0, 0.08, (len(ids), dim))
+                noise = (ids % 7) == 3
+                if noise.any():
+                    M[noise] = rng.normal(0, 1.0, (int(noise.sum()), dim))
+                M /= _np.linalg.norm(M, axis=1, keepdims=True)
+                M = M.astype(_np.float32)
                 yield _pa.RecordBatch.from_arrays(
                     [
                         _pa.array(ids, _pa.int64()),

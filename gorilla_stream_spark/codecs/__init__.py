@@ -156,7 +156,7 @@ def encode_paged(
 # this layer is opt-in for buffer-level control (e.g. non-Parquet sinks).
 # ---------------------------------------------------------------------------
 
-_ZLIB, _ZSTD = 1, 2
+_ZLIB, _ZSTD, _OPENZL = 1, 2, 3
 
 # largest legitimate inner buffer: MAX_COUNT elements * 8 B + header slack
 _MAX_CONTAINER_LEN = (1 << 31) + (1 << 16)
@@ -167,6 +167,26 @@ try:  # zstd via pyarrow's bundled codec; no extra install
     _ZSTD_CODEC = _pa.Codec("zstd")
 except Exception:  # pragma: no cover
     _ZSTD_CODEC = None
+
+try:  # openzl: optional native dep, mirroring the reference's opt-in openzl
+    # container (/root/reference/lib/gorilla_stream/compression/
+    # container.ex:107-132) — absent in this environment; import-guarded
+    import openzl as _OPENZL_MOD  # pragma: no cover - environment-dependent
+except Exception:
+    _OPENZL_MOD = None
+
+
+def _openzl_compress(data: bytes) -> bytes:  # pragma: no cover - needs lib
+    if hasattr(_OPENZL_MOD, "compress"):
+        return bytes(_OPENZL_MOD.compress(data))
+    raise ValueError("openzl binding lacks compress()")
+
+
+def _openzl_decompress(data: bytes) -> bytes:  # pragma: no cover - needs lib
+    if hasattr(_OPENZL_MOD, "decompress"):
+        return bytes(_OPENZL_MOD.decompress(data))
+    raise ValueError("openzl binding lacks decompress()")
+
 
 _ZSTD_LEVELED: dict[int, object] = {}
 
@@ -196,8 +216,15 @@ def wrap_container(buf: bytes, method: str = "auto", level: int | None = None) -
 
     if method == "none":
         return buf
-    if method not in ("auto", "zstd", "zlib"):
+    if method not in ("auto", "zstd", "zlib", "openzl"):
         raise ValueError(f"unknown container method {method!r}")
+    if method == "openzl":
+        # opt-in only (never part of "auto"), exactly like the reference's
+        # :openzl container — an optional native dependency there too
+        if _OPENZL_MOD is None:
+            raise ValueError("openzl codec unavailable (package not installed)")
+        comp = _openzl_compress(bytes(buf))  # pragma: no cover - needs lib
+        return bytes([CONTAINER, _OPENZL]) + _struct.pack("<I", len(buf)) + comp
     use_zstd = _ZSTD_CODEC is not None and method in ("auto", "zstd")
     if method == "zstd" and _ZSTD_CODEC is None:
         raise ValueError("zstd codec unavailable")
@@ -236,6 +263,10 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
                 if _ZSTD_CODEC is None:
                     raise ValueError("zstd container but codec unavailable")
                 inner = bytes(_ZSTD_CODEC.decompress(body, orig_len))
+            elif mid == _OPENZL:
+                if _OPENZL_MOD is None:
+                    raise ValueError("openzl container but codec unavailable")
+                inner = _openzl_decompress(body)  # pragma: no cover - needs lib
             else:
                 # decompress(body, max_length=orig_len) TRUNCATES at orig_len,
                 # so a corrupt header declaring a too-small size would pass the

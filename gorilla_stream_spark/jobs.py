@@ -118,16 +118,30 @@ def cmd_dedup(args) -> int:
 
 
 def cmd_neardup(args) -> int:
-    """MinHash-LSH near-duplicate pairs: write (doc_a, doc_b)."""
-    from gorilla_stream_spark.textops import neardup_pairs
+    """MinHash-LSH near-duplicate pairs: write (doc_a, doc_b).
+
+    ``--dedup-first`` drops exact copies before candidate generation: a
+    group of E exact copies shares every band bucket and would emit E^2/2
+    candidate pairs, so dup-heavy corpora pay quadratically for content
+    that exact dedup removes in linear time.
+    """
+    from gorilla_stream_spark.textops import dedup_exact, neardup_pairs
 
     spark = _spark("gss-neardup")
     df = spark.read.parquet(args.input)
+    n_in = None
+    if args.dedup_first:
+        n_in = df.count()
+        df = dedup_exact(df, content_col=args.text_col, id_col=args.id_col)
     pairs = neardup_pairs(
         df, text_col=args.text_col, id_col=args.id_col, threshold_pct=args.threshold
     )
     pairs.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"pairs": spark.read.parquet(args.output).count()}))
+    out = {"pairs": spark.read.parquet(args.output).count()}
+    if args.dedup_first:
+        out["rows_in"] = n_in
+        out["rows_after_dedup"] = df.count()
+    print(json.dumps(out))
     return 0
 
 
@@ -231,6 +245,10 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--text-col", default="text")
     nd.add_argument("--id-col", default="doc_id")
     nd.add_argument("--threshold", type=int, default=70, help="jaccard %% threshold")
+    nd.add_argument(
+        "--dedup-first", action="store_true",
+        help="exact-dedup before near-dup (avoids E^2 pairs on exact-copy groups)",
+    )
     nd.set_defaults(fn=cmd_neardup)
 
     ev = sub.add_parser("encode-vectors", help="embedding block codec encode")

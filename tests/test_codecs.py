@@ -393,3 +393,27 @@ def test_fauto_beats_gorilla_and_chimp_cost_models():
         fa = len(encode_array(vals, codec="fauto")) * 8 / n
         assert fa <= min(g, c) + 0.05, f"{name}: fauto {fa:.2f} vs best {min(g,c):.2f}"
         assert gx <= c + 2.5, f"{name}: gxor {gx:.2f} vs chimp {c:.2f}"
+
+
+def test_openzl_container_guarded():
+    # openzl mirrors the reference's opt-in optional-native-dep container:
+    # with the lib absent, requesting it fails cleanly at encode AND a buffer
+    # claiming openzl fails cleanly at decode; with it present, round-trips
+    import struct as _struct
+
+    from gorilla_stream_spark import codecs as _codecs
+
+    inner = _codecs.encode_array(np.arange(64, dtype=np.int64), codec="raw")
+    if _codecs._OPENZL_MOD is None:
+        with pytest.raises(ValueError, match="openzl codec unavailable"):
+            _codecs.wrap_container(inner, "openzl")
+        fake = bytes([_codecs.CONTAINER, _codecs._OPENZL]) + _struct.pack(
+            "<I", len(inner)
+        ) + b"\x00" * 8
+        with pytest.raises(ValueError, match="openzl container but codec unavailable"):
+            _codecs.decode_array(fake)
+    else:  # pragma: no cover - environment-dependent
+        wrapped = _codecs.wrap_container(inner, "openzl")
+        np.testing.assert_array_equal(
+            _codecs.decode_array(wrapped), np.arange(64, dtype=np.int64)
+        )
