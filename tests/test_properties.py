@@ -208,3 +208,98 @@ def test_corrupted_container_paged_never_hangs(vals, pos, newbyte, level):
     except (ValueError, KeyError, IndexError, OverflowError, struct_error):
         pass
     assert time.perf_counter() - t0 < 5.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.data(),
+    n_vecs=st.integers(min_value=1, max_value=12),
+)
+def test_veci8_quantization_invariants(data, n_vecs):
+    # searched invariants of the lossy int8 vector codec: error bound
+    # max|x|/254 per vector, codes in [-127, 127], exact length recovery,
+    # zero vectors round-trip to zeros
+    from gorilla_stream_spark.codecs import VECI8
+
+    lens = np.array(
+        [data.draw(st.integers(min_value=0, max_value=24)) for _ in range(n_vecs)],
+        dtype=np.int64,
+    )
+    total = int(lens.sum())
+    flat = np.array(
+        [
+            data.draw(
+                st.floats(
+                    width=32, allow_nan=False, allow_infinity=False,
+                    min_value=-1e4, max_value=1e4,
+                )
+            )
+            for _ in range(total)
+        ],
+        dtype=np.float32,
+    )
+    buf = bytes([VECI8]) + floatcodecs.veci8_encode(flat, lens)
+    out = decode_array(buf)
+    assert out.dtype == np.float32 and out.size == total
+    l2, scales, codes = floatcodecs.veci8_parse(memoryview(buf)[1:])
+    np.testing.assert_array_equal(l2, lens)
+    if codes.size:
+        assert codes.min() >= -127 and codes.max() <= 127
+    start = 0
+    for ln, sc in zip(lens, scales):
+        seg = flat[start : start + ln].astype(np.float64)
+        dec = out[start : start + ln].astype(np.float64)
+        if ln:
+            mx = np.abs(seg).max()
+            assert sc == mx / 127.0  # identical IEEE op as the encoder
+            if mx == 0:
+                np.testing.assert_array_equal(dec, 0.0)
+            else:
+                assert np.abs(dec - seg).max() <= mx / 254 * 1.000001 + 1e-12
+        start += ln
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    vals=arrays(
+        np.float32,
+        st.integers(min_value=0, max_value=300),
+        elements=st.floats(width=32, allow_nan=False, allow_infinity=False,
+                           min_value=-1e4, max_value=1e4),
+    ),
+)
+def test_vecf16_is_exact_half_truncation(vals):
+    from gorilla_stream_spark.codecs import VECF16
+
+    buf = bytes([VECF16]) + floatcodecs.vecf16_encode(vals)
+    out = decode_array(buf)
+    np.testing.assert_array_equal(out, vals.astype(np.float16).astype(np.float32))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    vals=arrays(
+        np.float32,
+        st.integers(min_value=1, max_value=64),
+        elements=st.floats(width=32, allow_nan=False, allow_infinity=False,
+                           min_value=-10, max_value=10),
+    ),
+    pos=st.integers(min_value=1, max_value=10**9),
+    newbyte=st.integers(min_value=0, max_value=255),
+)
+def test_corrupted_veci8_never_hangs(vals, pos, newbyte):
+    import time
+
+    from gorilla_stream_spark.codecs import VECI8
+
+    lens = np.array([vals.size], dtype=np.int64)
+    buf = bytearray(bytes([VECI8]) + floatcodecs.veci8_encode(vals, lens))
+    i = 1 + (pos % max(len(buf) - 1, 1))
+    buf[i] = newbyte
+    t0 = time.perf_counter()
+    try:
+        out = decode_array(bytes(buf))
+        assert out.size <= bitio.MAX_COUNT
+    except (ValueError, KeyError, IndexError, OverflowError, struct_error):
+        pass
+    assert time.perf_counter() - t0 < 5.0
