@@ -145,6 +145,41 @@ def cmd_neardup(args) -> int:
     return 0
 
 
+def cmd_encode_multi(args) -> int:
+    """Per-column encode of several array<int> columns (tokens + masks +
+    labels...) into one block table; codec auto-selected per column/page."""
+    from gorilla_stream_spark.engine import encode_multi
+
+    spark = _spark("gss-encode-multi")
+    cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+    df = spark.read.parquet(args.input)
+    enc = encode_multi(
+        df, cols, id_col=args.id_col, num_partitions=args.partitions, codec=args.codec
+    )
+    enc.write.mode("overwrite").option("compression", "snappy").parquet(args.output)
+    m = spark.read.parquet(args.output).agg(
+        F.count("*").alias("blocks"), F.sum("raw_bytes").alias("raw"),
+        F.sum("enc_bytes").alias("enc"),
+    ).first()
+    print(json.dumps({
+        "blocks": m["blocks"], "columns": cols, "raw_bytes": m["raw"],
+        "enc_bytes": m["enc"],
+        "ratio": (m["enc"] / m["raw"]) if m["raw"] else None,
+    }))
+    return 0
+
+
+def cmd_decode_multi(args) -> int:
+    from gorilla_stream_spark.engine import decode_multi
+
+    spark = _spark("gss-decode-multi")
+    cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+    dec = decode_multi(spark.read.parquet(args.input), cols, strict=not args.tolerant)
+    dec.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count(), "columns": cols}))
+    return 0
+
+
 def cmd_encode_vectors(args) -> int:
     from gorilla_stream_spark.vectors import encode_vectors, write_vectors
 
@@ -250,6 +285,22 @@ def main(argv: list[str] | None = None) -> int:
         help="exact-dedup before near-dup (avoids E^2 pairs on exact-copy groups)",
     )
     nd.set_defaults(fn=cmd_neardup)
+
+    em = sub.add_parser("encode-multi", help="per-column encode of several array<int> columns")
+    em.add_argument("--input", required=True)
+    em.add_argument("--output", required=True)
+    em.add_argument("--columns", required=True, help="comma-separated array<int> column names")
+    em.add_argument("--id-col", default="doc_id")
+    em.add_argument("--codec", default="auto")
+    em.add_argument("--partitions", type=int, default=None)
+    em.set_defaults(fn=cmd_encode_multi)
+
+    dm = sub.add_parser("decode-multi", help="decode multi-column blocks")
+    dm.add_argument("--input", required=True)
+    dm.add_argument("--output", required=True)
+    dm.add_argument("--columns", required=True, help="comma-separated column names (block order)")
+    dm.add_argument("--tolerant", action="store_true")
+    dm.set_defaults(fn=cmd_decode_multi)
 
     ev = sub.add_parser("encode-vectors", help="embedding block codec encode")
     ev.add_argument("--input", required=True)

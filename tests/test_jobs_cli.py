@@ -72,3 +72,33 @@ def test_ann_cli(spark, tmp_path, capsys):
     # self-match must rank first with the max score
     for r in got.filter(F.col("rank") == 1).collect():
         assert r.query_id == r.vec_id
+
+
+def test_encode_multi_cli_roundtrip(spark, tmp_path, capsys):
+    src = str(tmp_path / "msrc")
+    enc = str(tmp_path / "menc")
+    dec = str(tmp_path / "mdec")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("transform(split(text,''), c -> ascii(c))").cast("array<int>").alias("tokens"),
+        F.expr("transform(split(text,''), c -> CASE WHEN c = ' ' THEN 0 ELSE 1 END)")
+        .cast("array<int>").alias("mask"),
+    )
+    toks.write.parquet(src)
+    assert jobs.main([
+        "encode-multi", "--input", src, "--output", enc,
+        "--columns", "tokens,mask", "--partitions", "2",
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["columns"] == ["tokens", "mask"] and m["ratio"] < 1
+    assert jobs.main([
+        "decode-multi", "--input", enc, "--output", dec, "--columns", "tokens,mask",
+    ]) == 0
+    got = spark.read.parquet(dec)
+    j = toks.alias("s").join(got.alias("d"), "doc_id")
+    assert j.count() == toks.count()
+    bad = j.filter(
+        (F.col("s.tokens") != F.col("d.tokens")) | (F.col("s.mask") != F.col("d.mask"))
+    ).count()
+    assert bad == 0
