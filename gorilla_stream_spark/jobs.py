@@ -134,7 +134,8 @@ def cmd_neardup(args) -> int:
         n_in = df.count()
         df = dedup_exact(df, content_col=args.text_col, id_col=args.id_col)
     pairs = neardup_pairs(
-        df, text_col=args.text_col, id_col=args.id_col, threshold_pct=args.threshold
+        df, text_col=args.text_col, id_col=args.id_col, threshold_pct=args.threshold,
+        verify=args.verify_mode,
     )
     pairs.write.mode("overwrite").parquet(args.output)
     out = {"pairs": spark.read.parquet(args.output).count()}
@@ -280,6 +281,11 @@ def main(argv: list[str] | None = None) -> int:
     nd.add_argument("--text-col", default="text")
     nd.add_argument("--id-col", default="doc_id")
     nd.add_argument("--threshold", type=int, default=70, help="jaccard %% threshold")
+    nd.add_argument(
+        "--verify-mode", default="cached", choices=["cached", "recompute"],
+        help="shingle sets for exact verify: cached corpus-wide (fast, fits-in-"
+             "storage corpora) or recomputed for candidates only (10^12-doc shape)",
+    )
     nd.add_argument(
         "--dedup-first", action="store_true",
         help="exact-dedup before near-dup (avoids E^2 pairs on exact-copy groups)",

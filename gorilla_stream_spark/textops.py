@@ -394,6 +394,7 @@ def shingle_minhash(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 128,
+    with_sh: bool = True,
 ) -> DataFrame:
     """(doc_id, sh: distinct k-shingle hashes, sig: MinHash signature) in ONE
     vectorized Arrow pass — no interpreted per-element Spark expressions.
@@ -419,9 +420,12 @@ def shingle_minhash(
     mix_rng = np.random.default_rng(_SH_MIX[0] & 0xFFFFFFFF)
     MIX = (mix_rng.integers(1, 2**63 - 1, k).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
 
-    out_schema = pa.schema(
-        [("doc_id", pa.int64()), ("sh", pa.list_(pa.int64())), ("sig", pa.list_(pa.int64()))]
-    )
+    fields = [("doc_id", pa.int64())]
+    if with_sh:
+        fields.append(("sh", pa.list_(pa.int64())))
+    fields.append(("sig", pa.list_(pa.int64())))
+    out_schema = pa.schema(fields)
+    out_ddl = "doc_id long, " + ("sh array<long>, " if with_sh else "") + "sig array<long>"
 
     def fn(batches):
         import pyarrow.compute as pc
@@ -474,22 +478,23 @@ def shingle_minhash(
             keep = slens > 0
             offs_all = np.concatenate(([0], np.cumsum(slens[keep])))
             sig = _affine_min_sig(h, offs_all[:-1].astype(np.intp), A, B)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids[keep], pa.int64()),
+            arrays = [pa.array(ids[keep], pa.int64())]
+            if with_sh:
+                arrays.append(
                     pa.ListArray.from_arrays(
                         pa.array(offs_all.astype(np.int32), pa.int32()),
                         pa.array(h.view(np.int64), pa.int64()),
-                    ),
-                    pa.FixedSizeListArray.from_arrays(
-                        pa.array(sig.view(np.int64).ravel(), type=pa.int64()), num_hashes
-                    ).cast(pa.list_(pa.int64())),
-                ],
-                schema=out_schema,
+                    )
+                )
+            arrays.append(
+                pa.FixedSizeListArray.from_arrays(
+                    pa.array(sig.view(np.int64).ravel(), type=pa.int64()), num_hashes
+                ).cast(pa.list_(pa.int64()))
             )
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     slim = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
-    return slim.mapInArrow(fn, "doc_id long, sh array<long>, sig array<long>")
+    return slim.mapInArrow(fn, out_ddl)
 
 
 def minhash_signature(shingled: DataFrame, num_hashes: int = 128) -> DataFrame:
@@ -571,6 +576,7 @@ def neardup_pairs(
     k: int = 3,
     num_hashes: int = 128,
     rows_per_band: int = 2,
+    verify: str = "cached",
 ) -> DataFrame:
     """Near-duplicate pairs: MinHash-LSH candidates + exact jaccard verify.
 
@@ -585,38 +591,72 @@ def neardup_pairs(
     E^2/2 candidate pairs — that is the correct answer, but on dup-heavy
     corpora run :func:`dedup_exact` first so near-dup detection only pays
     for genuinely-distinct content.
+
+    ``verify`` picks the shingle-set strategy for the exact-verify stage:
+
+    * ``"cached"`` (default): ONE kernel pass emits signatures + shingle
+      sets, both cached — fastest when the per-doc sets fit executor
+      storage (sets are ~2-3 KB/doc).
+    * ``"recompute"`` (the 10^12-doc shape): pass 1 computes SIGNATURES
+      ONLY corpus-wide (1 KB/doc cached — 3x lighter); after banding
+      yields candidates, pass 2 recomputes shingle sets for the CANDIDATE
+      docs only (broadcast-semi-pruned before the kernel), so the heavy
+      per-doc sets are never materialized, cached, or shuffled for the
+      non-candidate bulk of the corpus.  Costs ~2 extra jobs + one pruned
+      corpus re-scan — noise at scale, measurable on small corpora.
+
+    Both modes return identical pairs (pinned by test).
     """
-    shmin = shingle_minhash(
-        df, text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes
-    )
-    sig = shmin.select("doc_id", "sig")
+    if verify not in ("cached", "recompute"):
+        raise ValueError(f"unknown verify mode {verify!r}")
+    slim = df.select(F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_text"))
+    if verify == "cached":
+        shmin = shingle_minhash(
+            slim, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
+            with_sh=True,
+        ).persist()
+        cand = lsh_candidate_pairs(
+            shmin.select("doc_id", "sig"), rows_per_band=rows_per_band,
+            num_hashes=num_hashes,
+        ).persist()
+        cand.count()  # materialize before the broadcast subtrees build
+        return _verify_pairs(shmin.select("doc_id", "sh"), cand, threshold_pct)
+    sig = shingle_minhash(
+        slim, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
+        with_sh=False,
+    ).persist()
     cand = lsh_candidate_pairs(sig, rows_per_band=rows_per_band, num_hashes=num_hashes)
-    return _verify_pairs(shmin, cand, threshold_pct)
-
-
-def _verify_pairs(shmin: DataFrame, cand: DataFrame, threshold_pct: int) -> DataFrame:
-    """Exact integer-jaccard verification of candidate pairs.
-
-    The shingle-set table is pruned to candidate ids with BROADCAST
-    semi-joins (8 B/id) before the wide join, so the heavy shingle arrays
-    of non-candidate documents never shuffle — the verify stage's cost is
-    proportional to the candidate set, not the corpus.
-
-    ``shmin``/``cand`` feed multiple branches of the plan; they are persisted
-    (memory, spilling to disk) so the signature kernel runs ONCE, not once
-    per branch.  Storage is released when the DataFrames are garbage
-    collected or the session ends; at 10^12 scale checkpoint the signature
-    table to storage instead.
-    """
-    shmin = shmin.persist()
     cand = cand.persist()
-    # materialize BOTH caches with one action before the join plan builds:
-    # the broadcast subtrees below otherwise evaluate concurrently with the
-    # main plan and race the cache population — the signature kernel and the
+    # materialize the caches with one action before the join plan builds:
+    # the broadcast subtrees otherwise evaluate concurrently with the main
+    # plan and race the cache population — the signature kernel and the
     # band join were measured running ~1.4x redundantly without this
     cand.count()
-    sa = shmin.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = shmin.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("__nd_id"))
+        .union(cand.select(F.col("doc_b").alias("__nd_id")))
+        .distinct()
+    )
+    docs_c = slim.join(F.broadcast(cand_ids), "__nd_id", "left_semi")
+    shc = shingle_minhash(
+        docs_c, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
+        with_sh=True,
+    ).select("doc_id", "sh").persist()
+    return _verify_pairs(shc, cand, threshold_pct)
+
+
+def _verify_pairs(sh_df: DataFrame, cand: DataFrame, threshold_pct: int) -> DataFrame:
+    """Exact integer-jaccard verification of candidate pairs.
+
+    ``sh_df`` is a (doc_id, sh) table covering at least every candidate id;
+    it is pruned to candidate ids with BROADCAST semi-joins (8 B/id) before
+    the wide join, so shingle arrays of non-candidate documents never
+    shuffle — the verify stage's cost is proportional to the candidate set,
+    not the corpus.  Callers persist/materialize ``sh_df`` and ``cand``
+    (both feed multiple plan branches).
+    """
+    sa = sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     sa = sa.join(F.broadcast(cand.select("doc_a").distinct()), "doc_a", "left_semi")
     sb = sb.join(F.broadcast(cand.select("doc_b").distinct()), "doc_b", "left_semi")
     joined = cand.join(sa, "doc_a").join(sb, "doc_b")
@@ -751,8 +791,9 @@ def neardup_pairs_tokens(
     token sequences instead of word shingles)."""
     shmin = token_shingle_minhash(
         df, tokens_col=tokens_col, id_col=id_col, k=k, num_hashes=num_hashes
-    )
+    ).persist()
     cand = lsh_candidate_pairs(
         shmin.select("doc_id", "sig"), rows_per_band=rows_per_band, num_hashes=num_hashes
-    )
-    return _verify_pairs(shmin, cand, threshold_pct)
+    ).persist()
+    cand.count()  # materialize before the broadcast subtrees build
+    return _verify_pairs(shmin.select("doc_id", "sh"), cand, threshold_pct)

@@ -191,3 +191,11 @@ def test_simhash_kernel_null_text(spark):
     df = spark.createDataFrame([(1, None), (2, "x")], "doc_id long, text string")
     got = {r.doc_id: r.simhash for r in T.simhash(df).collect()}
     assert got[1] is None and got[2] is not None
+
+
+def test_neardup_verify_modes_identical(spark, docs):
+    a = {tuple(r) for r in T.neardup_pairs(docs, threshold_pct=70, verify="cached").collect()}
+    b = {tuple(r) for r in T.neardup_pairs(docs, threshold_pct=70, verify="recompute").collect()}
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="verify mode"):
+        T.neardup_pairs(docs, verify="bogus")
