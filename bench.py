@@ -175,6 +175,12 @@ def main() -> int:
     encode_timeseries(pts5, num_partitions=int(CPUS)).agg(F.sum("enc_bytes")).first()
     queries["q5d_encode_5m_nosink"] = time.time() - t0
     extras["ts5m_encode_nosink_points_per_sec"] = n5m / queries["q5d_encode_5m_nosink"]
+    # pre-sorted ingest (no shuffle, no sort): the closest analog of the
+    # reference's in-memory 5M benchmark, which encodes data as laid out
+    t0 = time.time()
+    encode_timeseries(pts5, assume_sorted=True).agg(F.sum("enc_bytes")).first()
+    queries["q5e_encode_5m_presorted"] = time.time() - t0
+    extras["ts5m_encode_presorted_points_per_sec"] = n5m / queries["q5e_encode_5m_presorted"]
 
     # q6: per-codec fixed encode micro-benches on the synthetic table
     for codec in ("for", "forc", "rle", "dict", "delta", "dod", "fsst"):

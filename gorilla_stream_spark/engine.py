@@ -484,6 +484,7 @@ def encode_timeseries(
     num_partitions: int | None = None,
     ts_codec: str = "auto",
     val_codec: str = "fauto",
+    assume_sorted: bool = False,
 ) -> DataFrame:
     """Gorilla-style encode of a (timestamp, value) stream.
 
@@ -497,15 +498,26 @@ def encode_timeseries(
     range-partitioned and sorted by timestamp so each block covers a
     contiguous time range — the manifest's (ts_min, ts_max) then supports
     partition pruning on time predicates.
+
+    ``assume_sorted=True`` skips the range-partition shuffle AND the sort —
+    for ingest layouts that are already time-ordered per partition (the
+    common case for append-only telemetry written in arrival order, and the
+    analog of the reference's in-memory benchmark where encode sees data as
+    laid out).  Blocks still carry exact (ts_min, ts_max), so
+    ``read_timerange`` pruning stays correct with any layout — overlapping
+    block ranges just prune less sharply.
     """
     slim = df.select(F.col(ts_col).cast("long").alias("__ts"), F.col(val_col).cast("double").alias("__val"))
-    if num_partitions:
-        slim = slim.repartitionByRange(num_partitions, "__ts")
-    slim = slim.sortWithinPartitions("__ts")
+    if not assume_sorted:
+        if num_partitions:
+            slim = slim.repartitionByRange(num_partitions, "__ts")
+        slim = slim.sortWithinPartitions("__ts")
 
     block_points = 1 << 20
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
         from gorilla_stream_spark.codecs import codec_of
 
         ctx = TaskContext.get()
@@ -525,52 +537,60 @@ def encode_timeseries(
             assert ts.size == vals.size
             tbuf = encode_array(ts, codec=ts_codec)
             vbuf = encode_array(vals, codec=val_codec)
-            out = pd.DataFrame(
+            out = pa.RecordBatch.from_pydict(
                 {
-                    "block_id": [(pid << 24) | seq],
-                    "n_points": [int(ts.size)],
-                    "ts_codec": [codec_of(tbuf)],
-                    "val_codec": [codec_of(vbuf)],
-                    "raw_bytes": [int(ts.size) * 16],
-                    "enc_bytes": [len(tbuf) + len(vbuf)],
-                    "ts_min": [int(ts.min()) if ts.size else None],
-                    "ts_max": [int(ts.max()) if ts.size else None],
-                    "ts_buffer": [tbuf],
-                    "val_buffer": [vbuf],
+                    "block_id": pa.array([(pid << 24) | seq], pa.int64()),
+                    "n_points": pa.array([int(ts.size)], pa.int64()),
+                    "ts_codec": pa.array([codec_of(tbuf)], pa.string()),
+                    "val_codec": pa.array([codec_of(vbuf)], pa.string()),
+                    "raw_bytes": pa.array([int(ts.size) * 16], pa.int64()),
+                    "enc_bytes": pa.array([len(tbuf) + len(vbuf)], pa.int64()),
+                    "ts_min": pa.array([int(ts.min()) if ts.size else None], pa.int64()),
+                    "ts_max": pa.array([int(ts.max()) if ts.size else None], pa.int64()),
+                    "ts_buffer": pa.array([tbuf], pa.binary()),
+                    "val_buffer": pa.array([vbuf], pa.binary()),
                 }
             )
             seq += 1
             return out
 
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:  # Arrow batches, zero-copy to numpy (no pandas)
+            if rb.num_rows == 0:
                 continue
-            ts_acc.append(pdf["__ts"].to_numpy(dtype=np.int64))
-            val_acc.append(pdf["__val"].to_numpy(dtype=np.float64))
-            n_acc += len(pdf)
+            ts_acc.append(rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+            val_acc.append(rb.column(1).to_numpy(zero_copy_only=False).astype(np.float64, copy=False))
+            n_acc += rb.num_rows
             if n_acc >= block_points:  # Arrow batches accumulate into
                 yield flush()  # reference-chunk-style blocks (stream.ex:70)
         if n_acc:
             yield flush()
 
-    return slim.mapInPandas(fn, TS_ENCODED_SCHEMA)
+    return slim.mapInArrow(fn, TS_ENCODED_SCHEMA)
 
 
 def decode_timeseries(enc_df: DataFrame) -> DataFrame:
-    out_schema = StructType(
-        [StructField("ts", LongType(), False), StructField("value", DoubleType(), False)]
-    )
+    def fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                ts = decode_array(row.ts_buffer)
-                vals = decode_array(row.val_buffer)
+        for rb in batches:
+            tcol = rb.column(rb.schema.get_field_index("ts_buffer"))
+            vcol = rb.column(rb.schema.get_field_index("val_buffer"))
+            for i in range(rb.num_rows):
+                ts = decode_array(tcol[i].as_py())
+                vals = decode_array(vcol[i].as_py())
                 if ts.size != vals.size:
                     raise ValueError("ts/value count mismatch")  # reference invariant
-                yield pd.DataFrame({"ts": ts, "value": vals})
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(ts.astype(np.int64, copy=False), pa.int64()),
+                        pa.array(vals.astype(np.float64, copy=False), pa.float64()),
+                    ],
+                    names=["ts", "value"],
+                )
 
-    return enc_df.mapInPandas(fn, out_schema)
+    return enc_df.select("ts_buffer", "val_buffer").mapInArrow(
+        fn, "ts long, value double"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -367,3 +367,24 @@ def test_multi_column_wrong_cols_fails(spark, toks):
     enc = encode_multi(toks.select("doc_id", "tokens"), ["tokens"], num_partitions=2)
     with pytest.raises(Exception, match="expected"):
         decode_multi(enc, ["tokens", "other"]).count()
+
+
+def test_encode_timeseries_assume_sorted_parity(spark):
+    # the shuffle-free ingest path must decode to the same multiset of
+    # points as the range-partitioned path
+    from pyspark.sql import functions as F
+
+    from gorilla_stream_spark.engine import decode_timeseries, encode_timeseries
+
+    ev = spark.range(20000).select(
+        (F.lit(1000) + F.col("id") * 7).alias("ts"),
+        F.round(F.sin(F.col("id") / 100.0), 4).alias("value"),
+    )
+    agg = [
+        F.count("*").alias("n"),
+        F.sum("ts").alias("s"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("v"),
+    ]
+    a = decode_timeseries(encode_timeseries(ev, assume_sorted=True)).agg(*agg).first()
+    b = decode_timeseries(encode_timeseries(ev, num_partitions=4)).agg(*agg).first()
+    assert tuple(a) == tuple(b)
