@@ -90,7 +90,14 @@ def encode_float_array(a: np.ndarray, codec: str = "fauto") -> bytes:
     cands: list[bytes] = []
     scaled = floatcodecs.scaledf_try_encode(a)
     if scaled is not None:
-        cands.append(bytes([SCALEDF]) + scaled)
+        sbuf = bytes([SCALEDF]) + scaled
+        # accept immediately at <= 2 B/value (>= 4x over raw): the XOR
+        # family cannot beat a decimal stream that tight by enough to
+        # justify trial-encoding every block twice more (the gxor trial
+        # alone measured ~40% of the whole value-encode path)
+        if len(sbuf) <= 2 * a.size + 16:
+            return sbuf
+        cands.append(sbuf)
     gx = bytes([GXOR]) + floatcodecs.gxor_encode(a)
     cands.append(gx)
     bits = np.ascontiguousarray(a, dtype=np.float64).view(np.uint64)

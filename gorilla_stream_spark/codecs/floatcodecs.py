@@ -298,8 +298,26 @@ def scaledf_try_encode(vals: np.ndarray, codec: str = "auto") -> bytes | None:
     if not np.isfinite(vals).all():
         return None
     vbits = vals.view(_U64)
+    # sample-first scale gate: a k that reconstructs the FULL array exactly
+    # also reconstructs any sample of it, so failing ks are rejected on a
+    # ~8K-element sample (head + middle + tail) and only surviving ks pay
+    # the full-array verify — ~2x faster on large blocks, identical result
+    if n > 8192:
+        sample = np.concatenate((vals[:4096], vals[n // 2 : n // 2 + 2048], vals[-2048:]))
+        sbits = sample.view(_U64)
+    else:
+        sample, sbits = None, None
     for k in range(_SCALE_MAX + 1):
         scale = 10.0**k
+        if sample is not None:
+            ss = sample * scale
+            if np.abs(ss).max() >= 2**53:
+                return None
+            si = np.rint(ss)
+            if np.abs(ss - si).max() > 1e-9 * max(1.0, np.abs(ss).max()):
+                continue
+            if ((si.astype(np.int64).astype(np.float64) / scale).view(_U64) != sbits).any():
+                continue
         scaled = vals * scale
         if np.abs(scaled).max() >= 2**53:  # beyond exact-integer float range
             return None
@@ -456,10 +474,14 @@ def veci8_encode(flat: np.ndarray, lens: np.ndarray) -> bytes:
         raise ValueError("veci8: lens sum != value count")
     starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.intp)
     scales = np.zeros(n, dtype=np.float64)
-    if flat.size:
-        maxabs = np.maximum.reduceat(np.abs(flat), starts)
-        maxabs[lens == 0] = 0.0
-        scales = maxabs / 127.0
+    nz = lens > 0
+    if flat.size and nz.any():
+        # reduce only non-empty segments: a zero-length vector's start can
+        # equal flat.size (out of bounds for reduceat), and consecutive
+        # non-empty starts are exact segment boundaries since empty
+        # segments occupy no elements
+        maxabs = np.maximum.reduceat(np.abs(flat), starts[nz])
+        scales[nz] = maxabs / 127.0
     codes = np.zeros(flat.size, dtype=np.int8)
     nz = scales > 0
     if nz.any():
