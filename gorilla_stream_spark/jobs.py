@@ -103,6 +103,34 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_info(args) -> int:
+    """Header-only table info from the block manifest — no buffer is read
+    (the analog of GorillaStream.File.get_file_info/1, reference
+    ``file.ex:121-148``): block/doc/token counts, sizes, ratio, codec mix."""
+    from gorilla_stream_spark.engine import manifest
+
+    spark = _spark("gss-info")
+    man = manifest(spark.read.parquet(args.input))
+    agg = man.agg(
+        F.count("*").alias("blocks"),
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.sum("raw_bytes").alias("raw_bytes"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    ).first()
+    mix = {
+        r["codec"]: r["n"]
+        for r in man.groupBy("codec").agg(F.count("*").alias("n")).collect()
+    }
+    print(json.dumps({
+        "blocks": agg["blocks"], "docs": agg["docs"], "tokens": agg["tokens"],
+        "raw_bytes": agg["raw_bytes"], "enc_bytes": agg["enc_bytes"],
+        "ratio": (agg["enc_bytes"] / agg["raw_bytes"]) if agg["raw_bytes"] else None,
+        "codec_mix": mix,
+    }))
+    return 0
+
+
 def cmd_dedup(args) -> int:
     """Exact content dedup: write surviving rows."""
     from gorilla_stream_spark.textops import dedup_exact
@@ -267,6 +295,10 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("analyze", help="pattern analysis + config recommendation")
     a.add_argument("--input", required=True)
     a.set_defaults(fn=cmd_analyze)
+
+    info = sub.add_parser("info", help="header-only manifest rollup (no buffers read)")
+    info.add_argument("--input", required=True, help="encoded block table")
+    info.set_defaults(fn=cmd_info)
 
     dd = sub.add_parser("dedup", help="exact content dedup (keep lowest id)")
     dd.add_argument("--input", required=True)

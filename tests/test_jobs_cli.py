@@ -102,3 +102,16 @@ def test_encode_multi_cli_roundtrip(spark, tmp_path, capsys):
         (F.col("s.tokens") != F.col("d.tokens")) | (F.col("s.mask") != F.col("d.mask"))
     ).count()
     assert bad == 0
+
+
+def test_info_cli_header_only(spark, tmp_path, capsys):
+    from gorilla_stream_spark import encode
+    from gorilla_stream_spark.generator import tokens_df
+
+    enc_path = str(tmp_path / "ienc")
+    src = tokens_df(spark, 120, seed=8)
+    encode(src, codec="auto", num_partitions=2).write.parquet(enc_path)
+    assert jobs.main(["info", "--input", enc_path]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["docs"] == 120 and m["ratio"] < 1 and m["blocks"] >= 1
+    assert sum(m["codec_mix"].values()) == m["blocks"]
