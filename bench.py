@@ -238,19 +238,26 @@ def main() -> int:
     extras["neardup_docs_per_sec"] = n_corpus / queries["q8_neardup_minhash"]
     extras["neardup_pairs"] = n_pairs
 
-    # simhash: fused Arrow kernel (production) vs interpreted HOF (oracle)
+    # simhash: fused Arrow kernel (production, full corpus) vs interpreted
+    # HOF (oracle formulation — deliberately slow, so it runs on a 20K-doc
+    # sample and the speedup is per-doc-normalized; no reason to spend 15s
+    # of bench wall proving the slow path is slow)
     from gorilla_stream_spark.textops import simhash
 
     t0 = time.time()
     simhash(corpus, impl="kernel").agg(F.expr("bit_xor(simhash)")).first()
     queries["q8b_simhash_kernel"] = time.time() - t0
+    n_sample = min(20000, n_corpus)
+    sim_sample = corpus.limit(n_sample).persist()
+    sim_sample.count()
     t0 = time.time()
-    simhash(corpus, impl="hof").agg(F.expr("bit_xor(simhash)")).first()
-    queries["q8c_simhash_hof"] = time.time() - t0
+    simhash(sim_sample, impl="hof").agg(F.expr("bit_xor(simhash)")).first()
+    queries["q8c_simhash_hof_20k"] = time.time() - t0
+    sim_sample.unpersist()
     extras["simhash_kernel_docs_per_sec"] = n_corpus / queries["q8b_simhash_kernel"]
     extras["simhash_speedup_vs_hof"] = (
-        queries["q8c_simhash_hof"] / queries["q8b_simhash_kernel"]
-    )
+        queries["q8c_simhash_hof_20k"] / n_sample
+    ) / (queries["q8b_simhash_kernel"] / n_corpus)
 
     # vectors: mixture-of-Gaussians embeddings (256 unit-norm cluster
     # centers, ~86% clustered members + ~14% background noise, all rows

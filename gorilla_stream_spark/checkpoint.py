@@ -33,7 +33,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gorilla_stream_spark.engine import DEFAULT_BLOCK_TOKENS, encode
+from gorilla_stream_spark.engine import DEFAULT_BLOCK_TOKENS, encode, encode_multi
 from gorilla_stream_spark.skew import salted_repartition
 
 __all__ = ["CheckpointedEncode", "encode_with_checkpoint"]
@@ -49,9 +49,14 @@ class CheckpointedEncode:
     block_tokens: int = DEFAULT_BLOCK_TOKENS
     container: str = "none"
     container_level: int | None = None
+    # multi-column mode: encode these array<int> columns per block
+    # (engine.encode_multi); None = the single `tokens` column path
+    token_cols: list[str] | None = None
 
     def _config_fingerprint(self) -> str:
         fp = f"{self.run_id}:{self.num_partitions}:{self.codec}:{self.block_tokens}"
+        if self.token_cols:
+            fp = f"{fp}:cols={','.join(self.token_cols)}"
         # container/level joined only when set — keeps fingerprints of
         # existing checkpoints stable
         if self.container != "none":
@@ -88,14 +93,25 @@ class CheckpointedEncode:
         sort_cols = (["source"] if "source" in df.columns else []) + ["doc_id"]
         salted = salted_repartition(pruned, num_partitions=P, sort_cols=sort_cols)
         fp = self._config_fingerprint()
-        enc = encode(
-            salted,
-            codec=self.codec,
-            block_tokens=self.block_tokens,
-            repartition=False,  # already salted here
-            container=self.container,
-            container_level=self.container_level,
-        )
+        if self.token_cols:
+            if self.container != "none":
+                raise ValueError("container layer not supported with token_cols")
+            enc = encode_multi(
+                salted,
+                self.token_cols,
+                num_partitions=None,  # already salted here
+                block_tokens=self.block_tokens,
+                codec=self.codec,
+            )
+        else:
+            enc = encode(
+                salted,
+                codec=self.codec,
+                block_tokens=self.block_tokens,
+                repartition=False,  # already salted here
+                container=self.container,
+                container_level=self.container_level,
+            )
         # re-derive the lineage partition id from doc content, not from the
         # task's physical partition id (which shifts once rows are pruned)
         enc = enc.withColumn(
@@ -125,15 +141,25 @@ class CheckpointedEncode:
             # fully-committed job: nothing new to aggregate or commit
             out = out.limit(0) if not new_parts else out.filter(F.col("part_id").isin(new_parts))
         out = out.filter(F.col("config_fp") == fp)
+        n_tokens_agg = (
+            F.sum(F.expr("raw_bytes div 4")).alias("n_tokens")  # 4 B/value
+            if self.token_cols
+            else F.sum("n_tokens").alias("n_tokens")
+        )
+        crc_agg = (
+            F.sum(F.expr("aggregate(crc32_bufs, 0L, (a, x) -> a + x)")).alias("crc_sum")
+            if self.token_cols
+            else F.sum(F.crc32(F.col("buffer"))).alias("crc_sum")
+        )
         man = (
             out.groupBy("part_id")
             .agg(
                 F.count("*").alias("n_blocks"),
                 F.sum("n_docs").alias("n_docs"),
-                F.sum("n_tokens").alias("n_tokens"),
+                n_tokens_agg,
                 F.sum("raw_bytes").alias("raw_bytes"),
                 F.sum("enc_bytes").alias("enc_bytes"),
-                F.sum(F.crc32(F.col("buffer"))).alias("crc_sum"),
+                crc_agg,
             )
             .withColumn("config_fp", F.lit(fp))
             .withColumn("committed_at", F.current_timestamp())
@@ -173,6 +199,7 @@ def encode_with_checkpoint(
     codec: str = "auto",
     container: str = "none",
     container_level: int | None = None,
+    token_cols: list[str] | None = None,
 ) -> dict:
     """One-call checkpointed encode; returns summary metrics dict."""
     P = num_partitions or spark.sparkContext.defaultParallelism
@@ -184,6 +211,7 @@ def encode_with_checkpoint(
         codec=codec,
         container=container,
         container_level=container_level,
+        token_cols=token_cols,
     )
     job.run(spark, df)
     m = job.metrics(spark)

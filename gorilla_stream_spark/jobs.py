@@ -176,12 +176,24 @@ def cmd_neardup(args) -> int:
 
 def cmd_encode_multi(args) -> int:
     """Per-column encode of several array<int> columns (tokens + masks +
-    labels...) into one block table; codec auto-selected per column/page."""
+    labels...) into one block table; codec auto-selected per column/page.
+    With ``--checkpoint`` the run is resumable with per-partition lineage,
+    exactly like the single-column encode job."""
     from gorilla_stream_spark.engine import encode_multi
 
     spark = _spark("gss-encode-multi")
     cols = [c.strip() for c in args.columns.split(",") if c.strip()]
     df = spark.read.parquet(args.input)
+    if args.checkpoint:
+        from gorilla_stream_spark.checkpoint import encode_with_checkpoint
+
+        m = encode_with_checkpoint(
+            spark, df, output_path=args.output, checkpoint_path=args.checkpoint,
+            run_id=args.run_id, num_partitions=args.partitions, codec=args.codec,
+            token_cols=cols,
+        )
+        print(json.dumps({k: (float(v) if v is not None else None) for k, v in m.items()}))
+        return 0
     enc = encode_multi(
         df, cols, id_col=args.id_col, num_partitions=args.partitions, codec=args.codec
     )
@@ -331,6 +343,8 @@ def main(argv: list[str] | None = None) -> int:
     em.add_argument("--id-col", default="doc_id")
     em.add_argument("--codec", default="auto")
     em.add_argument("--partitions", type=int, default=None)
+    em.add_argument("--checkpoint", default=None, help="enable resumable checkpointed run")
+    em.add_argument("--run-id", default="run1")
     em.set_defaults(fn=cmd_encode_multi)
 
     dm = sub.add_parser("decode-multi", help="decode multi-column blocks")

@@ -121,3 +121,43 @@ def test_resume_skips_committed_input(spark, toks, paths):
         for r in spark.read.parquet(ckpt).select("part_id", "crc_sum").collect()
     }
     assert before == after  # bit-identical blocks, no recommit
+
+
+def test_multi_column_checkpoint_resume(spark, toks, paths):
+    # multi-column encode rides the same lineage/resume protocol: a crashed
+    # run's missing partitions re-encode, committed ones are skipped, and
+    # the decoded columns round-trip bit-identical
+    from gorilla_stream_spark.engine import decode_multi
+
+    out, ckpt = paths
+    src = toks.withColumn(
+        "mask",
+        F.expr("transform(tokens, t -> CASE WHEN t % 3 = 0 THEN 0 ELSE 1 END)").cast(
+            "array<int>"
+        ),
+    )
+    src.cache().count()
+    job = CheckpointedEncode(
+        output_path=out, checkpoint_path=ckpt, run_id="tm", num_partitions=4,
+        token_cols=["tokens", "mask"],
+    )
+    job.run(spark, src)
+    assert sorted(job.committed_parts(spark)) == [0, 1, 2, 3]
+    # simulate crash: drop one partition's data + checkpoint rows
+    shutil.rmtree(glob.glob(os.path.join(out, "part_id=2"))[0])
+    cp = spark.read.parquet(ckpt).filter(F.col("part_id") != 2)
+    cp.write.mode("overwrite").parquet(ckpt + "_fix")
+    shutil.rmtree(ckpt)
+    os.rename(ckpt + "_fix", ckpt)
+    job.run(spark, src)
+    assert sorted(job.committed_parts(spark)) == [0, 1, 2, 3]
+    dec = decode_multi(spark.read.parquet(out), ["tokens", "mask"])
+    j = src.alias("s").join(dec.alias("d"), "doc_id", "full_outer")
+    bad = j.filter(
+        F.col("s.tokens").isNull() | F.col("d.tokens").isNull()
+        | (F.col("s.tokens") != F.col("d.tokens")) | (F.col("s.mask") != F.col("d.mask"))
+    ).count()
+    assert bad == 0
+    # fingerprint isolation: single-column job on the same paths is separate
+    m = job.metrics(spark)
+    assert m["parts_committed"] == 4 and m["ratio"] < 1
