@@ -14,6 +14,9 @@ bench:
 scaling:
 	python scripts/bench_scaling.py
 
+scaling-neardup:
+	python scripts/bench_neardup_scaling.py
+
 ship:
 	rm -f engine.zip && zip -qr engine.zip gorilla_stream_spark
 	@echo "spark-submit --py-files engine.zip gorilla_stream_spark/jobs.py encode --input ... --output ... --checkpoint ..."
