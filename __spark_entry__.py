@@ -558,6 +558,34 @@ def q_multi_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc stats over the NATIVE token-array table (input_hint shape)."""
+    from gorilla_stream_spark.textops import token_stats
+
+    return token_stats(_tokens_from_documents(spark, sf_dir))
+
+
+def q_validate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding validation: planted NaN / empty / wrong-dim / oversized
+    vectors must each be flagged with the right issue; clean rows pass."""
+    from gorilla_stream_spark.validate import validate_vectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+    )
+    bad = spark.range(4).select(
+        (F.col("id") + 900000).alias("vec_id"),
+        F.when(F.col("id") == 0, F.expr("array(CAST('NaN' AS FLOAT), CAST(1 AS FLOAT))"))
+        .when(F.col("id") == 1, F.expr("CAST(array() AS ARRAY<FLOAT>)"))
+        .when(F.col("id") == 2, F.expr("array(CAST(1 AS FLOAT), CAST(2 AS FLOAT))"))
+        .otherwise(F.expr("transform(sequence(1, 64), i -> CAST(9999 AS FLOAT))"))
+        .alias("embedding"),
+    )
+    return validate_vectors(
+        emb.unionByName(bad), expect_dim=64, max_abs=1000.0
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return q_codec_mix(spark, "/root/testdata/sf0.001")
@@ -612,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_neardup_tokens": q_neardup_tokens,
         "q46_multi_column_roundtrip": q_multi_column_roundtrip,
         "q47_vec_quantized": q_vec_quantized,
+        "q48_token_stats": q_token_stats,
+        "q49_validate_vectors": q_validate_vectors,
     }
 
 
@@ -943,6 +973,24 @@ FROM inter JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
 WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
 """,
         "q46_multi_column_roundtrip": _ROUNDTRIP_ORACLE,
+        "q48_token_stats": (
+            "WITH c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i"
+            "           FROM documents WHERE length(text) > 0),"
+            " t AS (SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS tok FROM c)"
+            " SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+            "  CAST(count(*) AS BIGINT) AS n_tok,"
+            "  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_tok,"
+            "  CAST(min(tok) AS BIGINT) AS min_tok,"
+            "  CAST(max(tok) AS BIGINT) AS max_tok,"
+            "  CAST(sum(tok) AS BIGINT) AS sum_tok"
+            " FROM t GROUP BY doc_id"
+        ),
+        "q49_validate_vectors": (
+            "SELECT CAST(900000 AS BIGINT) AS vec_id, 'nan_component' AS issue"
+            " UNION ALL SELECT 900001, 'empty_vector'"
+            " UNION ALL SELECT 900002, 'dim_mismatch'"
+            " UNION ALL SELECT 900003, 'component_out_of_range'"
+        ),
         # (every query now carries an oracle — q21/q22/q23 use reduced
         # invariant oracles: exact conservation totals + boolean bounds)
         "q47_vec_quantized": (

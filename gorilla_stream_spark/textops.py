@@ -39,6 +39,7 @@ __all__ = [
     "corpus_report",
     "token_shingle_minhash",
     "neardup_pairs_tokens",
+    "token_stats",
 ]
 
 # ---------------------------------------------------------------------------
@@ -797,3 +798,21 @@ def neardup_pairs_tokens(
     ).persist()
     cand.count()  # materialize before the broadcast subtrees build
     return _verify_pairs(shmin.select("doc_id", "sh"), cand, threshold_pct)
+
+
+def token_stats(
+    df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc stats of the NATIVE token-array table (the engine's input
+    shape, BASELINE input_hint): counts, vocabulary, value range, checksum
+    — all JVM array expressions, integer-exact, no Python.  Docs with empty
+    token arrays are excluded (no stats are defined on them; ``validate``
+    flags them upstream)."""
+    return df.filter(F.size(tokens_col) > 0).select(
+        F.col(id_col),
+        F.size(tokens_col).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tokens_col)).cast("long").alias("n_distinct_tok"),
+        F.array_min(tokens_col).cast("long").alias("min_tok"),
+        F.array_max(tokens_col).cast("long").alias("max_tok"),
+        F.expr(f"aggregate({tokens_col}, 0L, (a, t) -> a + t)").alias("sum_tok"),
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "clean", "validate_timeseries"]
+__all__ = ["validate", "clean", "validate_timeseries", "validate_vectors"]
 
 MAX_TOKEN = (1 << 32) - 2  # fsst pair-packing bound
 
@@ -158,4 +158,47 @@ def validate_timeseries(
         "nan_count",
         "inf_count",
         quality.alias("quality_pct"),
+    )
+
+
+def validate_vectors(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    expect_dim: int | None = None,
+    max_abs: float | None = None,
+) -> DataFrame:
+    """Row-level embedding quality report: (vec_id, issue) per offending row.
+
+    The vector analog of :func:`validate` (reference ``validator.ex:24-90``
+    flags NaN/Inf values; here per-component over ``array<float>``):
+    null / empty vectors, NaN or Inf components, dimension mismatches
+    (``expect_dim`` defaults to the corpus-wide modal dimension being
+    enforced downstream by the kernels' ``_fixed_dim`` guard — pass it
+    explicitly for a declarative check), and components beyond ``max_abs``
+    (the int64-exact-scoring bound, see ``vectors._check_i64_dot_safe``).
+    All declarative predicates — no UDFs, pushdown-friendly.  Empty result
+    == valid dataset.
+    """
+    checks = (
+        F.when(F.col(vec_col).isNull(), "null_vector")
+        .when(F.size(vec_col) == 0, "empty_vector")
+        .when(F.exists(vec_col, lambda x: x.isNull()), "null_component")
+        .when(F.exists(vec_col, lambda x: F.isnan(x)), "nan_component")
+        .when(
+            F.exists(vec_col, lambda x: F.abs(x) == F.lit(float("inf"))),
+            "inf_component",
+        )
+    )
+    if expect_dim is not None:
+        checks = checks.when(F.size(vec_col) != expect_dim, "dim_mismatch")
+    if max_abs is not None:
+        checks = checks.when(
+            F.exists(vec_col, lambda x: F.abs(x) > F.lit(float(max_abs))),
+            "component_out_of_range",
+        )
+    return (
+        df.withColumn("issue", checks.otherwise(None))
+        .filter(F.col("issue").isNotNull())
+        .select(F.col(id_col), "issue")
     )

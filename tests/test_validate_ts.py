@@ -47,3 +47,41 @@ def test_per_series_rows(spark):
     out = validate_timeseries(df, series_col="user_id").collect()
     assert len(out) == 3
     assert all(r.quality_pct == 100 for r in out)
+
+
+def test_validate_vectors_flags_and_clean(spark):
+    from gorilla_stream_spark.validate import validate_vectors
+
+    rows = [
+        (1, [0.1, 0.2]),
+        (2, [float("nan"), 0.1]),
+        (3, []),
+        (4, [0.1, 0.2, 0.3]),
+        (5, [2000.0, 0.0]),
+        (6, [float("inf"), 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r.issue for r in validate_vectors(df, expect_dim=2, max_abs=1000).collect()}
+    assert got == {
+        2: "nan_component",
+        3: "empty_vector",
+        4: "dim_mismatch",
+        5: "component_out_of_range",
+        6: "inf_component",
+    }
+    # clean table -> empty report
+    clean = df.filter(df.vec_id == 1)
+    assert validate_vectors(clean, expect_dim=2, max_abs=1000).count() == 0
+
+
+def test_token_stats_matches_manual(spark):
+    from gorilla_stream_spark.textops import token_stats
+
+    rows = [("a", [3, 1, 3, 2]), ("b", [7]), ("c", [])]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {r.doc_id: r for r in token_stats(df).collect()}
+    assert set(got) == {"a", "b"}  # empty arrays excluded
+    a = got["a"]
+    assert (a.n_tok, a.n_distinct_tok, a.min_tok, a.max_tok, a.sum_tok) == (4, 3, 1, 3, 9)
+    b = got["b"]
+    assert (b.n_tok, b.n_distinct_tok, b.min_tok, b.max_tok, b.sum_tok) == (1, 1, 7, 7, 7)
