@@ -97,6 +97,23 @@ def main() -> int:
     extras["compression_ratio"] = enc_b / raw_b if raw_b else None
     extras["encode_tokens_per_sec"] = total_tokens / queries["q1_encode_auto"]
 
+    # q1b: encode over the PRE-BUCKETED ingest layout (hash(doc_id)-salted,
+    # sorted within buckets, written once outside timing) — the production
+    # shape at 10^12 scale where ingest writes the table bucketed and the
+    # encode job is shuffle-free
+    bucketed_path = tokens_path + "_bucketed32"
+    if not os.path.exists(os.path.join(bucketed_path, "_SUCCESS")):
+        from gorilla_stream_spark.skew import salted_repartition
+
+        salted_repartition(
+            toks, num_partitions=int(CPUS), sort_cols=["source", "doc_id"]
+        ).write.mode("overwrite").parquet(bucketed_path)
+    btoks = spark.read.parquet(bucketed_path)
+    t0 = time.time()
+    encode(btoks, codec="auto", repartition=False).agg(F.sum("enc_bytes")).first()
+    queries["q1b_encode_bucketed"] = time.time() - t0
+    extras["encode_bucketed_tokens_per_sec"] = total_tokens / queries["q1b_encode_bucketed"]
+
     # q2: decode (read blocks, reconstruct, count all tokens)
     t0 = time.time()
     n_dec = decode(spark.read.parquet(enc_path)).agg(F.sum("n_tok")).first()[0]
