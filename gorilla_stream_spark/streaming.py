@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from gorilla_stream_spark.engine import DEFAULT_BLOCK_TOKENS, encode
 
-__all__ = ["encode_stream"]
+__all__ = ["encode_stream", "dedup_stream", "windowed_stats", "simhash_neardup_stream"]
 
 
 def _ckpt_join(*parts: str) -> str:
@@ -196,4 +196,83 @@ def windowed_stats(
             "min_value",
             "max_value",
         )
+    )
+
+
+def simhash_neardup_stream(
+    stream_df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+):
+    """Streaming near-dup candidate pairs across ALL micro-batches
+    (``applyInPandasWithState`` — the stateful analog of
+    ``textops.simhash_neardup_pairs``).
+
+    Each batch computes 60-bit SimHash signatures row-locally with the
+    pure-SQL HOF expression (a column expression, hence streaming-safe and
+    bit-identical to the batch operator); rows bucket by the 4-band
+    pigeonhole split, and each bucket's state holds the (doc_id, simhash)
+    pairs seen so far (16 B/doc/band).  A new arrival is hamming-checked
+    against its bucket's history, so recall is DETERMINISTIC for
+    hamming <= ``max_hamming`` across the whole stream, exactly like the
+    batch operator — a pair found in several shared bands is emitted once
+    per band; run ``dropDuplicates(["id_a","id_b"])`` on the sink (or a
+    batch ``distinct``) for the deduplicated pair set.  State is
+    16 B x docs x bands, sharded over 2^15-ish band buckets — back the
+    query with the RocksDB state store at scale.
+    """
+    import numpy as np
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from gorilla_stream_spark.textops import simhash_bands, simhash_hof
+
+    sig = simhash_hof(
+        stream_df.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        ),
+        text_col="text",
+        id_col="doc_id",
+    )
+    bands = simhash_bands(sig, id_col="doc_id", n_bands=max_hamming + 1)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        blob = state.get[0] if state.exists else b""
+        hist = np.frombuffer(blob, dtype=np.int64).reshape(-1, 2).copy() if blob else np.empty((0, 2), np.int64)
+        out_a: list[int] = []
+        out_b: list[int] = []
+        added: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id", kind="stable")
+            for did, s in zip(
+                pdf["doc_id"].to_numpy(np.int64), pdf["simhash"].to_numpy(np.int64)
+            ):
+                if hist.shape[0]:
+                    x = np.bitwise_xor(hist[:, 1], s).view(np.uint64)
+                    if hasattr(np, "bitwise_count"):
+                        hd = np.bitwise_count(x)
+                    else:  # numpy < 2.0
+                        hd = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+                    for j in np.flatnonzero(hd <= max_hamming):
+                        a = int(hist[j, 0])
+                        if a != int(did):
+                            out_a.append(min(a, int(did)))
+                            out_b.append(max(a, int(did)))
+                hist = np.vstack((hist, np.array([[did, s]], dtype=np.int64)))
+                added.append((int(did), int(s)))
+        if added:
+            state.update((hist.astype(np.int64).tobytes(),))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    return bands.groupBy("band_idx", "band_bits").applyInPandasWithState(
+        fn,
+        outputStructType="id_a long, id_b long",
+        stateStructType="seen binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

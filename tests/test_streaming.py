@@ -249,3 +249,52 @@ def test_dedup_stream_numeric_id_order_matches_batch(spark, tmp_path):
     got = sorted(int(r.doc_id) for r in spark.read.parquet(out_dir).collect())
     want = sorted(int(r.doc_id) for r in dedup_exact(df).collect())
     assert got == want == [2, 9]
+
+
+@pytest.mark.timeout(300)
+def test_simhash_neardup_stream_matches_batch(spark, tmp_path):
+    # near-dup pairs must be found WITHIN and ACROSS micro-batches with the
+    # same deterministic recall as the batch operator; distinct pairs equal
+    import time
+
+    from gorilla_stream_spark.streaming import simhash_neardup_stream
+    from gorilla_stream_spark.textops import simhash_neardup_pairs
+
+    src_dir = str(tmp_path / "snd_src")
+    out_dir = str(tmp_path / "snd_out")
+    ck = str(tmp_path / "snd_ck")
+    os.makedirs(src_dir)
+    shared = " ".join(f"w{j}" for j in range(40))
+    base = [(i, f"{shared} token{i} extra{i} more{i}") for i in range(25)]
+    # near-dups of docs 0..9 arriving in the SECOND batch (one word changed
+    # out of ~43 -> small hamming distance, found deterministically)
+    later = [(500 + i, f"{shared} token{i} extra{i} CHANGED") for i in range(10)]
+    spark.createDataFrame(base, "doc_id long, text string").coalesce(1).write.parquet(
+        src_dir + "/b1"
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(later, "doc_id long, text string").coalesce(1).write.parquet(
+        src_dir + "/b2"
+    )
+    schema = spark.read.parquet(src_dir + "/b1").schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src_dir + "/*")
+    )
+    q = (
+        simhash_neardup_stream(stream, max_hamming=3)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(240)
+    got = {
+        (r.id_a, r.id_b)
+        for r in spark.read.parquet(out_dir).dropDuplicates(["id_a", "id_b"]).collect()
+    }
+    union = spark.createDataFrame(base + later, "doc_id long, text string")
+    want = {(r.id_a, r.id_b) for r in simhash_neardup_pairs(union, max_hamming=3).collect()}
+    assert got == want and len(want) > 0
+    # cross-batch pairs specifically present
+    assert any(a < 500 <= b for a, b in got)
