@@ -41,6 +41,9 @@ __all__ = [
     "topk_dot",
     "cosine_neardup_pairs",
     "ann_search",
+    "train_pq",
+    "pq_encode",
+    "pq_topk",
 ]
 
 DEFAULT_BLOCK_VALUES = 1 << 20  # flat float32 values per block (~4 MiB raw)
@@ -651,3 +654,182 @@ def ann_search(
     else:
         pruned = enc_df.filter(overlap)
     return topk_dot(decode_vectors(pruned), queries, k=k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the classic memory-scale ANN path (Jégou et
+# al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+# split each vector into m subvectors, k-means each subspace to 2^nbits
+# centroids, store one code byte per subspace (8 B/vec at m=8), score
+# queries against codes with a per-query lookup table — no decode, no
+# float vectors in memory at search time.  Complements the exact int8
+# storage (O52) and the lsh block layout (O49): PQ is the representation
+# you search, the codecs are the representation you store.
+# ---------------------------------------------------------------------------
+
+_PQ_SEED = 9176
+
+
+def train_pq(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    nbits: int = 8,
+    sample: int = 65536,
+    iters: int = 12,
+    seed: int = _PQ_SEED,
+) -> np.ndarray:
+    """Train PQ codebooks: (m, 2^nbits, dim/m) float32.
+
+    Driver-side Lloyd k-means per subspace over a bounded deterministic
+    sample (first ``sample`` rows by vec_id — at scale pass a
+    pre-sampled/stratified frame).  The sample is the ONLY data that
+    leaves the executors; codebooks (m * k * dsub * 4 B, ~64 KB at the
+    defaults for dim 64) ride task closures afterwards.
+    """
+    k = 1 << nbits
+    rows = (
+        df.select(F.col(vec_col).alias("v"))
+        .limit(int(sample))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("train_pq: empty training frame")
+    X = np.asarray([r["v"] for r in rows], dtype=np.float32)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, k, dsub), dtype=np.float32)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub].astype(np.float64)
+        # init: distinct random sample rows (pad by jitter if n < k)
+        if n >= k:
+            C = S[rng.choice(n, k, replace=False)].copy()
+        else:
+            C = S[rng.integers(0, n, k)] + rng.normal(0, 1e-3, (k, dsub))
+        for _ in range(iters):
+            # assign: ||s-c||^2 = |s|^2 - 2 s.c + |c|^2 (argmin over c)
+            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+            a = d2.argmin(1)
+            # update non-empty clusters; re-seed empty ones from far points
+            sums = np.zeros((k, dsub))
+            np.add.at(sums, a, S)
+            counts = np.bincount(a, minlength=k).astype(np.float64)
+            nonempty = counts > 0
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
+            n_empty = int((~nonempty).sum())
+            if n_empty:
+                far = np.argsort(d2[np.arange(S.shape[0]), a])[-n_empty:]
+                C[~nonempty] = S[far] + rng.normal(0, 1e-6, (n_empty, dsub))
+        books[j] = C.astype(np.float32)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(vec_id, codes:binary) — one byte per subspace (m B/vector)."""
+    import pyarrow as pa
+
+    m, k, dsub = codebooks.shape
+    books = codebooks.astype(np.float32)
+
+    def fn(batches: Iterator) -> Iterator:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            flat, lens = _flatten_arrow(rb.column(1), dtype=None)
+            d = _fixed_dim(np.asarray(lens), "pq_encode")
+            if d != m * dsub:
+                raise ValueError(f"pq_encode: dim {d} != codebook dim {m * dsub}")
+            X = np.ascontiguousarray(flat, dtype=np.float32).reshape(len(ids), d)
+            codes = np.empty((len(ids), m), dtype=np.uint8)
+            for j in range(m):
+                S = X[:, j * dsub : (j + 1) * dsub].astype(np.float64)
+                C = books[j].astype(np.float64)
+                d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
+                codes[:, j] = d2.argmin(1).astype(np.uint8)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids, pa.int64()),
+                    pa.array(list(codes.tobytes()[i * m : (i + 1) * m] for i in range(len(ids))), pa.binary()),
+                ],
+                names=["vec_id", "codes"],
+            )
+
+    slim = df.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col))
+    return slim.mapInArrow(fn, "vec_id long, codes binary")
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks: np.ndarray,
+    queries: list[tuple[int, list[float]]],
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k inner product over PQ codes (asymmetric distance).
+
+    Per query: one (m, 2^nbits) lookup table of subspace dot products rides
+    the closure; scoring a vector is m table lookups + a sum — no decode,
+    8 B/vector of state.  Same shuffle shape as :func:`topk_dot`: local
+    top-k per partition, global top-k over k*q survivors.  Ranking is
+    approximate (codebook quantization error); see the recall pytest.
+    """
+    import pyarrow as pa
+
+    if not queries:
+        raise ValueError("pq_topk requires at least one query vector")
+    m, kk, dsub = codebooks.shape
+    qids = [int(q) for q, _ in queries]
+    Q = np.asarray([v for _, v in queries], dtype=np.float64)
+    if Q.shape[1] != m * dsub:
+        raise ValueError(f"query dim {Q.shape[1]} != codebook dim {m * dsub}")
+    # LUT[q][j][c] = dot(q_sub_j, centroid_c of subspace j)
+    luts = np.stack(
+        [
+            np.stack(
+                [codebooks[j].astype(np.float64) @ Q[qi, j * dsub : (j + 1) * dsub] for j in range(m)]
+            )
+            for qi in range(len(qids))
+        ]
+    )  # (nq, m, kk)
+
+    def fn(batches: Iterator) -> Iterator:
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            codes = np.frombuffer(
+                b"".join(rb.column(1)[i].as_py() for i in range(rb.num_rows)), dtype=np.uint8
+            ).reshape(len(ids), m)
+            take = min(k, len(ids))
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(qids):
+                S = luts[qi][np.arange(m)[None, :], codes].sum(1)  # (n,)
+                order = np.lexsort((ids, -S))[:take]
+                out_q.extend([qid] * take)
+                out_v.extend(ids[order])
+                out_s.extend(S[order])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(np.asarray(out_v, np.int64), pa.int64()),
+                    "score": pa.array(np.asarray(out_s, np.float64), pa.float64()),
+                }
+            )
+
+    local = codes_df.select("vec_id", "codes").mapInArrow(
+        fn, "query_id long, vec_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )

@@ -313,3 +313,61 @@ def test_quantized_decode_strict_crc_gate(spark, emb):
     with pytest.raises(Exception, match="crc32 mismatch"):
         V.decode_vectors(bad, strict=True).count()
     assert V.decode_vectors(bad, strict=False).count() == emb.count()
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.default_rng(31)
+    dim, per, nc = 32, 80, 25
+    centers = rng.normal(0, 1, (nc, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(per):
+            v = c + rng.normal(0, 0.15, dim)
+            v /= np.linalg.norm(v)
+            rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.cache().count()
+    return df, rows
+
+
+def test_pq_recall_and_compression(spark, clustered):
+    df, rows = clustered
+    books = V.train_pq(df, m=8, sample=2000, iters=8)
+    assert books.shape == (8, 256, 4) and books.dtype == np.float32
+    codes = V.pq_encode(df, books).cache()
+    # 8 bytes of search state per vector (32x smaller than f32)
+    assert {len(bytes(r.codes)) for r in codes.limit(5).collect()} == {8}
+    queries = [(rows[3][0], rows[3][1]), (rows[999][0], rows[999][1])]
+    # the PQ contract is CANDIDATE recall for rerank (recall@R, Jegou et
+    # al. §V): the exact top-10 must sit inside the PQ top-50 candidates —
+    # within-cluster fine ranking is what the exact rerank is for
+    got, bf = {}, {}
+    for r in V.pq_topk(codes, books, queries, k=50).collect():
+        got.setdefault(r.query_id, set()).add(r.vec_id)
+    for r in V.topk_dot(df, queries, k=10).collect():
+        bf.setdefault(r.query_id, set()).add(r.vec_id)
+    recall = np.mean([len(got[q] & bf[q]) / 10 for q in bf])
+    assert recall >= 0.8, f"pq candidate recall@50 {recall}"
+    # the self-match survives quantization into the candidate set
+    for q, cand in got.items():
+        assert q in cand
+
+
+def test_pq_codebooks_deterministic(spark, clustered):
+    df, _ = clustered
+    a = V.train_pq(df, m=4, sample=1000, iters=5)
+    b = V.train_pq(df, m=4, sample=1000, iters=5)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_pq_dim_mismatch_fails_loudly(spark, clustered):
+    df, _ = clustered
+    books = V.train_pq(df, m=8, sample=500, iters=3)
+    bad = spark.createDataFrame([(1, [0.0] * 16)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="dim"):
+        V.pq_encode(bad, books).collect()
+    with pytest.raises(ValueError, match="dim"):
+        V.pq_topk(V.pq_encode(df, books), books, [(0, [0.0] * 16)])
