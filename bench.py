@@ -343,6 +343,17 @@ def main() -> int:
     t0 = time.time()
     topk_dot(vecs, qvec, k=10, quantize="numpy").count()
     queries["q10_topk_bruteforce"] = time.time() - t0
+
+    # PQ end-to-end: train codebooks on a bounded sample, encode the corpus
+    # to 8 B/vec codes, LUT-score the same queries (the memory-scale ANN)
+    from gorilla_stream_spark.vectors import pq_encode, pq_topk, train_pq
+
+    t0 = time.time()
+    books = train_pq(vecs, m=8, sample=8192, iters=6)
+    pq_codes = pq_encode(vecs, books)
+    pq_topk(pq_codes, books, qvec, k=10).count()
+    queries["q10b_pq_train_encode_search"] = time.time() - t0
+    extras["pq_vecs_per_sec"] = n_vecs / queries["q10b_pq_train_encode_search"]
     venc_df = spark.read.parquet(venc_path)
     t0 = time.time()
     ann_search(venc_df, qvec, k=10).count()

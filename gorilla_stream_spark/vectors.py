@@ -709,10 +709,12 @@ def train_pq(
             C = S[rng.choice(n, k, replace=False)].copy()
         else:
             C = S[rng.integers(0, n, k)] + rng.normal(0, 1e-3, (k, dsub))
+        s2 = (S * S).sum(1)
         for _ in range(iters):
-            # assign: ||s-c||^2 = |s|^2 - 2 s.c + |c|^2 (argmin over c)
-            d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
-            a = d2.argmin(1)
+            # assign: argmin_c ||s-c||^2 = argmin_c (|c|^2 - 2 s.c) — the
+            # |s|^2 term is constant per row and dropped from the matrix
+            d2p = (C * C).sum(1)[None, :] - 2.0 * (S @ C.T)
+            a = d2p.argmin(1)
             # update non-empty clusters; re-seed empty ones from far points
             sums = np.zeros((k, dsub))
             np.add.at(sums, a, S)
@@ -721,7 +723,8 @@ def train_pq(
             C[nonempty] = sums[nonempty] / counts[nonempty, None]
             n_empty = int((~nonempty).sum())
             if n_empty:
-                far = np.argsort(d2[np.arange(S.shape[0]), a])[-n_empty:]
+                true_d2 = d2p[np.arange(S.shape[0]), a] + s2
+                far = np.argsort(true_d2)[-n_empty:]
                 C[~nonempty] = S[far] + rng.normal(0, 1e-6, (n_empty, dsub))
         books[j] = C.astype(np.float32)
     return books
@@ -751,10 +754,11 @@ def pq_encode(
             X = np.ascontiguousarray(flat, dtype=np.float32).reshape(len(ids), d)
             codes = np.empty((len(ids), m), dtype=np.uint8)
             for j in range(m):
-                S = X[:, j * dsub : (j + 1) * dsub].astype(np.float64)
-                C = books[j].astype(np.float64)
-                d2 = (S * S).sum(1)[:, None] - 2.0 * (S @ C.T) + (C * C).sum(1)[None, :]
-                codes[:, j] = d2.argmin(1).astype(np.uint8)
+                # float32 throughout; |s|^2 is row-constant and dropped
+                S = X[:, j * dsub : (j + 1) * dsub]
+                C = books[j]
+                d2p = (C * C).sum(1)[None, :] - np.float32(2.0) * (S @ C.T)
+                codes[:, j] = d2p.argmin(1).astype(np.uint8)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(ids, pa.int64()),
