@@ -744,3 +744,18 @@ def decode_multi(enc_df: DataFrame, token_cols: list[str], strict: bool = True) 
     ddl = "doc_id string, " + ", ".join(f"{c} array<int>" for c in token_cols)
     needed = ["block_id", "doc_ids", "col_names", "col_lens", "crc32_bufs", "buffers"]
     return enc_df.select(*needed).mapInArrow(fn, ddl)
+
+
+def decode_docs_multi(
+    enc_df: DataFrame, token_cols: list[str], doc_ids: list[str], strict: bool = True
+) -> DataFrame:
+    """Point-lookup decode for multi-column blocks: prune by the inline
+    doc-id manifest first (same contract as :func:`decode_docs`) — only
+    blocks containing requested docs have their buffers decoded."""
+    if not doc_ids:
+        return decode_multi(enc_df.limit(0), token_cols, strict=strict)
+    wanted = F.array([F.lit(d) for d in doc_ids])
+    pruned = enc_df.filter(F.arrays_overlap(F.col("doc_ids"), wanted))
+    return decode_multi(pruned, token_cols, strict=strict).filter(
+        F.col("doc_id").isin(doc_ids)
+    )

@@ -388,3 +388,27 @@ def test_encode_timeseries_assume_sorted_parity(spark):
     a = decode_timeseries(encode_timeseries(ev, assume_sorted=True)).agg(*agg).first()
     b = decode_timeseries(encode_timeseries(ev, num_partitions=4)).agg(*agg).first()
     assert tuple(a) == tuple(b)
+
+
+def test_decode_docs_multi_point_lookup(spark):
+    from pyspark.sql import functions as F
+
+    from gorilla_stream_spark.engine import decode_docs_multi, encode_multi
+    from gorilla_stream_spark.generator import tokens_df
+
+    src = tokens_df(spark, 150, seed=13).select(
+        "doc_id",
+        "tokens",
+        F.expr("transform(tokens, t -> t % 2)").cast("array<int>").alias("mask"),
+    )
+    enc = encode_multi(src, ["tokens", "mask"], num_partitions=3).cache()
+    wanted = [r.doc_id for r in src.limit(3).collect()]
+    dec = decode_docs_multi(enc, ["tokens", "mask"], wanted)
+    got = {r.doc_id: (list(r.tokens), list(r.mask)) for r in dec.collect()}
+    want = {
+        r.doc_id: (list(r.tokens), list(r.mask))
+        for r in src.filter(F.col("doc_id").isin(wanted)).collect()
+    }
+    assert got == want and len(got) == 3
+    # empty lookup is a clean empty frame
+    assert decode_docs_multi(enc, ["tokens", "mask"], []).count() == 0
