@@ -591,6 +591,39 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_codec_mix(spark, "/root/testdata/sf0.001")
 
 
+def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reference .gorilla wire-format interop (O58): encode events through the
+    # byte-for-byte reference block format (outer header v1 + DoD prefix
+    # codes + XOR stream), decode, and prove value fidelity per ts bucket
+    from gorilla_stream_spark.gorilla_wire import (
+        decode_timeseries_wire,
+        encode_timeseries_wire,
+    )
+
+    # Second-scale irregular timestamps derived from event_id: deltas are
+    # {642, 607, 235, 200}s so every delta-of-delta stays inside the 12-bit
+    # bucket and off the +64/+256/+2048 two's-complement wrap quirk and the
+    # 32-bit escape overflow — both inherent reference-format limits at
+    # microsecond resolution (see gorilla_wire module doc).  Values are the
+    # real event floats (full XOR-stream coverage).
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        (
+            F.lit(1_600_000_000)
+            + F.col("event_id") * 600
+            + (F.col("event_id") % 11) * 37
+            + (F.col("event_id") % 7) * 5
+        ).cast("long").alias("ts"),
+        F.col("value"),
+    )
+    dec = decode_timeseries_wire(encode_timeseries_wire(ev, num_partitions=4))
+    return dec.groupBy((F.col("ts") % 97).alias("bucket")).agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.sum("ts").cast("long").alias("sum_ts"),
+        F.min("value").alias("min_val"),
+        F.max("value").alias("max_val"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_roundtrip_auto": _roundtrip("auto"),
@@ -642,6 +675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_vec_quantized": q_vec_quantized,
         "q48_token_stats": q_token_stats,
         "q49_validate_vectors": q_validate_vectors,
+        "q50_wire_roundtrip": q_wire_roundtrip,
     }
 
 
@@ -1007,5 +1041,18 @@ WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
             "  CAST(list_sum(list_transform(e, x -> CASE WHEN scale > 0"
             "    THEN round(x / scale) ELSE 0 END)) AS BIGINT) AS code_sum"
             " FROM v"
+        ),
+        "q50_wire_roundtrip": (
+            # wire encode->decode must reproduce every (ts, value) point
+            # exactly, so per-bucket counts, ts sums and value min/max match
+            # a direct recomputation from the raw table
+            "WITH s AS (SELECT CAST(1600000000 + event_id * 600"
+            "  + (event_id % 11) * 37 + (event_id % 7) * 5 AS BIGINT) AS ts,"
+            "  value FROM events)"
+            " SELECT CAST(ts % 97 AS BIGINT) AS bucket,"
+            " CAST(count(*) AS BIGINT) AS cnt,"
+            " CAST(sum(ts) AS BIGINT) AS sum_ts,"
+            " min(value) AS min_val, max(value) AS max_val"
+            " FROM s GROUP BY 1"
         ),
     }

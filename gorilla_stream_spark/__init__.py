@@ -46,6 +46,15 @@ from gorilla_stream_spark.textops import (
     simhash_neardup_pairs,
     text_stats,
 )
+from gorilla_stream_spark.gorilla_wire import (
+    decode_points,
+    decode_timeseries_wire,
+    encode_points,
+    encode_timeseries_wire,
+    read_gorilla_file,
+    wire_info,
+    write_gorilla_file,
+)
 from gorilla_stream_spark.validate import clean, validate, validate_timeseries
 from gorilla_stream_spark.vectors import (
     ann_search,
@@ -85,5 +94,12 @@ __all__ = [
     "topk_dot",
     "cosine_neardup_pairs",
     "ann_search",
+    "encode_points",
+    "decode_points",
+    "wire_info",
+    "encode_timeseries_wire",
+    "decode_timeseries_wire",
+    "write_gorilla_file",
+    "read_gorilla_file",
     "__version__",
 ]

@@ -142,7 +142,10 @@ class CheckpointedEncode:
             out = out.limit(0) if not new_parts else out.filter(F.col("part_id").isin(new_parts))
         out = out.filter(F.col("config_fp") == fp)
         n_tokens_agg = (
-            F.sum(F.expr("raw_bytes div 4")).alias("n_tokens")  # 4 B/value
+            # first column is the token column; summing its per-doc lens
+            # counts tokens only (raw_bytes div 4 would also count mask/
+            # label values, inflating the metric by the column count)
+            F.sum(F.expr("aggregate(col_lens[0], 0L, (a, x) -> a + x)")).alias("n_tokens")
             if self.token_cols
             else F.sum("n_tokens").alias("n_tokens")
         )

@@ -163,7 +163,7 @@ def encode_paged(
 # this layer is opt-in for buffer-level control (e.g. non-Parquet sinks).
 # ---------------------------------------------------------------------------
 
-_ZLIB, _ZSTD, _OPENZL = 1, 2, 3
+_ZLIB, _ZSTD, _OPENZL, _ZLIBD = 1, 2, 3, 4
 
 # largest legitimate inner buffer: MAX_COUNT elements * 8 B + header slack
 _MAX_CONTAINER_LEN = (1 << 31) + (1 << 16)
@@ -208,7 +208,70 @@ def _zstd_codec(level: int | None):
     return _ZSTD_LEVELED[level]
 
 
-def wrap_container(buf: bytes, method: str = "auto", level: int | None = None) -> bytes:
+# ---------------------------------------------------------------------------
+# Trained-dictionary container (O59) — the reference's zstd cdict/ddict API
+# (``container.ex:312-362``, top-level delegates ``lib/gorilla_stream.ex:
+# 122-134``).  Its "training" is literally `:ezstd.create_cdict(
+# Enum.join(samples), 9)` (``test/compression/dict_compression_test.exs:
+# 22-24``) — a shared byte-corpus the compressor can back-reference, which
+# is exactly the stdlib zlib *preset dictionary* (no zstd-with-dict binding
+# ships in this environment; zlib's zdict is the same capability: big wins
+# on small blocks, nothing on large ones).  The dictionary travels
+# out-of-band like the reference's cdict reference: encode closures carry
+# the bytes, decoders look it up in a per-worker registry keyed by crc32.
+# ---------------------------------------------------------------------------
+
+_CONTAINER_DICTS: dict[int, bytes] = {}
+
+
+def register_container_dict(d: bytes) -> int:
+    """Register dictionary bytes for decode; returns its id (crc32)."""
+    import zlib as _zlib
+
+    d = bytes(d)
+    did = _zlib.crc32(d) & 0xFFFFFFFF
+    _CONTAINER_DICTS[did] = d
+    return did
+
+
+def train_container_dict(samples: list[bytes], max_size: int = 1 << 15) -> bytes:
+    """Build a preset dictionary from sample buffers.
+
+    Mirrors the reference's concatenate-the-samples training
+    (``dict_compression_test.exs:22``), tail-truncated to zlib's 32 KiB
+    back-reference window (content near the END of a preset dictionary is
+    cheapest to reference, so the tail is the right half to keep).
+    Deterministic: a pure function of the sample bytes.
+    """
+    blob = b"".join(bytes(s) for s in samples)
+    return blob[-max_size:] if max_size else blob
+
+
+def compress_with_dict(data: bytes, d: bytes, level: int = 9) -> bytes:
+    """Raw dict-compress (reference ``compress_with_dict/2`` mirror;
+    empty in -> empty out, ``container.ex:324-326``)."""
+    import zlib as _zlib
+
+    if not data:
+        return b""
+    c = _zlib.compressobj(level, zdict=bytes(d))
+    return c.compress(bytes(data)) + c.flush()
+
+
+def decompress_with_dict(data: bytes, d: bytes) -> bytes:
+    """Raw dict-decompress (reference ``decompress_with_dict/2`` mirror)."""
+    import zlib as _zlib
+
+    if not data:
+        return b""
+    dec = _zlib.decompressobj(zdict=bytes(d))
+    out = dec.decompress(bytes(data))
+    return out + dec.flush()
+
+
+def wrap_container(
+    buf: bytes, method: str = "auto", level: int | None = None, zdict: bytes | None = None
+) -> bytes:
     """Wrap a framed buffer in a compressed container (self-describing).
 
     ``auto`` = zstd if available else zlib, and keeps the wrapper only when
@@ -223,8 +286,20 @@ def wrap_container(buf: bytes, method: str = "auto", level: int | None = None) -
 
     if method == "none":
         return buf
-    if method not in ("auto", "zstd", "zlib", "openzl"):
+    if method not in ("auto", "zstd", "zlib", "openzl", "zlib-dict"):
         raise ValueError(f"unknown container method {method!r}")
+    if method == "zlib-dict":
+        if zdict is None:
+            raise ValueError("zlib-dict container requires zdict bytes")
+        if level is not None and not 0 <= level <= 9:
+            raise ValueError(f"zlib level {level} out of range 0-9")
+        did = register_container_dict(zdict)
+        comp = compress_with_dict(buf, zdict, level=9 if level is None else level)
+        return (
+            bytes([CONTAINER, _ZLIBD])
+            + _struct.pack("<II", len(buf), did)
+            + comp
+        )
     if method == "openzl":
         # opt-in only (never part of "auto"), exactly like the reference's
         # :openzl container — an optional native dependency there too
@@ -266,7 +341,22 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
             raise ValueError(f"implausible container orig_len {orig_len}")
         body = bytes(mv[6:])
         try:
-            if mid == _ZSTD:
+            if mid == _ZLIBD:
+                (did,) = _struct.unpack_from("<I", mv, 6)
+                d = _CONTAINER_DICTS.get(did)
+                if d is None:
+                    raise ValueError(
+                        f"zlib-dict container needs dict {did:#010x} — call"
+                        " register_container_dict(dict_bytes) first"
+                    )
+                dec = _zlib.decompressobj(zdict=d)
+                inner = dec.decompress(bytes(mv[10:]), orig_len)
+                excess = dec.decompress(dec.unconsumed_tail, 1)
+                if excess or not dec.eof or dec.unused_data:
+                    raise ValueError(
+                        "container stream does not end at declared orig_len"
+                    )
+            elif mid == _ZSTD:
                 if _ZSTD_CODEC is None:
                     raise ValueError("zstd container but codec unavailable")
                 inner = bytes(_ZSTD_CODEC.decompress(body, orig_len))

@@ -301,7 +301,11 @@ def scaledf_try_encode(vals: np.ndarray, codec: str = "auto") -> bytes | None:
     # sample-first scale gate: a k that reconstructs the FULL array exactly
     # also reconstructs any sample of it, so failing ks are rejected on a
     # ~8K-element sample (head + middle + tail) and only surviving ks pay
-    # the full-array verify — ~2x faster on large blocks, identical result
+    # the full-array verify — ~2x faster on large blocks.  The rounding
+    # tolerance is derived from the FULL array's max (one cheap max) so the
+    # sample gate and the full verify use the same threshold — a k the full
+    # pass would accept is never rejected on the sample.
+    absmax = float(np.abs(vals).max())
     if n > 8192:
         sample = np.concatenate((vals[:4096], vals[n // 2 : n // 2 + 2048], vals[-2048:]))
         sbits = sample.view(_U64)
@@ -309,20 +313,19 @@ def scaledf_try_encode(vals: np.ndarray, codec: str = "auto") -> bytes | None:
         sample, sbits = None, None
     for k in range(_SCALE_MAX + 1):
         scale = 10.0**k
+        if absmax * scale >= 2**53:  # beyond exact-integer float range
+            return None
+        tol = 1e-9 * max(1.0, absmax * scale)
         if sample is not None:
             ss = sample * scale
-            if np.abs(ss).max() >= 2**53:
-                return None
             si = np.rint(ss)
-            if np.abs(ss - si).max() > 1e-9 * max(1.0, np.abs(ss).max()):
+            if np.abs(ss - si).max() > tol:
                 continue
             if ((si.astype(np.int64).astype(np.float64) / scale).view(_U64) != sbits).any():
                 continue
         scaled = vals * scale
-        if np.abs(scaled).max() >= 2**53:  # beyond exact-integer float range
-            return None
         ints = np.rint(scaled)
-        if np.abs(scaled - ints).max() > 1e-9 * max(1.0, np.abs(scaled).max()):
+        if np.abs(scaled - ints).max() > tol:
             continue
         i64 = ints.astype(np.int64)
         recon = (i64.astype(np.float64) / scale).view(_U64)
@@ -470,6 +473,11 @@ def veci8_encode(flat: np.ndarray, lens: np.ndarray) -> bytes:
     lens = np.asarray(lens, dtype=np.int64)
     n = int(lens.size)
     bitio.check_count(flat.size)
+    if flat.size and not np.isfinite(flat).all():
+        # mirror scaledf_try_encode's isfinite gate: a NaN/Inf component
+        # would poison the per-vector scale and silently decode the whole
+        # vector as NaN — validate_vectors is the upstream cleaning path
+        raise ValueError("veci8: non-finite component (gate with validate_vectors)")
     if int(lens.sum()) != flat.size:
         raise ValueError("veci8: lens sum != value count")
     starts = np.concatenate(([0], np.cumsum(lens)[:-1])).astype(np.intp)

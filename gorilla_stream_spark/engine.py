@@ -145,6 +145,7 @@ def _encode_fn(
     page_tokens: int = DEFAULT_PAGE_TOKENS,
     container: str = "none",
     container_level: int | None = None,
+    container_dict: bytes | None = None,
 ):
     """Arrow-native encode kernel (``mapInArrow``).
 
@@ -196,7 +197,10 @@ def _encode_fn(
                 flat = flat_all[offs[lo] : offs[hi]]
                 buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
                 if container != "none":
-                    buf = wrap_container(buf, method=container, level=container_level)
+                    buf = wrap_container(
+                        buf, method=container, level=container_level,
+                        zdict=container_dict,
+                    )
                 enc_us = int((_time.perf_counter() - t0) * 1e6)
                 raw = flat.astype("<i4").tobytes()
                 cols["block_id"].append((pid << 24) | seq)
@@ -241,6 +245,7 @@ def encode(
     repartition: bool = True,
     container: str = "none",
     container_level: int | None = None,
+    container_dict: bytes | None = None,
 ) -> DataFrame:
     """Encode a tokens table into self-describing compressed blocks.
 
@@ -263,13 +268,13 @@ def encode(
     return slim.mapInArrow(
         _encode_fn(
             tokens_col, id_col, source_col, codec, block_tokens, page_tokens,
-            container, container_level,
+            container, container_level, container_dict,
         ),
         ENCODED_SCHEMA,
     )
 
 
-def _decode_fn(strict: bool):
+def _decode_fn(strict: bool, container_dict: bytes | None = None):
     """Arrow-native decode kernel: rebuilds each block's ``list<int32>``
     token column directly from the decoded flat array + offsets
     (``ListArray.from_arrays`` — no per-row np.split / pandas objects)."""
@@ -285,6 +290,12 @@ def _decode_fn(strict: bool):
     )
 
     def fn(batches: Iterator) -> Iterator:
+        if container_dict is not None:
+            # the dict rides the task closure (the broadcast analog of the
+            # reference's ddict reference) and lands in the worker registry
+            from gorilla_stream_spark.codecs import register_container_dict
+
+            register_container_dict(container_dict)
         for rb in batches:
             names = rb.schema.names
             col = {n: rb.column(i) for i, n in enumerate(names)}
@@ -335,7 +346,9 @@ def _decode_fn(strict: bool):
     return fn
 
 
-def decode(enc_df: DataFrame, strict: bool = True) -> DataFrame:
+def decode(
+    enc_df: DataFrame, strict: bool = True, container_dict: bytes | None = None
+) -> DataFrame:
     """Decode blocks back to rows; bit-identical token arrays per doc.
 
     ``strict=True`` makes checksum mismatch fatal (the reference tolerates
@@ -347,7 +360,9 @@ def decode(enc_df: DataFrame, strict: bool = True) -> DataFrame:
     needed = ["block_id", "doc_ids", "doc_lens", "sources", "crc32_raw", "buffer"]
     if strict and "crc32_buf" in enc_df.columns:
         needed.insert(-1, "crc32_buf")
-    return enc_df.select(*needed).mapInArrow(_decode_fn(strict), DECODED_SCHEMA)
+    return enc_df.select(*needed).mapInArrow(
+        _decode_fn(strict, container_dict), DECODED_SCHEMA
+    )
 
 
 def manifest(enc_df: DataFrame) -> DataFrame:
@@ -357,7 +372,12 @@ def manifest(enc_df: DataFrame) -> DataFrame:
     return enc_df.drop("buffer", "doc_ids", "doc_lens", "sources")
 
 
-def decode_docs(enc_df: DataFrame, doc_ids: list[str], strict: bool = True) -> DataFrame:
+def decode_docs(
+    enc_df: DataFrame,
+    doc_ids: list[str],
+    strict: bool = True,
+    container_dict: bytes | None = None,
+) -> DataFrame:
     """Point-lookup decode: prune blocks by manifest membership first.
 
     Blocks carry their doc id list inline, so a lookup touches only the
@@ -369,10 +389,12 @@ def decode_docs(enc_df: DataFrame, doc_ids: list[str], strict: bool = True) -> D
     file is one monolithic stream, ``file.ex:74-97``).
     """
     if not doc_ids:  # F.array() of zero columns is invalid — empty lookup
-        return decode(enc_df.limit(0), strict=strict)
+        return decode(enc_df.limit(0), strict=strict, container_dict=container_dict)
     wanted = F.array([F.lit(d) for d in doc_ids])
     pruned = enc_df.filter(F.arrays_overlap(F.col("doc_ids"), wanted))
-    return decode(pruned, strict=strict).filter(F.col("doc_id").isin(doc_ids))
+    return decode(pruned, strict=strict, container_dict=container_dict).filter(
+        F.col("doc_id").isin(doc_ids)
+    )
 
 
 def read_timerange(enc_df: DataFrame, ts_lo: int, ts_hi: int) -> DataFrame:
@@ -557,6 +579,15 @@ def encode_timeseries(
         for rb in batches:  # Arrow batches, zero-copy to numpy (no pandas)
             if rb.num_rows == 0:
                 continue
+            # Fail loud on nulls: to_numpy would surface them as NaN and the
+            # int64 cast would then silently store INT64_MIN, corrupting both
+            # the block payload and ts_min pruning.  Mirrors the reference's
+            # validate-first contract (gorilla.ex:188-204).
+            if rb.column(0).null_count or rb.column(1).null_count:
+                raise ValueError(
+                    "encode_timeseries: null ts/value cells in input "
+                    "(run validate.clean_timeseries first or filter nulls)"
+                )
             ts_acc.append(rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
             val_acc.append(rb.column(1).to_numpy(zero_copy_only=False).astype(np.float64, copy=False))
             n_acc += rb.num_rows

@@ -1,0 +1,892 @@
+"""Reference ``.gorilla`` wire-format codec — import/export interop.
+
+Byte-for-byte compatible with awksedgreep/gorilla_stream's pure-Elixir
+encoder, so a user migrating from the reference can read their existing
+blocks here and write blocks the reference decodes.  Format provenance
+(all ``/root/reference/lib/gorilla_stream/...``):
+
+- outer header v1 (80 B) / v2 (84 B) incl. magic/crc32/flags:
+  ``compression/encoder/metadata.ex:55-125``
+- inner header (32 B): ``compression/encoder/bit_packing.ex:74-102``
+- timestamp delta-of-delta prefix codes (0 / 10+7 / 110+9 / 1110+12 /
+  1111+32, signed two's-complement payloads):
+  ``compression/encoder/delta_encoding.ex:27-111``
+- value XOR stream: ``compression/encoder/value_compression.ex:30-166``
+- VictoriaMetrics-style preprocessing (decimal scaling + counter delta):
+  ``compression/enhancements.ex`` + flags ``encoder/metadata.ex:96-99``
+- decoder semantics (incl. checksum-mismatch tolerance):
+  ``compression/decoder/metadata.ex:29-53``, ``decoder/delta_decoding.ex``,
+  ``decoder/value_decompression.ex``
+- ``term_to_binary`` file envelope: ``file.ex:31-38``
+
+Two reference quirks are reproduced deliberately (bug-for-bug wire parity):
+
+1. The Elixir XOR encoder's "new window" ('11') branch is dead code: the
+   control window starts at (0 leading, 0 trailing), the '10' reuse branch
+   never updates it, and the reuse condition (lead>=0, trail>=0,
+   meaningful>0) always holds for a non-zero XOR — so every changed value
+   is emitted as ``'10' + full 64 XOR bits`` and every repeat as ``'0'``
+   (``value_compression.ex:82-118``).  Export emits exactly that; import
+   fast-paths it and falls back to the faithful general decoder (window
+   updates, '11' codes) for streams from other writers.
+2. The DoD bucket upper bounds (+64, +256, +2048) don't fit their signed
+   payload widths: the reference encodes the low bits and its decoder
+   sign-extends, so a delta-of-delta of exactly +64 round-trips as -64
+   (``delta_encoding.ex:95-98`` vs ``delta_decoding.ex:147-149``).  We
+   encode identically (identical bytes); decode mirrors the reference.
+
+One documented import deviation: the reference decoder reads the first
+timestamp as *unsigned* 64-bit, so negative timestamps round-trip as huge
+positives there; we interpret the same bits as signed int64 (bytes are
+identical either way — only the import of pre-epoch data differs, in our
+favor).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+from typing import Iterator
+
+import numpy as np
+
+__all__ = [
+    "MAGIC",
+    "VERSION",
+    "encode_points",
+    "decode_points",
+    "wire_info",
+    "etf_encode",
+    "etf_decode",
+    "Atom",
+    "write_gorilla_file",
+    "read_gorilla_file",
+]
+
+MAGIC = 0x474F52494C4C41  # "GORILLA" (metadata.ex:18)
+VERSION = 1
+_U64 = np.uint64
+_MASK64 = (1 << 64) - 1
+
+# outer header v1: magic, version, header_size, count, compressed_size,
+# original_size, checksum, first_timestamp, first_delta(signed),
+# first_value_bits, ts_bit_len, val_bit_len, total_bits, ratio(f64),
+# creation_time, flags  — all big-endian (metadata.ex:101-119)
+_OUTER = struct.Struct(">QHHIIIIQiQIIIdQI")
+assert _OUTER.size == 80
+# inner header: count, first_timestamp, first_value_bits,
+# first_delta(signed), ts_bit_len, val_bit_len (bit_packing.ex:90-102)
+_INNER = struct.Struct(">IQQiII")
+assert _INNER.size == 32
+
+_FLAG_VM = 0x1
+_FLAG_COUNTER = 0x2
+
+
+# ---------------------------------------------------------------------------
+# Bit-level kernels (vectorized; no per-value Python in the hot paths)
+# ---------------------------------------------------------------------------
+
+
+def _pack_fields(vals: np.ndarray, widths: np.ndarray) -> tuple[bytes, int]:
+    """MSB-first concatenation of variable-width fields -> (bytes, nbits).
+
+    Ragged-arange construction: one bit-matrix row per OUTPUT bit, filled
+    with three vectorized gathers, then ``np.packbits`` (zero-pads the
+    final byte exactly like the reference's pad_to_byte_boundary,
+    bit_packing.ex:115-125).
+    """
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    widths = np.ascontiguousarray(widths, dtype=np.int64)
+    total = int(widths.sum())
+    if total == 0:
+        return b"", 0
+    owner = np.repeat(np.arange(widths.size, dtype=np.int64), widths)
+    starts = np.cumsum(widths) - widths
+    j = np.arange(total, dtype=np.int64) - starts[owner]
+    shift = (widths[owner] - 1 - j).astype(np.uint64)
+    bits = ((vals[owner] >> shift) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits).tobytes(), total
+
+
+def _gather_bits(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Read ``width``-bit unsigned values at arbitrary bit offsets."""
+    if starts.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    idx = starts.reshape(-1, 1) + np.arange(width, dtype=np.int64)
+    sh = np.arange(width - 1, -1, -1, dtype=np.uint64)
+    vals = bits[idx].astype(np.uint64) << sh
+    return np.bitwise_or.reduce(vals, axis=1)
+
+
+def _sign_extend(v: np.ndarray, width: int) -> np.ndarray:
+    """Two's-complement interpret ``width``-bit values as int64."""
+    sign = np.uint64(1) << np.uint64(width - 1)
+    return (v.astype(np.uint64) ^ sign).view(np.int64) - np.int64(1 << (width - 1))
+
+
+# ---------------------------------------------------------------------------
+# Delta-of-delta field construction (delta_encoding.ex:69-111; the
+# first-delta codes :69-87 use the identical bucket scheme)
+# ---------------------------------------------------------------------------
+
+
+def _dod_fields(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Fused (prefix | payload) field per delta-of-delta -> (vals, widths)."""
+    d = d.astype(np.int64, copy=False)
+    u = d.view(np.uint64) if d.dtype == np.int64 else d.astype(np.int64).view(np.uint64)
+    c0 = d == 0
+    c1 = (~c0) & (d >= -63) & (d <= 64)
+    c2 = (~c0) & (~c1) & (d >= -255) & (d <= 256)
+    c3 = (~c0) & (~c1) & (~c2) & (d >= -2047) & (d <= 2048)
+    widths = np.select([c0, c1, c2, c3], [1, 9, 12, 16], default=36).astype(np.int64)
+    vals = np.select(
+        [c0, c1, c2, c3],
+        [
+            np.uint64(0),
+            (np.uint64(0b10) << np.uint64(7)) | (u & np.uint64(0x7F)),
+            (np.uint64(0b110) << np.uint64(9)) | (u & np.uint64(0x1FF)),
+            (np.uint64(0b1110) << np.uint64(12)) | (u & np.uint64(0xFFF)),
+        ],
+        default=(np.uint64(0b1111) << np.uint64(32)) | (u & np.uint64(0xFFFFFFFF)),
+    )
+    return vals, widths
+
+
+# DoD prefix classes for decode: (test fn, code_len, payload_width)
+def _ts_jump_table(b: np.ndarray) -> np.ndarray:
+    """J[p] = next code start for the DoD prefix classes (total function)."""
+    n = b.size
+    pad = np.concatenate([b, np.zeros(4, dtype=np.uint8)])
+    L = np.where(
+        pad[:n] == 0,
+        1,
+        np.where(
+            pad[1 : n + 1] == 0,
+            9,
+            np.where(pad[2 : n + 2] == 0, 12, np.where(pad[3 : n + 3] == 0, 16, 36)),
+        ),
+    )
+    J = np.minimum(np.arange(n, dtype=np.int64) + L, n)
+    return np.concatenate([J, np.array([n], dtype=np.int64)])
+
+
+def _chain_positions(J: np.ndarray, start: int, count: int) -> np.ndarray:
+    """First ``count`` chain nodes of p -> J[p] from ``start`` (pointer
+    doubling: log2(count) vectorized gathers, no per-code Python loop)."""
+    if count <= 0:
+        return np.empty(0, dtype=np.int64)
+    P = np.array([start], dtype=np.int64)
+    Jk = J
+    while P.size < count:
+        P = np.concatenate([P, Jk[P]])
+        if P.size >= count:
+            break
+        Jk = Jk[Jk]
+    return P[:count]
+
+
+def _decode_dod_stream(bits: np.ndarray, start: int, count: int) -> tuple[np.ndarray, int]:
+    """Decode ``count`` DoD prefix codes -> (int64 dods, end_bit_pos)."""
+    if count == 0:
+        return np.empty(0, dtype=np.int64), start
+    n = bits.size
+    J = _ts_jump_table(bits)
+    # restrict the chain to positions >= start by chaining on the global J
+    P = _chain_positions(J, start, count)
+    if P[-1] >= n:
+        raise ValueError("gorilla wire: timestamp bitstream truncated")
+    pad = np.concatenate([bits, np.zeros(4, dtype=np.uint8)])
+    b0, b1, b2, b3 = pad[P], pad[P + 1], pad[P + 2], pad[P + 3]
+    cls = np.where(
+        b0 == 0, 0, np.where(b1 == 0, 1, np.where(b2 == 0, 2, np.where(b3 == 0, 3, 4)))
+    )
+    lens = np.array([1, 9, 12, 16, 36], dtype=np.int64)[cls]
+    end = int(P[-1] + lens[-1])
+    if end > n:
+        raise ValueError("gorilla wire: timestamp bitstream truncated")
+    out = np.zeros(count, dtype=np.int64)
+    for c, (plen, w) in enumerate([(1, 0), (2, 7), (3, 9), (4, 12), (4, 32)]):
+        m = cls == c
+        if not m.any() or w == 0:
+            continue
+        raw = _gather_bits(bits, P[m] + plen, w)
+        out[m] = _sign_extend(raw, w)
+    return out, end
+
+
+# ---------------------------------------------------------------------------
+# VictoriaMetrics-style preprocessing (enhancements.ex)
+# ---------------------------------------------------------------------------
+
+
+def _detect_scale(vals: np.ndarray) -> int:
+    """Max decimal digits across values, capped at 6 (enhancements.ex:36-51:
+    decimal-string with 10 decimals, trailing zeros trimmed)."""
+    best = 0
+    for v in vals:
+        s = f"{float(v):.10f}"
+        frac = s.split(".", 1)[1].rstrip("0")
+        best = max(best, len(frac))
+        if best >= 6:
+            return 6
+    return best
+
+
+def _round_half_away(v: np.ndarray) -> np.ndarray:
+    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+
+
+def _vm_preprocess(
+    vals: np.ndarray, is_counter: bool, scale_decimals
+) -> tuple[np.ndarray, int]:
+    v = vals
+    if is_counter:
+        # first absolute, then diffs (enhancements.ex:57-63)
+        v = np.concatenate([v[:1], np.diff(v)])
+    n = _detect_scale(v) if scale_decimals == "auto" else int(scale_decimals)
+    scaled = _round_half_away(v * (10.0**n))
+    return scaled, n
+
+
+def _vm_postprocess(vals: np.ndarray, flags: int, scale_decimals: int) -> np.ndarray:
+    if not flags & _FLAG_VM:
+        return vals
+    if scale_decimals > 0:
+        vals = vals / (10.0**scale_decimals)
+    if flags & _FLAG_COUNTER:
+        vals = np.cumsum(vals)
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# Block encode (byte-for-byte vs the reference's pure-Elixir path)
+# ---------------------------------------------------------------------------
+
+
+def encode_points(
+    timestamps: np.ndarray,
+    values: np.ndarray,
+    *,
+    victoria_metrics: bool = False,
+    is_counter: bool = False,
+    scale_decimals="auto",
+    creation_time: int = 0,
+) -> bytes:
+    """Encode one (timestamps, values) stream as a reference wire block.
+
+    ``creation_time`` lands in the outer header verbatim (the reference
+    stamps wall-clock seconds, metadata.ex:100; pass a fixed value for
+    reproducible bytes).  Empty input -> empty binary (gorilla.ex:74-75).
+    ``is_counter`` only applies under ``victoria_metrics=True``, exactly
+    like the reference pipeline (gorilla/encoder.ex:92-103).
+    """
+    ts = np.ascontiguousarray(timestamps, dtype=np.int64)
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    n = ts.size
+    if vals.size != n:
+        raise ValueError("timestamp/value counts must match")  # bit_packing.ex:30
+    if n == 0:
+        return b""
+
+    if victoria_metrics:
+        pre, scale_n = _vm_preprocess(vals, is_counter, scale_decimals)
+        flags = _FLAG_VM | (_FLAG_COUNTER if is_counter else 0)
+        emit_v2 = True
+    else:
+        pre, scale_n, flags, emit_v2 = vals, 0, 0, False
+
+    # --- timestamp fields: first::64, first_delta code, DoD codes ---
+    tsu = ts.view(np.uint64)
+    f_vals = [np.array([tsu[0]], dtype=np.uint64)]
+    f_wid = [np.array([64], dtype=np.int64)]
+    first_delta = 0
+    if n >= 2:
+        deltas = np.diff(ts)
+        first_delta = int(deltas[0])
+        fdv, fdw = _dod_fields(np.array([first_delta], dtype=np.int64))
+        f_vals.append(fdv)
+        f_wid.append(fdw)
+        if n >= 3:
+            dodv, dodw = _dod_fields(np.diff(deltas))
+            f_vals.append(dodv)
+            f_wid.append(dodw)
+    ts_bit_len = int(np.concatenate(f_wid).sum())
+
+    # --- value fields: first::64 then '0' / '10'+xor64 (see module doc) ---
+    vb = pre.view(np.uint64)
+    f_vals.append(vb[:1].copy())
+    f_wid.append(np.array([64], dtype=np.int64))
+    val_bit_len = 64
+    if n >= 2:
+        xors = vb[1:] ^ vb[:-1]
+        nz = xors != np.uint64(0)
+        n1 = n - 1
+        nnz = int(nz.sum())
+        off = np.concatenate(([0], np.cumsum(nz[:-1]))) if n1 else np.empty(0, np.int64)
+        ctrl_idx = np.arange(n1, dtype=np.int64) + off.astype(np.int64)
+        fv = np.zeros(n1 + nnz, dtype=np.uint64)
+        fw = np.zeros(n1 + nnz, dtype=np.int64)
+        fw[ctrl_idx] = np.where(nz, 2, 1)
+        fv[ctrl_idx] = np.where(nz, np.uint64(0b10), np.uint64(0))
+        pay_idx = ctrl_idx[nz] + 1
+        fv[pay_idx] = xors[nz]
+        fw[pay_idx] = 64
+        f_vals.append(fv)
+        f_wid.append(fw)
+        val_bit_len += int(fw.sum())
+
+    first_value_bits = int(vb[0])
+    # first_delta::32-signed truncates to the low 32 bits (bit_packing.ex:99)
+    fd32 = ((first_delta + (1 << 31)) & 0xFFFFFFFF) - (1 << 31)
+    # inner header rides the same bitstream (byte-aligned by construction)
+    inner = _INNER.pack(
+        n, int(tsu[0]), first_value_bits, fd32, ts_bit_len, val_bit_len
+    )
+    header_fields_v = np.frombuffer(inner, dtype=np.uint8).astype(np.uint64)
+    header_fields_w = np.full(header_fields_v.size, 8, dtype=np.int64)
+    all_vals = np.concatenate([header_fields_v] + f_vals)
+    all_wid = np.concatenate([header_fields_w] + f_wid)
+    payload, _bits = _pack_fields(all_vals, all_wid)
+
+    compressed_size = len(payload)
+    original_size = n * 16  # metadata.ex:140-144
+    ratio = compressed_size / original_size
+    outer = _OUTER.pack(
+        MAGIC,
+        VERSION,
+        84 if emit_v2 else 80,
+        n,
+        compressed_size,
+        original_size,
+        zlib.crc32(payload) & 0xFFFFFFFF,
+        int(tsu[0]),
+        fd32,
+        first_value_bits,
+        ts_bit_len,
+        val_bit_len,
+        compressed_size * 8,  # total_bits of the byte-padded payload
+        ratio,
+        int(creation_time) & _MASK64,
+        flags,
+    )
+    if emit_v2:
+        outer += struct.pack(">I", scale_n)
+    return outer + payload
+
+
+# ---------------------------------------------------------------------------
+# Block decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_values_sequential(
+    bits: np.ndarray, count: int, first_bits: int
+) -> np.ndarray:
+    """Faithful general XOR decoder incl. '11' window codes
+    (value_decompression.ex:124-210) — fallback for non-reference writers."""
+    out = np.empty(count, dtype=np.uint64)
+    out[0] = first_bits
+    prev = first_bits
+    lead, trail = 0, 0
+    pos = 64
+    bl = bits.tolist()
+    npos = len(bl)
+
+    def read(w: int) -> int:
+        nonlocal pos
+        if pos + w > npos:
+            raise ValueError("gorilla wire: value bitstream truncated")
+        v = 0
+        for b in bl[pos : pos + w]:
+            v = (v << 1) | b
+        pos += w
+        return v
+
+    for i in range(1, count):
+        if read(1) == 0:
+            out[i] = prev
+            continue
+        if read(1) == 0:  # '10' reuse window
+            mlen = 64 - lead - trail
+            if mlen <= 0:
+                raise ValueError("invalid meaningful length in previous window")
+            xor = read(mlen) << trail
+        else:  # '11' new window
+            lead = read(5)
+            mlen = read(6) + 1
+            trail = 64 - lead - mlen
+            if trail < 0:
+                raise ValueError("invalid trailing zeros calculation")
+            xor = read(mlen) << trail
+        prev ^= xor
+        out[i] = prev
+    return out
+
+
+def decode_points(
+    buf: bytes, *, strict: bool = True
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """Decode a reference wire block -> (ts int64, values float64, info).
+
+    ``strict=False`` mirrors the reference's checksum tolerance
+    (decoder/metadata.ex:41-44): a crc mismatch sets
+    ``info['checksum_failed']`` instead of raising.
+    """
+    if len(buf) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), {"count": 0}
+    if len(buf) < 80:
+        raise ValueError("gorilla wire: buffer smaller than outer header")
+    (
+        magic,
+        version,
+        header_size,
+        count,
+        compressed_size,
+        original_size,
+        checksum,
+        first_ts_u,
+        first_delta,
+        first_value_bits,
+        ts_bit_len,
+        val_bit_len,
+        total_bits,
+        ratio,
+        creation_time,
+        flags,
+    ) = _OUTER.unpack_from(buf, 0)
+    if magic != MAGIC:
+        raise ValueError("gorilla wire: bad magic")
+    if version > VERSION:
+        raise ValueError(f"gorilla wire: unsupported version {version}")
+    if header_size not in (80, 84):
+        raise ValueError(f"gorilla wire: invalid header length {header_size}")
+    scale_decimals = 0
+    off = 80
+    if header_size == 84:
+        if len(buf) < 84:
+            raise ValueError("gorilla wire: truncated v2 header")
+        (scale_decimals,) = struct.unpack_from(">I", buf, 80)
+        off = 84
+    payload = buf[off : off + compressed_size]
+    if len(payload) < compressed_size:
+        raise ValueError("gorilla wire: truncated payload")
+    info = {
+        "version": version,
+        "header_length": header_size,
+        "count": count,
+        "compressed_size": compressed_size,
+        "original_size": original_size,
+        "compression_ratio": ratio,
+        "creation_time": creation_time,
+        "flags": flags,
+        "scale_decimals": scale_decimals,
+    }
+    if zlib.crc32(payload) & 0xFFFFFFFF != checksum:
+        if strict:
+            raise ValueError("gorilla wire: checksum mismatch")
+        info["checksum_failed"] = True
+    if count == 0:
+        return np.empty(0, np.int64), np.empty(0, np.float64), info
+    if len(payload) < 32:
+        raise ValueError("gorilla wire: missing inner header")
+    i_count, i_first_ts, i_first_vb, i_first_delta, i_ts_len, i_val_len = _INNER.unpack_from(
+        payload, 0
+    )
+    # the reference decodes from the inner header (bit_packing.ex:136-199)
+    count, ts_bit_len, val_bit_len = i_count, i_ts_len, i_val_len
+    if count > (1 << 28):
+        raise ValueError(f"gorilla wire: implausible count {count}")
+    data = payload[32:]
+    need_bytes = (ts_bit_len + val_bit_len + 7) >> 3
+    if len(data) < need_bytes:
+        raise ValueError("gorilla wire: payload shorter than declared bit lengths")
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8, count=need_bytes))
+
+    # --- timestamps ---
+    tb = bits[:ts_bit_len]
+    if ts_bit_len < 64:
+        raise ValueError("gorilla wire: timestamp stream too short")
+    first_ts = int(_gather_bits(tb, np.array([0]), 64)[0])
+    first_ts = first_ts - (1 << 64) if first_ts >= (1 << 63) else first_ts  # signed read
+    if count == 1:
+        ts = np.array([first_ts], dtype=np.int64)
+    else:
+        codes, _end = _decode_dod_stream(tb, 64, count - 1)
+        fd, dods = int(codes[0]), codes[1:]
+        deltas = fd + np.concatenate(([0], np.cumsum(dods)))
+        ts = first_ts + np.concatenate(([0], np.cumsum(deltas)))
+        ts = ts.astype(np.int64)
+
+    # --- values ---
+    vb = bits[ts_bit_len : ts_bit_len + val_bit_len]
+    if val_bit_len < 64:
+        raise ValueError("gorilla wire: value stream too short")
+    first_vb = int(_gather_bits(vb, np.array([0]), 64)[0])
+    if count == 1:
+        vbits = np.array([first_vb], dtype=np.uint64)
+    else:
+        # fast path: reference-canonical '0'/'10' stream (see module doc)
+        nvb = vb.size
+        J = np.minimum(
+            np.arange(nvb, dtype=np.int64) + np.where(vb == 0, 1, 66), nvb
+        )
+        J = np.concatenate([J, np.array([nvb], dtype=np.int64)])
+        P = _chain_positions(J, 64, count - 1)
+        pad = np.concatenate([vb, np.zeros(1, dtype=np.uint8)])
+        if P[-1] >= nvb or (pad[P] & pad[np.minimum(P + 1, nvb)]).any():
+            # '11' codes present (non-reference writer) -> faithful
+            # sequential general decoder
+            vbits = _decode_values_sequential(vb, count, first_vb)
+        else:
+            m = pad[P] == 1
+            if m.any() and int((P[m] + 66).max()) > nvb:
+                raise ValueError("gorilla wire: value bitstream truncated")
+            xors = np.zeros(count, dtype=np.uint64)
+            xors[1:][m] = _gather_bits(vb, P[m] + 2, 64)
+            xors[0] = np.uint64(first_vb)
+            vbits = np.bitwise_xor.accumulate(xors)
+    vals = np.ascontiguousarray(vbits).view(np.float64)
+    vals = _vm_postprocess(vals, flags, scale_decimals)
+    return ts, np.ascontiguousarray(vals, dtype=np.float64), info
+
+
+def wire_info(buf: bytes) -> dict:
+    """Header-only inspection (decoder/metadata.ex get_header_info analog)."""
+    if len(buf) < 80:
+        raise ValueError("gorilla wire: buffer smaller than outer header")
+    magic, version, header_size, count, compressed_size, original_size, checksum, first_ts = struct.unpack_from(
+        ">QHHIIIIQ", buf, 0
+    )
+    if magic != MAGIC:
+        raise ValueError("gorilla wire: bad magic")
+    return {
+        "version": version,
+        "header_length": header_size,
+        "count": count,
+        "compressed_size": compressed_size,
+        "original_size": original_size,
+        "checksum": checksum,
+        "first_timestamp": first_ts,
+        "compression_ratio": compressed_size / original_size if original_size else 0.0,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Erlang External Term Format (subset) — the reference's file envelope is
+# term_to_binary({file_metadata_map, compressed_binary}) (file.ex:38).
+# Public spec: https://www.erlang.org/doc/apps/erts/erl_ext_dist.html
+# ---------------------------------------------------------------------------
+
+
+class Atom(str):
+    """Marker type: an Erlang atom (Elixir map keys, :ok, DateTime fields)."""
+
+    __slots__ = ()
+
+
+def _etf_encode_term(t, out: bytearray) -> None:
+    if t is None:
+        t = Atom("nil")
+    elif t is True:
+        t = Atom("true")
+    elif t is False:
+        t = Atom("false")
+    if isinstance(t, Atom):
+        raw = t.encode("utf-8")
+        if len(raw) > 255:
+            raise ValueError("atom too long")
+        out += bytes([119, len(raw)]) + raw  # SMALL_ATOM_UTF8_EXT
+    elif isinstance(t, str):
+        raw = t.encode("utf-8")  # Elixir strings are binaries
+        out += b"\x6d" + struct.pack(">I", len(raw)) + raw  # BINARY_EXT
+    elif isinstance(t, (bytes, bytearray)):
+        out += b"\x6d" + struct.pack(">I", len(t)) + bytes(t)
+    elif isinstance(t, bool):  # pragma: no cover - handled above
+        raise AssertionError
+    elif isinstance(t, int):
+        if 0 <= t <= 255:
+            out += bytes([97, t])  # SMALL_INTEGER_EXT
+        elif -(1 << 31) <= t < (1 << 31):
+            out += b"\x62" + struct.pack(">i", t)  # INTEGER_EXT
+        else:
+            mag = abs(t)
+            nb = (mag.bit_length() + 7) // 8
+            if nb > 255:
+                raise ValueError("integer too large")
+            out += bytes([110, nb, 1 if t < 0 else 0])  # SMALL_BIG_EXT
+            out += mag.to_bytes(nb, "little")
+    elif isinstance(t, float):
+        out += b"\x46" + struct.pack(">d", t)  # NEW_FLOAT_EXT
+    elif isinstance(t, tuple):
+        if len(t) > 255:
+            out += b"\x69" + struct.pack(">I", len(t))  # LARGE_TUPLE_EXT
+        else:
+            out += bytes([104, len(t)])  # SMALL_TUPLE_EXT
+        for x in t:
+            _etf_encode_term(x, out)
+    elif isinstance(t, list):
+        if not t:
+            out += b"\x6a"  # NIL_EXT
+        else:
+            out += b"\x6c" + struct.pack(">I", len(t))  # LIST_EXT
+            for x in t:
+                _etf_encode_term(x, out)
+            out += b"\x6a"
+    elif isinstance(t, dict):
+        out += b"\x74" + struct.pack(">I", len(t))  # MAP_EXT
+        for k, v in t.items():
+            _etf_encode_term(k, out)
+            _etf_encode_term(v, out)
+    else:
+        raise TypeError(f"cannot ETF-encode {type(t)}")
+
+
+def etf_encode(term) -> bytes:
+    out = bytearray(b"\x83")
+    _etf_encode_term(term, out)
+    return bytes(out)
+
+
+def _etf_decode_term(buf: memoryview, pos: int):
+    tag = buf[pos]
+    pos += 1
+    if tag == 97:  # SMALL_INTEGER
+        return buf[pos], pos + 1
+    if tag == 98:  # INTEGER
+        return struct.unpack_from(">i", buf, pos)[0], pos + 4
+    if tag == 70:  # NEW_FLOAT
+        return struct.unpack_from(">d", buf, pos)[0], pos + 8
+    if tag in (100, 118):  # ATOM_EXT / ATOM_UTF8_EXT (u16 len)
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        name = bytes(buf[pos + 2 : pos + 2 + ln]).decode("utf-8", "replace")
+        return _atom_value(name), pos + 2 + ln
+    if tag in (115, 119):  # SMALL_ATOM(_UTF8)_EXT (u8 len)
+        ln = buf[pos]
+        name = bytes(buf[pos + 1 : pos + 1 + ln]).decode("utf-8", "replace")
+        return _atom_value(name), pos + 1 + ln
+    if tag == 104:  # SMALL_TUPLE
+        arity = buf[pos]
+        pos += 1
+        items = []
+        for _ in range(arity):
+            x, pos = _etf_decode_term(buf, pos)
+            items.append(x)
+        return tuple(items), pos
+    if tag == 105:  # LARGE_TUPLE
+        (arity,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        items = []
+        for _ in range(arity):
+            x, pos = _etf_decode_term(buf, pos)
+            items.append(x)
+        return tuple(items), pos
+    if tag == 109:  # BINARY
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        return bytes(buf[pos + 4 : pos + 4 + ln]), pos + 4 + ln
+    if tag == 106:  # NIL (empty list)
+        return [], pos
+    if tag == 107:  # STRING (list of bytes)
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        return list(buf[pos + 2 : pos + 2 + ln]), pos + 2 + ln
+    if tag == 108:  # LIST
+        (ln,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        items = []
+        for _ in range(ln):
+            x, pos = _etf_decode_term(buf, pos)
+            items.append(x)
+        tail, pos = _etf_decode_term(buf, pos)
+        if tail not in ([],):  # improper list: keep the tail visible
+            items.append(tail)
+        return items, pos
+    if tag in (110, 111):  # SMALL_BIG / LARGE_BIG
+        if tag == 110:
+            nb, sign = buf[pos], buf[pos + 1]
+            pos += 2
+        else:
+            (nb,) = struct.unpack_from(">I", buf, pos)
+            sign = buf[pos + 4]
+            pos += 5
+        mag = int.from_bytes(bytes(buf[pos : pos + nb]), "little")
+        return (-mag if sign else mag), pos + nb
+    if tag == 116:  # MAP
+        (arity,) = struct.unpack_from(">I", buf, pos)
+        pos += 4
+        d = {}
+        for _ in range(arity):
+            k, pos = _etf_decode_term(buf, pos)
+            v, pos = _etf_decode_term(buf, pos)
+            d[k] = v
+        return d, pos
+    raise ValueError(f"unsupported ETF tag {tag}")
+
+
+def _atom_value(name: str):
+    if name == "nil":
+        return None
+    if name == "true":
+        return True
+    if name == "false":
+        return False
+    return Atom(name)
+
+
+def etf_decode(buf: bytes):
+    if not buf or buf[0] != 0x83:
+        raise ValueError("not an ETF term (missing 131 version byte)")
+    term, _pos = _etf_decode_term(memoryview(buf), 1)
+    return term
+
+
+def write_gorilla_file(
+    path: str,
+    timestamps: np.ndarray,
+    values: np.ndarray,
+    user_metadata: dict | None = None,
+    compressed_at: int = 0,
+    **encode_opts,
+) -> dict:
+    """Reference ``.gorilla`` file: ETF envelope around a wire block
+    (file.ex:31-38).  ``compressed_at`` is written as integer epoch seconds
+    (the reference writes a DateTime struct; both are opaque metadata to
+    its reader)."""
+    compressed = encode_points(timestamps, values, **encode_opts)
+    meta = {
+        Atom("version"): "1.0",
+        Atom("compressed_at"): int(compressed_at),
+        Atom("original_points"): int(np.asarray(timestamps).size),
+        Atom("user_metadata"): user_metadata or {},
+    }
+    content = etf_encode((meta, compressed))
+    with open(path, "wb") as f:
+        f.write(content)
+    return {
+        "compressed_size": len(compressed),
+        "file_size": len(content),
+        "original_points": int(np.asarray(timestamps).size),
+    }
+
+
+def read_gorilla_file(path: str, *, strict: bool = True):
+    """-> (timestamps, values, file_metadata) (file.ex:70-95)."""
+    with open(path, "rb") as f:
+        content = f.read()
+    term = etf_decode(content)
+    if not (isinstance(term, tuple) and len(term) == 2 and isinstance(term[1], bytes)):
+        raise ValueError("invalid gorilla file format")
+    meta, compressed = term
+    ts, vals, _info = decode_points(compressed, strict=strict)
+    return ts, vals, meta
+
+
+# ---------------------------------------------------------------------------
+# Spark operators — distributed wire-format encode/decode.  Same block
+# substrate as engine.encode_timeseries (range-partition + sort so blocks
+# cover contiguous time ranges); each block is one reference-compatible
+# binary, so an exported table is a directory a reference user can decode
+# block-by-block with GorillaStream.decompress/1.
+# ---------------------------------------------------------------------------
+
+
+def encode_timeseries_wire(
+    df,
+    ts_col: str = "ts",
+    val_col: str = "value",
+    num_partitions: int | None = None,
+    block_points: int = 5000,
+    assume_sorted: bool = False,
+    victoria_metrics: bool = False,
+    is_counter: bool = False,
+):
+    """Encode (ts, value) rows into reference wire blocks (~5000 points per
+    block, matching the reference's chunking default, stream.ex:42)."""
+    from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    slim = df.select(
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(val_col).cast("double").alias("__val"),
+    )
+    if not assume_sorted:
+        if num_partitions:
+            slim = slim.repartitionByRange(num_partitions, "__ts")
+        slim = slim.sortWithinPartitions("__ts")
+
+    def fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        seq = 0
+        ts_acc: list[np.ndarray] = []
+        val_acc: list[np.ndarray] = []
+        n_acc = 0
+
+        def emit(ts: np.ndarray, vals: np.ndarray):
+            nonlocal seq
+            buf = encode_points(
+                ts, vals, victoria_metrics=victoria_metrics, is_counter=is_counter
+            )
+            out = pa.RecordBatch.from_pydict(
+                {
+                    "block_id": pa.array([(pid << 24) | seq], pa.int64()),
+                    "n_points": pa.array([int(ts.size)], pa.int64()),
+                    "enc_bytes": pa.array([len(buf)], pa.int64()),
+                    "ts_min": pa.array([int(ts.min())], pa.int64()),
+                    "ts_max": pa.array([int(ts.max())], pa.int64()),
+                    "buffer": pa.array([buf], pa.binary()),
+                }
+            )
+            seq += 1
+            return out
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            if rb.column(0).null_count or rb.column(1).null_count:
+                raise ValueError("encode_timeseries_wire: null ts/value cells")
+            ts_acc.append(rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+            val_acc.append(rb.column(1).to_numpy(zero_copy_only=False).astype(np.float64, copy=False))
+            n_acc += rb.num_rows
+            if n_acc >= block_points:
+                ts_all = np.concatenate(ts_acc) if len(ts_acc) > 1 else ts_acc[0]
+                val_all = np.concatenate(val_acc) if len(val_acc) > 1 else val_acc[0]
+                pos = 0
+                while ts_all.size - pos >= block_points:
+                    yield emit(
+                        ts_all[pos : pos + block_points],
+                        val_all[pos : pos + block_points],
+                    )
+                    pos += block_points
+                ts_acc = [ts_all[pos:]] if pos < ts_all.size else []
+                val_acc = [val_all[pos:]] if pos < val_all.size else []
+                n_acc = ts_all.size - pos
+        if n_acc:
+            yield emit(
+                np.concatenate(ts_acc) if len(ts_acc) > 1 else ts_acc[0],
+                np.concatenate(val_acc) if len(val_acc) > 1 else val_acc[0],
+            )
+
+    return slim.mapInArrow(
+        fn,
+        "block_id long, n_points long, enc_bytes long, ts_min long, ts_max long, buffer binary",
+    )
+
+
+def decode_timeseries_wire(enc_df, *, strict: bool = True):
+    """Inverse of :func:`encode_timeseries_wire` -> (ts, value) rows."""
+
+    def fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for rb in batches:
+            col = rb.column(rb.schema.get_field_index("buffer"))
+            for i in range(rb.num_rows):
+                ts, vals, _info = decode_points(col[i].as_py(), strict=strict)
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array(ts, pa.int64()), pa.array(vals, pa.float64())],
+                    names=["ts", "value"],
+                )
+
+    return enc_df.select("buffer").mapInArrow(fn, "ts long, value double")

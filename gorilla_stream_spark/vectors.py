@@ -678,18 +678,30 @@ def train_pq(
     sample: int = 65536,
     iters: int = 12,
     seed: int = _PQ_SEED,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Train PQ codebooks: (m, 2^nbits, dim/m) float32.
 
     Driver-side Lloyd k-means per subspace over a bounded deterministic
-    sample (first ``sample`` rows by vec_id — at scale pass a
-    pre-sampled/stratified frame).  The sample is the ONLY data that
-    leaves the executors; codebooks (m * k * dsub * 4 B, ~64 KB at the
-    defaults for dim 64) ride task closures afterwards.
+    sample: the ``sample`` rows with the smallest ``xxhash64(id, seed)``.
+    Hash-order is a uniform shuffle of the corpus, so the sample is
+    unbiased even when the input is source-ordered (a ``limit`` would
+    train on one shard of one source at 100 TB), and it is a pure
+    function of (ids, seed) — independent of partitioning, so codebooks
+    and all downstream stored codes are run-to-run reproducible.
+    Executed as per-partition top-K + driver merge (TakeOrdered), never
+    a full sort shuffle.  The sample is the ONLY data that leaves the
+    executors; codebooks (m * k * dsub * 4 B, ~64 KB at the defaults
+    for dim 64) ride task closures afterwards.
     """
     k = 1 << nbits
     rows = (
-        df.select(F.col(vec_col).alias("v"))
+        df.select(
+            F.col(vec_col).alias("v"),
+            F.col(id_col).cast("string").alias("__id"),
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))).alias("__h"),
+        )
+        .orderBy("__h", "__id")
         .limit(int(sample))
         .collect()
     )

@@ -1,0 +1,451 @@
+"""Wire-format interop tests.
+
+The conformance oracle is an independent straight-line transcription of the
+reference's pure-Elixir encoder (bit-by-bit, from
+``encoder/delta_encoding.ex:27-111``, ``encoder/value_compression.ex:30-166``,
+``encoder/bit_packing.ex:74-125``, ``encoder/metadata.ex:55-125``) — the
+engine's vectorized encoder must produce identical bytes, mirroring the
+reference's own same-payload byte-for-byte standard
+(``test/nif_compatibility_test.exs:156``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gorilla_stream_spark import gorilla_wire as gw
+
+
+# ---------------------------------------------------------------------------
+# Spec transcription (slow, obviously-correct)
+# ---------------------------------------------------------------------------
+
+
+class _BW:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def w(self, val, width):
+        v = int(val) & ((1 << width) - 1)
+        self.bits += [(v >> (width - 1 - i)) & 1 for i in range(width)]
+
+    def to_bytes(self):
+        b = self.bits[:]
+        while len(b) % 8:
+            b.append(0)
+        out = bytearray()
+        for i in range(0, len(b), 8):
+            x = 0
+            for j in range(8):
+                x = (x << 1) | b[i + j]
+            out.append(x)
+        return bytes(out)
+
+
+def _fd_code(w: _BW, d: int) -> None:
+    d = int(d)
+    if d == 0:
+        w.w(0, 1)
+    elif -63 <= d <= 64:
+        w.w(0b10, 2)
+        w.w(d, 7)
+    elif -255 <= d <= 256:
+        w.w(0b110, 3)
+        w.w(d, 9)
+    elif -2047 <= d <= 2048:
+        w.w(0b1110, 4)
+        w.w(d, 12)
+    else:
+        w.w(0b1111, 4)
+        w.w(d, 32)
+
+
+def _f2b(v: float) -> int:
+    return struct.unpack(">Q", struct.pack(">d", float(v)))[0]
+
+
+def spec_encode(ts, vals, creation_time=0) -> bytes:
+    ts = [int(t) for t in ts]
+    vals = [float(v) for v in vals]
+    n = len(ts)
+    if n == 0:
+        return b""
+    tw = _BW()
+    tw.w(ts[0], 64)
+    first_delta = 0
+    if n >= 2:
+        first_delta = ts[1] - ts[0]
+        _fd_code(tw, first_delta)
+        prev_d = first_delta
+        for i in range(2, n):
+            d = ts[i] - ts[i - 1]
+            _fd_code(tw, d - prev_d)
+            prev_d = d
+    vw = _BW()
+    vw.w(_f2b(vals[0]), 64)
+    prev = _f2b(vals[0])
+    for v in vals[1:]:
+        cur = _f2b(v)
+        x = cur ^ prev
+        # Elixir window stays (0,0): '0' or '10'+full 64 XOR bits
+        # (value_compression.ex:82-118; see gorilla_wire module doc)
+        if x == 0:
+            vw.w(0, 1)
+        else:
+            vw.w(0b10, 2)
+            vw.w(x, 64)
+        prev = cur
+    full = _BW()
+    full.w(n, 32)
+    full.w(ts[0], 64)
+    full.w(_f2b(vals[0]), 64)
+    full.w(first_delta, 32)
+    full.w(len(tw.bits), 32)
+    full.w(len(vw.bits), 32)
+    ts_len, val_len = len(tw.bits), len(vw.bits)
+    full.bits += tw.bits + vw.bits
+    payload = full.to_bytes()
+    outer = struct.pack(
+        ">QHHIIIIQiQIIIdQI",
+        0x474F52494C4C41,
+        1,
+        80,
+        n,
+        len(payload),
+        n * 16,
+        zlib.crc32(payload) & 0xFFFFFFFF,
+        ts[0] & ((1 << 64) - 1),
+        ((first_delta + (1 << 31)) & 0xFFFFFFFF) - (1 << 31),
+        _f2b(vals[0]),
+        ts_len,
+        val_len,
+        len(payload) * 8,
+        len(payload) / (n * 16),
+        creation_time,
+        0,
+    )
+    return outer + payload
+
+
+# ---------------------------------------------------------------------------
+# Byte-for-byte conformance
+# ---------------------------------------------------------------------------
+
+
+_CASES = [
+    # regular interval, drifting values (the Gorilla sweet spot)
+    (
+        list(range(1609459200, 1609459200 + 300)),
+        [23.5 + 0.01 * i for i in range(300)],
+    ),
+    # single point / two points / constant values
+    ([5], [1.25]),
+    ([10, 70], [2.0, 2.0]),
+    ([0, 60, 120, 180], [9.0, 9.0, 9.0, 9.0]),
+    # every DoD bucket incl. the 32-bit escape, negative deltas
+    (
+        [0, 100, 200, 263, 563, 2563, 102563, 102564],
+        [0.0, -0.0, 1.5, 1.5, -2.25, 1e300, 5e-324, 0.1],
+    ),
+    # negative timestamps
+    ([-1000, -400, 200], [1.0, 2.0, 3.0]),
+]
+
+
+@pytest.mark.parametrize("case", range(len(_CASES)))
+def test_byte_for_byte_vs_spec(case):
+    ts, vals = _CASES[case]
+    exp = spec_encode(ts, vals, creation_time=777)
+    got = gw.encode_points(
+        np.array(ts, np.int64), np.array(vals, np.float64), creation_time=777
+    )
+    assert got == exp
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.floats(allow_nan=False, width=64),
+        ),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_byte_for_byte_property(points):
+    ts = [t for t, _ in points]
+    vals = [v for _, v in points]
+    exp = spec_encode(ts, vals, creation_time=1)
+    got = gw.encode_points(
+        np.array(ts, np.int64), np.array(vals, np.float64), creation_time=1
+    )
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# Round-trip + reference quirks
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=-(2**40), max_value=2**40),
+    st.lists(
+        st.tuples(
+            # deltas whose DoDs avoid the reference's +64/+256/+2048
+            # two's-complement wrap quirk (see module doc / quirk test)
+            st.integers(min_value=0, max_value=60),
+            st.floats(allow_nan=False, width=64),
+        ),
+        min_size=0,
+        max_size=150,
+    ),
+)
+def test_roundtrip_property(t0, rest):
+    ts = [t0]
+    for d, _ in rest:
+        ts.append(ts[-1] + d)
+    vals = [0.5] + [v for _, v in rest]
+    buf = gw.encode_points(np.array(ts, np.int64), np.array(vals, np.float64))
+    t2, v2, info = gw.decode_points(buf)
+    assert list(t2) == ts
+    assert np.array_equal(
+        np.array(vals, np.float64).view(np.uint64), v2.view(np.uint64)
+    )
+    assert info["count"] == len(ts)
+
+
+def test_dod_plus64_wrap_quirk():
+    # deltas 100 then 164 -> dod = +64: the reference encodes the low 7 bits
+    # and its decoder sign-extends to -64 (delta_encoding.ex:95-98 vs
+    # delta_decoding.ex:147-149) -> last ts decodes as 0+100+(100-64)=136.
+    buf = gw.encode_points(np.array([0, 100, 264], np.int64), np.array([1.0, 2.0, 3.0]))
+    t2, _, _ = gw.decode_points(buf)
+    assert list(t2) == [0, 100, 136]
+
+
+def test_empty_stream_is_empty_binary():
+    # gorilla.ex:74-75
+    assert gw.encode_points(np.empty(0, np.int64), np.empty(0)) == b""
+    t, v, info = gw.decode_points(b"")
+    assert t.size == 0 and v.size == 0 and info["count"] == 0
+
+
+def test_checksum_strict_and_tolerant():
+    buf = bytearray(
+        gw.encode_points(np.arange(10, dtype=np.int64), np.arange(10, dtype=np.float64))
+    )
+    buf[-1] ^= 0xFF  # corrupt payload
+    with pytest.raises(ValueError, match="checksum"):
+        gw.decode_points(bytes(buf))
+    # tolerant mode mirrors decoder/metadata.ex:41-44 (flag, don't fail)
+    _, _, info = gw.decode_points(bytes(buf), strict=False)
+    assert info["checksum_failed"] is True
+
+
+def test_bad_magic_and_truncation():
+    buf = gw.encode_points(np.arange(5, dtype=np.int64), np.arange(5, dtype=np.float64))
+    with pytest.raises(ValueError, match="magic"):
+        gw.decode_points(b"X" * len(buf))
+    with pytest.raises(ValueError):
+        gw.decode_points(buf[:40])
+
+
+def test_wire_info_matches_header():
+    ts = np.arange(100, dtype=np.int64) * 60
+    vals = np.linspace(0, 1, 100)
+    buf = gw.encode_points(ts, vals)
+    info = gw.wire_info(buf)
+    assert info["count"] == 100
+    assert info["header_length"] == 80
+    assert info["compressed_size"] == len(buf) - 80
+    assert info["original_size"] == 1600
+
+
+# ---------------------------------------------------------------------------
+# VictoriaMetrics preprocessing flags (v2 header)
+# ---------------------------------------------------------------------------
+
+
+def test_vm_scale_roundtrip():
+    ts = np.arange(500, dtype=np.int64) * 15
+    vals = np.round(np.random.default_rng(3).normal(20, 5, 500), 2)
+    buf = gw.encode_points(ts, vals, victoria_metrics=True)
+    t2, v2, info = gw.decode_points(buf)
+    assert info["header_length"] == 84
+    assert info["flags"] == 0x1
+    assert info["scale_decimals"] == 2
+    assert np.array_equal(t2, ts)
+    assert np.allclose(v2, vals, atol=1e-12)
+
+
+def test_vm_counter_roundtrip():
+    rng = np.random.default_rng(4)
+    ts = np.arange(300, dtype=np.int64) * 30
+    vals = np.cumsum(rng.integers(0, 50, 300)).astype(np.float64)
+    buf = gw.encode_points(ts, vals, victoria_metrics=True, is_counter=True)
+    t2, v2, info = gw.decode_points(buf)
+    assert info["flags"] == 0x3
+    assert np.allclose(v2, vals)
+    # counter deltas are small -> far better ratio than raw monotonic floats
+    raw = gw.encode_points(ts, vals)
+    assert len(buf) < len(raw)
+
+
+def test_vm_non_vm_counter_is_noop():
+    # is_counter without victoria_metrics is ignored (gorilla/encoder.ex:92-103)
+    ts = np.arange(50, dtype=np.int64)
+    vals = np.cumsum(np.ones(50))
+    assert gw.encode_points(ts, vals, is_counter=True) == gw.encode_points(ts, vals)
+
+
+# ---------------------------------------------------------------------------
+# Foreign-writer streams: the general '11' window decoder
+# ---------------------------------------------------------------------------
+
+
+def test_foreign_writer_new_window_codes():
+    """Hand-build a value stream using the REAL Gorilla windowing ('11' new
+    window then '10' reuse) — legal per the reference decoder
+    (value_decompression.ex:124-210) though its own encoder never emits it."""
+    v0 = 12.5
+    b0 = _f2b(v0)
+    # xor1: lead=8, meaningful=12, trail=44
+    xor1 = 0xABC << 44
+    b1 = b0 ^ xor1
+    # xor2 fits the same window -> '10' + 12 meaningful bits
+    xor2 = 0x123 << 44
+    b2 = b1 ^ xor2
+    w = _BW()
+    w.w(b0, 64)
+    w.w(0b11, 2)
+    w.w(8, 5)  # leading zeros
+    w.w(11, 6)  # meaningful length - 1
+    w.w(0xABC, 12)
+    w.w(0b10, 2)
+    w.w(0x123, 12)
+    w.w(0, 1)  # repeat
+    val_bits = w.bits[:]
+    # ts stream: 3 points, regular
+    tw = _BW()
+    tw.w(1000, 64)
+    _fd_code(tw, 60)
+    _fd_code(tw, 0)
+    _fd_code(tw, 0)
+    full = _BW()
+    full.w(4, 32)
+    full.w(1000, 64)
+    full.w(b0, 64)
+    full.w(60, 32)
+    full.w(len(tw.bits), 32)
+    full.w(len(val_bits), 32)
+    full.bits += tw.bits + val_bits
+    payload = full.to_bytes()
+    outer = struct.pack(
+        ">QHHIIIIQiQIIIdQI",
+        0x474F52494C4C41, 1, 80, 4, len(payload), 64,
+        zlib.crc32(payload) & 0xFFFFFFFF, 1000, 60, b0,
+        len(tw.bits), len(val_bits), len(payload) * 8,
+        len(payload) / 64, 0, 0,
+    )
+    t2, v2, _ = gw.decode_points(outer + payload)
+    assert list(t2) == [1000, 1060, 1120, 1180]
+    exp_bits = [b0, b1, b2, b2]
+    assert list(v2.view(np.uint64)) == exp_bits
+
+
+# ---------------------------------------------------------------------------
+# ETF envelope (term_to_binary subset) + .gorilla files
+# ---------------------------------------------------------------------------
+
+
+def test_etf_roundtrip_types():
+    term = (
+        {
+            gw.Atom("version"): "1.0",
+            gw.Atom("n"): 42,
+            gw.Atom("neg"): -7,
+            gw.Atom("big"): 2**80,
+            gw.Atom("negbig"): -(2**80),
+            gw.Atom("f"): 3.14,
+            gw.Atom("flag"): True,
+            gw.Atom("none"): None,
+            gw.Atom("l"): [1, "x", (gw.Atom("ok"), b"bin")],
+        },
+        b"payload",
+    )
+    out = gw.etf_decode(gw.etf_encode(term))
+    meta, payload = out
+    assert payload == b"payload"
+    # Elixir strings are binaries: str encodes to BINARY_EXT, decodes as bytes
+    assert meta[gw.Atom("version")] == b"1.0"
+    assert meta[gw.Atom("n")] == 42
+    assert meta[gw.Atom("neg")] == -7
+    assert meta[gw.Atom("big")] == 2**80
+    assert meta[gw.Atom("negbig")] == -(2**80)
+    assert meta[gw.Atom("f")] == 3.14
+    assert meta[gw.Atom("flag")] is True
+    assert meta[gw.Atom("none")] is None
+    assert meta[gw.Atom("l")] == [1, b"x", (gw.Atom("ok"), b"bin")]
+
+
+def test_gorilla_file_roundtrip(tmp_path):
+    path = str(tmp_path / "sensor.gorilla")
+    ts = np.arange(1609459200, 1609459200 + 200, dtype=np.int64)
+    vals = 23.5 + np.sin(np.arange(200) / 10.0)
+    res = gw.write_gorilla_file(path, ts, vals, user_metadata={gw.Atom("sensor"): "s1"})
+    assert res["original_points"] == 200
+    t2, v2, meta = gw.read_gorilla_file(path)
+    assert np.array_equal(t2, ts)
+    assert np.array_equal(v2.view(np.uint64), vals.view(np.uint64))
+    assert meta[gw.Atom("version")] == b"1.0"
+    assert meta[gw.Atom("user_metadata")][gw.Atom("sensor")] == b"s1"
+
+
+# ---------------------------------------------------------------------------
+# Spark operators
+# ---------------------------------------------------------------------------
+
+
+def test_spark_wire_roundtrip(spark):
+    import pyspark.sql.functions as F
+
+    n = 23_456
+    df = spark.range(n).select(
+        (F.lit(1_600_000_000) + F.col("id") * 60).alias("ts"),
+        (F.col("id") % 17).cast("double").alias("value"),
+    )
+    enc = gw.encode_timeseries_wire(df, num_partitions=4)
+    rows = enc.collect()
+    # reference chunk size: 5000 points/block (stream.ex:42)
+    assert sum(r["n_points"] for r in rows) == n
+    assert max(r["n_points"] for r in rows) <= 5000
+    for r in rows:
+        info = gw.wire_info(bytes(r["buffer"]))
+        assert info["count"] == r["n_points"]
+    dec = gw.decode_timeseries_wire(enc)
+    got = dec.orderBy("ts").collect()
+    assert len(got) == n
+    assert got[0]["ts"] == 1_600_000_000
+    assert got[-1]["ts"] == 1_600_000_000 + (n - 1) * 60
+    s = sum(r["value"] for r in got)
+    exp = sum(float(i % 17) for i in range(n))
+    assert abs(s - exp) < 1e-6
+
+
+def test_spark_wire_rejects_nulls(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(10).select(
+        F.when(F.col("id") == 5, None).otherwise(F.col("id")).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    with pytest.raises(Exception, match="null"):
+        gw.encode_timeseries_wire(df).collect()
