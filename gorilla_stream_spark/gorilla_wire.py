@@ -110,13 +110,49 @@ def _pack_fields(vals: np.ndarray, widths: np.ndarray) -> tuple[bytes, int]:
 
 
 def _gather_bits(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
-    """Read ``width``-bit unsigned values at arbitrary bit offsets."""
+    """Read ``width``-bit unsigned values at arbitrary bit offsets from an
+    UNPACKED bit array (one byte per bit)."""
     if starts.size == 0:
         return np.empty(0, dtype=np.uint64)
     idx = starts.reshape(-1, 1) + np.arange(width, dtype=np.int64)
     sh = np.arange(width - 1, -1, -1, dtype=np.uint64)
     vals = bits[idx].astype(np.uint64) << sh
     return np.bitwise_or.reduce(vals, axis=1)
+
+
+def _gather_bits_packed(data: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
+    """Read ``width``-bit (<=64) unsigned values at arbitrary absolute bit
+    offsets from PACKED bytes — gathers ceil((7+w)/8) bytes per value
+    instead of w bit-bytes (~7x less traffic than :func:`_gather_bits` at
+    w=64, the decode hot path).  ``data`` must be a uint8 array.
+    """
+    if starts.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    o = starts.astype(np.int64, copy=False)
+    b0 = o >> 3
+    sh = (o & 7).astype(np.uint64)
+    nbytes = (7 + width + 7) >> 3  # worst-case window for any sh
+    pad = np.concatenate([data, np.zeros(nbytes, dtype=np.uint8)])
+    mat = pad[b0[:, None] + np.arange(nbytes, dtype=np.int64)]
+    mask = (
+        np.uint64(0xFFFFFFFFFFFFFFFF)
+        if width == 64
+        else (np.uint64(1) << np.uint64(width)) - np.uint64(1)
+    )
+    if nbytes <= 8:
+        win = np.zeros((o.size, 8), dtype=np.uint8)
+        win[:, 8 - nbytes :] = mat
+        hi = np.ascontiguousarray(win).view(">u8").ravel().astype(np.uint64)
+        return (hi >> (np.uint64(nbytes * 8) - sh - np.uint64(width))) & mask
+    # nbytes == 9 (width 58..64): 8-byte head + low-bit tail
+    hi = np.ascontiguousarray(mat[:, :8]).view(">u8").ravel().astype(np.uint64)
+    lo = mat[:, 8].astype(np.uint64)
+    win = np.where(
+        sh == 0,
+        hi,
+        (hi << sh) | (lo >> (np.uint64(8) - sh)),
+    )  # the top `width` bits of the 72-bit window, left-aligned at bit sh
+    return (win >> (np.uint64(64) - np.uint64(width))) & mask
 
 
 def _sign_extend(v: np.ndarray, width: int) -> np.ndarray:
@@ -186,8 +222,14 @@ def _chain_positions(J: np.ndarray, start: int, count: int) -> np.ndarray:
     return P[:count]
 
 
-def _decode_dod_stream(bits: np.ndarray, start: int, count: int) -> tuple[np.ndarray, int]:
-    """Decode ``count`` DoD prefix codes -> (int64 dods, end_bit_pos)."""
+def _decode_dod_stream(
+    bits: np.ndarray, start: int, count: int, packed: np.ndarray, base: int
+) -> tuple[np.ndarray, int]:
+    """Decode ``count`` DoD prefix codes -> (int64 dods, end_bit_pos).
+
+    ``bits`` is the unpacked region (drives the jump table); payloads are
+    gathered from ``packed`` bytes at absolute offset ``base`` + position.
+    """
     if count == 0:
         return np.empty(0, dtype=np.int64), start
     n = bits.size
@@ -210,7 +252,7 @@ def _decode_dod_stream(bits: np.ndarray, start: int, count: int) -> tuple[np.nda
         m = cls == c
         if not m.any() or w == 0:
             continue
-        raw = _gather_bits(bits, P[m] + plen, w)
+        raw = _gather_bits_packed(packed, base + P[m] + plen, w)
         out[m] = _sign_extend(raw, w)
     return out, end
 
@@ -424,6 +466,66 @@ def _decode_values_sequential(
     return out
 
 
+def _scan_value_positions(
+    vb: np.ndarray, val_bit_len: int, count: int
+) -> np.ndarray | None:
+    """Bit positions of the '10' codes in a reference-canonical value
+    stream, or None if the stream cannot be canonical ('11' codes present
+    or inconsistent) — the caller then uses the sequential general decoder.
+
+    Exploits the stream grammar (first:64, then z 1-bit '0' codes and o
+    66-bit '10' codes): 64 + z + 66*o = val_bit_len and z + o = count-1
+    pin o exactly.  The walk is run-batched: consecutive '10' codes sit at
+    a fixed 66-bit stride, so each iteration verifies a whole run with one
+    vectorized probe and each '0'-run is skipped with one searchsorted —
+    iterations scale with the number of RUNS, not values (all-changing and
+    all-constant streams both decode in a handful of numpy calls).
+    """
+    rem = val_bit_len - 64 - (count - 1)
+    if rem < 0 or rem % 65:
+        return None
+    o = rem // 65
+    region = vb[:val_bit_len]
+    if o == 0:
+        # all-'0' codes: any set bit would mean a non-canonical stream
+        if region[64:].any():
+            return None
+        return np.empty(0, dtype=np.int64)
+    ones = np.flatnonzero(region)
+    chunks: list[np.ndarray] = []
+    found = 0
+    q = 64
+    zeros = 0
+    batch = 1024  # adapts to ~2x the observed run length (floor 64):
+    # long-run streams probe whole runs at once, short-run streams stay
+    # O(runs * 64) instead of O(runs * o) (quadratic on alternating data)
+    while found < o:
+        i = int(np.searchsorted(ones, q))
+        if i >= ones.size:
+            return None
+        p = int(ones[i])
+        zeros += p - q
+        cand = p + 66 * np.arange(min(o - found, batch), dtype=np.int64)
+        cand = cand[cand + 66 <= val_bit_len]
+        if cand.size == 0:
+            return None
+        b0 = region[cand]
+        stop = int(np.argmin(b0)) if (b0 == 0).any() else cand.size
+        run = cand[:stop]  # region[p] == 1, so stop >= 1
+        if region[run + 1].any():  # second control bit 1 => '11' code
+            return None
+        chunks.append(run)
+        found += run.size
+        q = int(run[-1]) + 66
+        batch = max(64, min(2 * stop, 1 << 16))
+    if int(np.searchsorted(ones, q)) != ones.size:
+        return None  # set bit inside the trailing all-'0'-codes region
+    zeros += val_bit_len - q
+    if zeros + o != count - 1:
+        return None
+    return np.concatenate(chunks)
+
+
 def decode_points(
     buf: bytes, *, strict: bool = True
 ) -> tuple[np.ndarray, np.ndarray, dict]:
@@ -501,18 +603,19 @@ def decode_points(
     need_bytes = (ts_bit_len + val_bit_len + 7) >> 3
     if len(data) < need_bytes:
         raise ValueError("gorilla wire: payload shorter than declared bit lengths")
-    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8, count=need_bytes))
+    datab = np.frombuffer(data, dtype=np.uint8, count=need_bytes)
+    bits = np.unpackbits(datab)
 
     # --- timestamps ---
     tb = bits[:ts_bit_len]
     if ts_bit_len < 64:
         raise ValueError("gorilla wire: timestamp stream too short")
-    first_ts = int(_gather_bits(tb, np.array([0]), 64)[0])
+    first_ts = int(_gather_bits_packed(datab, np.array([0]), 64)[0])
     first_ts = first_ts - (1 << 64) if first_ts >= (1 << 63) else first_ts  # signed read
     if count == 1:
         ts = np.array([first_ts], dtype=np.int64)
     else:
-        codes, _end = _decode_dod_stream(tb, 64, count - 1)
+        codes, _end = _decode_dod_stream(tb, 64, count - 1, datab, 0)
         fd, dods = int(codes[0]), codes[1:]
         deltas = fd + np.concatenate(([0], np.cumsum(dods)))
         ts = first_ts + np.concatenate(([0], np.cumsum(deltas)))
@@ -522,28 +625,26 @@ def decode_points(
     vb = bits[ts_bit_len : ts_bit_len + val_bit_len]
     if val_bit_len < 64:
         raise ValueError("gorilla wire: value stream too short")
-    first_vb = int(_gather_bits(vb, np.array([0]), 64)[0])
+    first_vb = int(_gather_bits_packed(datab, np.array([ts_bit_len]), 64)[0])
     if count == 1:
         vbits = np.array([first_vb], dtype=np.uint64)
     else:
         # fast path: reference-canonical '0'/'10' stream (see module doc)
-        nvb = vb.size
-        J = np.minimum(
-            np.arange(nvb, dtype=np.int64) + np.where(vb == 0, 1, 66), nvb
-        )
-        J = np.concatenate([J, np.array([nvb], dtype=np.int64)])
-        P = _chain_positions(J, 64, count - 1)
-        pad = np.concatenate([vb, np.zeros(1, dtype=np.uint8)])
-        if P[-1] >= nvb or (pad[P] & pad[np.minimum(P + 1, nvb)]).any():
+        P10 = _scan_value_positions(vb, val_bit_len, count)
+        if P10 is None:
             # '11' codes present (non-reference writer) -> faithful
             # sequential general decoder
             vbits = _decode_values_sequential(vb, count, first_vb)
         else:
-            m = pad[P] == 1
-            if m.any() and int((P[m] + 66).max()) > nvb:
-                raise ValueError("gorilla wire: value bitstream truncated")
+            # code index of the k-th '10': the pos_k - 64 bits before it
+            # hold k 66-bit codes and (pos_k - 64 - 66k) 1-bit codes, so
+            # its 0-based code index is pos_k - 64 - 65k
             xors = np.zeros(count, dtype=np.uint64)
-            xors[1:][m] = _gather_bits(vb, P[m] + 2, 64)
+            if P10.size:
+                idxs = P10 - 64 - 65 * np.arange(P10.size, dtype=np.int64)
+                xors[1 + idxs] = _gather_bits_packed(
+                    datab, ts_bit_len + P10 + 2, 64
+                )
             xors[0] = np.uint64(first_vb)
             vbits = np.bitwise_xor.accumulate(xors)
     vals = np.ascontiguousarray(vbits).view(np.float64)

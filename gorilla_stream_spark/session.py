@@ -14,7 +14,10 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 10_000,
+    ui: bool = False,
 ) -> SparkSession:
+    """``ui=True`` enables the web UI (its status REST API feeds
+    ``metrics.StageMetricsCollector``); default off for test throughput."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus if cpus.isdigit() else 32)
@@ -26,6 +29,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
-        .config("spark.ui.enabled", "false")
+        .config("spark.ui.enabled", "true" if ui else "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )

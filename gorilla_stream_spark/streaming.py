@@ -99,6 +99,66 @@ DEDUP_OUT_SCHEMA = "doc_id string, text string"
 _DEDUP_STATE_SCHEMA = "seen binary"
 
 
+def _popcount64(x):
+    """Vectorized 64-bit popcount (SWAR) — numpy<2 lacks np.bitwise_count."""
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=False)
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(np.int64)
+
+
+def _dedup_kernel(blob: bytes, pdfs):
+    """Pure dedup state transition: (state blob, batch chunks) ->
+    (survivor rows | None, new state blob | None).
+
+    State is a SORTED fixed-width md5-digest array (16 B/record).
+    Membership is one vectorized searchsorted per chunk; the update is one
+    merge — no per-row Python, and duplicates never grow the blob.
+    Module-level so state-size invariants are unit-testable without a
+    running stream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    V16 = np.dtype((np.void, 16))
+    hist = np.frombuffer(blob, dtype=V16)  # sorted digest records
+    outs = []
+    grew = False
+    for pdf in pdfs:
+        m = len(pdf)
+        if not m:
+            continue
+        pdf = pdf.sort_values("__oid", kind="stable")
+        dig = np.frombuffer(b"".join(pdf["__h"]), dtype=V16)
+        # within-chunk first occurrence in __oid order: stable argsort
+        # groups equal digests with original order preserved, so each
+        # group's first sorted element is its earliest row
+        order = np.argsort(dig, kind="stable")
+        sv = dig[order]
+        starts = np.ones(m, dtype=bool)
+        if m > 1:
+            starts[1:] = sv[1:] != sv[:-1]
+        keep = np.zeros(m, dtype=bool)
+        keep[order[starts]] = True
+        # drop digests already committed to state (vectorized probe)
+        if hist.size:
+            pos = np.minimum(np.searchsorted(hist, dig), hist.size - 1)
+            keep &= hist[pos] != dig
+        if keep.any():
+            outs.append(pdf.iloc[np.flatnonzero(keep)][["doc_id", "text"]])
+            hist = np.sort(np.concatenate([hist, dig[keep]]))
+            grew = True
+    return (
+        pd.concat(outs) if outs else None,
+        hist.tobytes() if grew else None,
+    )
+
+
 def dedup_stream(
     stream_df: DataFrame,
     text_col: str = "text",
@@ -109,12 +169,15 @@ def dedup_stream(
     micro-batches (``applyInPandasWithState`` — custom stateful operator).
 
     Rows group by a stable content-hash bucket (``xxhash64(text) % B``);
-    each bucket's state is the set of md5 digests seen so far (16 B/doc,
-    stored as one concatenated binary blob).  Within a batch the lowest id
-    wins; across batches the earlier batch wins.  At 10^12-doc scale the
-    state store is the bottleneck — raise ``n_buckets`` to spread state and
-    back the query with the RocksDB state store; the operator logic is
-    unchanged.
+    each bucket's state is a SORTED fixed-width array of the md5 digests
+    seen so far (16 B/doc).  Membership is a vectorized ``searchsorted``
+    against the sorted digest array and the update is one merge-sort —
+    no per-row Python, no per-batch set rebuild; state size is
+    16 B x *unique* docs (duplicates never grow it).  Within a batch the
+    lowest id wins; across batches the earlier batch wins.  At
+    10^12-doc scale the state store is the bottleneck — raise
+    ``n_buckets`` to spread state and back the query with the RocksDB
+    state store; the operator logic is unchanged.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -130,27 +193,12 @@ def dedup_stream(
     )
 
     def fn(key, pdfs, state):
-        import pandas as pd
-
         blob = state.get[0] if state.exists else b""
-        seen = {blob[i : i + 16] for i in range(0, len(blob), 16)}
-        outs = []
-        new: list[bytes] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("__oid", kind="stable")
-            pdf = pdf[~pdf["__h"].apply(bytes).isin(seen)]
-            pdf = pdf.drop_duplicates("__h", keep="first")
-            for h in pdf["__h"]:
-                hb = bytes(h)
-                seen.add(hb)
-                new.append(hb)
-            outs.append(pdf[["doc_id", "text"]])
-        if new:
-            state.update((blob + b"".join(new),))
-        if outs:
-            yield pd.concat(outs)
+        outs, new_blob = _dedup_kernel(blob, pdfs)
+        if new_blob is not None:
+            state.update((new_blob,))
+        if outs is not None:
+            yield outs
 
     return keyed.groupBy("__b").applyInPandasWithState(
         fn,
@@ -199,11 +247,80 @@ def windowed_stats(
     )
 
 
+_SIMHASH_TILE = 2048  # bounds each XOR matrix at ~32 MiB of temporaries
+
+
+def _simhash_kernel(blob: bytes, pdfs, max_hamming: int, max_state_per_bucket: int):
+    """Pure near-dup state transition: (state blob, batch chunks) ->
+    (pair rows | None, new state blob | None).
+
+    State is (doc_id, simhash) int64 pairs in insertion order.  Hamming
+    checks run as tiled XOR+popcount matrices (batch x history and the
+    in-batch upper triangle); the state grows by one append per batch and
+    is LRU-bounded at ``max_state_per_bucket`` records (0 = unbounded).
+    Module-level so the state bound is unit-testable without a stream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    hist = (
+        np.frombuffer(blob, dtype=np.int64).reshape(-1, 2)
+        if blob
+        else np.empty((0, 2), np.int64)
+    )
+    out_a: list[np.ndarray] = []
+    out_b: list[np.ndarray] = []
+    grew = False
+
+    def emit(ia: np.ndarray, ib: np.ndarray) -> None:
+        ne = ia != ib
+        ia, ib = ia[ne], ib[ne]
+        out_a.append(np.minimum(ia, ib))
+        out_b.append(np.maximum(ia, ib))
+
+    for pdf in pdfs:
+        m = len(pdf)
+        if not m:
+            continue
+        pdf = pdf.sort_values("doc_id", kind="stable")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        sigs = pdf["simhash"].to_numpy(np.int64).view(np.uint64)
+        hsig = hist[:, 1].view(np.uint64) if hist.size else np.empty(0, np.uint64)
+        for i0 in range(0, m, _SIMHASH_TILE):
+            bs = sigs[i0 : i0 + _SIMHASH_TILE]
+            # batch x history cross check, tiled
+            for j0 in range(0, hist.shape[0], _SIMHASH_TILE):
+                hs = hsig[j0 : j0 + _SIMHASH_TILE]
+                hd = _popcount64(bs[:, None] ^ hs[None, :])
+                bi, hj = np.nonzero(hd <= max_hamming)
+                if bi.size:
+                    emit(ids[i0 + bi], hist[j0 + hj, 0])
+            # in-batch upper triangle (row i pairs with later row j)
+            for j0 in range(i0, m, _SIMHASH_TILE):
+                js = sigs[j0 : j0 + _SIMHASH_TILE]
+                hd = _popcount64(bs[:, None] ^ js[None, :])
+                bi, bj = np.nonzero(hd <= max_hamming)
+                tri = (i0 + bi) < (j0 + bj)
+                if tri.any():
+                    emit(ids[i0 + bi[tri]], ids[j0 + bj[tri]])
+        hist = np.concatenate([hist, np.stack([ids, sigs.view(np.int64)], axis=1)])
+        grew = True
+    if grew and max_state_per_bucket and hist.shape[0] > max_state_per_bucket:
+        hist = hist[-max_state_per_bucket:]
+    pairs = (
+        pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+        if out_a
+        else None
+    )
+    return pairs, (np.ascontiguousarray(hist).tobytes() if grew else None)
+
+
 def simhash_neardup_stream(
     stream_df,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_state_per_bucket: int = 65536,
 ):
     """Streaming near-dup candidate pairs across ALL micro-batches
     (``applyInPandasWithState`` — the stateful analog of
@@ -213,14 +330,22 @@ def simhash_neardup_stream(
     pure-SQL HOF expression (a column expression, hence streaming-safe and
     bit-identical to the batch operator); rows bucket by the 4-band
     pigeonhole split, and each bucket's state holds the (doc_id, simhash)
-    pairs seen so far (16 B/doc/band).  A new arrival is hamming-checked
-    against its bucket's history, so recall is DETERMINISTIC for
+    pairs seen so far (16 B/doc/band).  Arrivals are hamming-checked in one
+    vectorized XOR+popcount matrix per micro-batch (history and in-batch
+    cross products, tiled to bound memory) — no per-row Python — and the
+    state grows by a single append per batch.  Recall is DETERMINISTIC for
     hamming <= ``max_hamming`` across the whole stream, exactly like the
     batch operator — a pair found in several shared bands is emitted once
     per band; run ``dropDuplicates(["id_a","id_b"])`` on the sink (or a
-    batch ``distinct``) for the deduplicated pair set.  State is
-    16 B x docs x bands, sharded over 2^15-ish band buckets — back the
-    query with the RocksDB state store at scale.
+    batch ``distinct``) for the deduplicated pair set.
+
+    State bound: each (band, band_bits) bucket keeps the most recent
+    ``max_state_per_bucket`` docs (insertion-order eviction, 16 B each —
+    1 MiB/bucket at the default).  Recall impact: a pair whose members are
+    separated by more than that many same-bucket insertions is missed in
+    that band (it can still surface via another shared band); unbounded
+    history is ``max_state_per_bucket=0``.  Back the query with the
+    RocksDB state store at scale.
     """
     import numpy as np
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -237,37 +362,12 @@ def simhash_neardup_stream(
     bands = simhash_bands(sig, id_col="doc_id", n_bands=max_hamming + 1)
 
     def fn(key, pdfs, state):
-        import pandas as pd
-
         blob = state.get[0] if state.exists else b""
-        hist = np.frombuffer(blob, dtype=np.int64).reshape(-1, 2).copy() if blob else np.empty((0, 2), np.int64)
-        out_a: list[int] = []
-        out_b: list[int] = []
-        added: list[tuple[int, int]] = []
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("doc_id", kind="stable")
-            for did, s in zip(
-                pdf["doc_id"].to_numpy(np.int64), pdf["simhash"].to_numpy(np.int64)
-            ):
-                if hist.shape[0]:
-                    x = np.bitwise_xor(hist[:, 1], s).view(np.uint64)
-                    if hasattr(np, "bitwise_count"):
-                        hd = np.bitwise_count(x)
-                    else:  # numpy < 2.0
-                        hd = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
-                    for j in np.flatnonzero(hd <= max_hamming):
-                        a = int(hist[j, 0])
-                        if a != int(did):
-                            out_a.append(min(a, int(did)))
-                            out_b.append(max(a, int(did)))
-                hist = np.vstack((hist, np.array([[did, s]], dtype=np.int64)))
-                added.append((int(did), int(s)))
-        if added:
-            state.update((hist.astype(np.int64).tobytes(),))
-        if out_a:
-            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        pairs, new_blob = _simhash_kernel(blob, pdfs, max_hamming, max_state_per_bucket)
+        if new_blob is not None:
+            state.update((new_blob,))
+        if pairs is not None:
+            yield pairs
 
     return bands.groupBy("band_idx", "band_bits").applyInPandasWithState(
         fn,

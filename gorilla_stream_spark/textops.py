@@ -540,7 +540,10 @@ def minhash_signature(shingled: DataFrame, num_hashes: int = 128) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig_df: DataFrame, rows_per_band: int = 2, num_hashes: int = 128
+    sig_df: DataFrame,
+    rows_per_band: int = 2,
+    num_hashes: int = 128,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Banded LSH: bucket by (band_idx, hash of r consecutive sig values),
     emit distinct id pairs that share >= 1 bucket.
@@ -548,7 +551,20 @@ def lsh_candidate_pairs(
     Shuffle key is (int, int64) — documents never shuffle.  With r=2, b=64
     the miss probability at jaccard 0.7 is (1-0.49)^64 ~= 2e-19; precision
     is restored by the exact verify in :func:`neardup_pairs`.
+
+    Hot-bucket cap: a degenerate bucket of E members self-joins into
+    E^2/2 rows, so one pathological band key (boilerplate shingles, exact
+    copies) would dominate the whole job's shuffle.  Buckets larger than
+    ``max_bucket`` are excluded from pair generation (the default still
+    admits ~33M pairs from one bucket).  Recall impact: a pair whose ONLY
+    shared buckets are over-cap is missed — for genuinely near-dup text
+    that requires every shared band to be degenerate, i.e. E-way
+    duplicate groups, which :func:`dedup_exact` should collapse first
+    (see the skew note in :func:`neardup_pairs`).  ``max_bucket=None``
+    disables the cap.
     """
+    from pyspark.sql.window import Window
+
     b = num_hashes // rows_per_band
     idx = ", ".join(f"sig[{rows_per_band} * j + {i}]" for i in range(rows_per_band))
     bands = F.expr(f"transform(sequence(0, {b - 1}), j -> xxhash64(j, {idx}))")
@@ -556,6 +572,16 @@ def lsh_candidate_pairs(
     # expressions read the materialized sig array instead of inlining (and
     # recomputing) the full signature subtree per band
     exploded = sig_df.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    if max_bucket:
+        # the window shuffles on the SAME key as the self-join below, so
+        # the count costs no extra exchange shape — and over-cap buckets
+        # never reach the join
+        w = Window.partitionBy("band_idx", "band_hash")
+        exploded = (
+            exploded.withColumn("__bc", F.count("*").over(w))
+            .filter(F.col("__bc") <= max_bucket)
+            .drop("__bc")
+        )
     a, e2 = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(

@@ -541,6 +541,7 @@ def cosine_neardup_pairs(
     exact: bool = False,
     n_bands: int = 16,
     rows_per_band: int = 8,
+    max_bucket: int | None = 8192,
 ) -> DataFrame:
     """Vector near-dup pairs: cosine(a, b) >= threshold_pct/100.
 
@@ -573,9 +574,24 @@ def cosine_neardup_pairs(
     if exact:
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
+        from pyspark.sql.window import Window
+
         bands = hyperplane_bands(
             quant.select("vec_id", "qv"), n_bands=n_bands, rows_per_band=rows_per_band
         )
+        if max_bucket:
+            # hot-bucket cap: a degenerate band key (near-constant
+            # embeddings) would otherwise self-join quadratically; over-cap
+            # buckets are dropped from candidate generation.  Recall note: a
+            # pair is missed only if EVERY band it shares is over-cap —
+            # exact-duplicate embedding groups, which belong in dedup, not
+            # near-dup.  None disables.
+            w = Window.partitionBy("band_idx", "band_key")
+            bands = (
+                bands.withColumn("__bc", F.count("*").over(w))
+                .filter(F.col("__bc") <= max_bucket)
+                .drop("__bc")
+            )
         x, y = bands.alias("x"), bands.alias("y")
         pairs = (
             x.join(
@@ -587,6 +603,15 @@ def cosine_neardup_pairs(
             .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
             .distinct()
         )
+        # materialize pairs once, then broadcast-semi-prune BOTH vector
+        # sides to candidate ids (8 B/id) before the wide joins — the
+        # dim-length qv arrays of non-candidate vectors never shuffle
+        # (same two-pass shape as textops._verify_pairs), so verify cost
+        # tracks the candidate set, not the corpus
+        pairs = pairs.persist()
+        pairs.count()
+        a = a.join(F.broadcast(pairs.select("id_a").distinct()), "id_a", "left_semi")
+        b = b.join(F.broadcast(pairs.select("id_b").distinct()), "id_b", "left_semi")
         cand = pairs.join(a, "id_a").join(b, "id_b")
 
     dot = F.expr(

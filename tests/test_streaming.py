@@ -298,3 +298,104 @@ def test_simhash_neardup_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
     # cross-batch pairs specifically present
     assert any(a < 500 <= b for a, b in got)
+
+
+def _mk_dedup_chunk(rows):
+    # rows: (doc_id int, text str) — mirrors the keyed projection
+    import hashlib
+
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "doc_id": [str(i) for i, _ in rows],
+            "text": [t for _, t in rows],
+            "__oid": [i for i, _ in rows],
+            "__h": [hashlib.md5(t.encode()).digest() for _, t in rows],
+        }
+    )
+
+
+def test_dedup_kernel_state_constant_under_duplicates():
+    # 10x batches of the SAME content: state must not grow after batch 1
+    # (a blob that grew per batch would scale with stream length, not with
+    # unique docs — the r3 scale defect)
+    from gorilla_stream_spark.streaming import _dedup_kernel
+
+    blob = b""
+    sizes = []
+    for b in range(10):
+        rows = [(b * 100 + i, f"content {i}") for i in range(50)]
+        out, new_blob = _dedup_kernel(blob, [_mk_dedup_chunk(rows)])
+        if new_blob is not None:
+            blob = new_blob
+        sizes.append(len(blob))
+        if b == 0:
+            assert out is not None and len(out) == 50
+        else:
+            assert out is None  # all duplicates dropped
+    assert sizes == [50 * 16] * 10  # 16 B per UNIQUE doc, constant across batches
+
+
+def test_dedup_kernel_survivor_order_and_membership():
+    from gorilla_stream_spark.streaming import _dedup_kernel
+
+    # ids 10 and 9 share content: numeric order keeps 9 (parity with batch)
+    out, blob = _dedup_kernel(b"", [_mk_dedup_chunk([(10, "same"), (9, "same"), (2, "u")])])
+    assert sorted(out["doc_id"]) == ["2", "9"]
+    # state is sorted fixed-width records, probe-able next batch
+    out2, blob2 = _dedup_kernel(blob, [_mk_dedup_chunk([(77, "same"), (78, "new")])])
+    assert list(out2["doc_id"]) == ["78"]
+    assert len(blob2) == 3 * 16
+
+
+def _mk_sim_chunk(pairs):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"doc_id": [i for i, _ in pairs], "simhash": [s for _, s in pairs]}
+    )
+
+
+def test_simhash_kernel_matches_bruteforce_and_single_append():
+    import numpy as np
+
+    from gorilla_stream_spark.streaming import _simhash_kernel
+
+    rng = np.random.default_rng(5)
+    sigs = rng.integers(0, 1 << 60, 300, dtype=np.int64)
+    sigs[50] = sigs[10] ^ 0b101  # planted hamming-2 pair within batch
+    sigs[250] = sigs[10] ^ 0b1  # planted cross-batch pair
+    b1 = [(i, int(sigs[i])) for i in range(200)]
+    b2 = [(i, int(sigs[i])) for i in range(200, 300)]
+    pairs1, blob = _simhash_kernel(b"", [_mk_sim_chunk(b1)], 3, 0)
+    pairs2, blob2 = _simhash_kernel(blob, [_mk_sim_chunk(b2)], 3, 0)
+    got = set()
+    for p in (pairs1, pairs2):
+        if p is not None:
+            got |= {(a, b) for a, b in zip(p["id_a"], p["id_b"])}
+    # brute force over the union
+    want = set()
+    for i in range(300):
+        for j in range(i + 1, 300):
+            if bin(int(sigs[i]) ^ int(sigs[j])).count("1") <= 3:
+                want.add((i, j))
+    assert got == want
+    assert (10, 50) in got and (10, 250) in got
+    assert len(blob2) == 300 * 16  # one (id, sig) record per doc, one append per batch
+
+
+def test_simhash_kernel_state_bound_evicts_lru():
+    from gorilla_stream_spark.streaming import _simhash_kernel
+
+    s = 0b1010101  # identical sigs -> every pair is hamming 0
+    p1, blob = _simhash_kernel(b"", [_mk_sim_chunk([(1, s)])], 3, 1)
+    assert p1 is None and len(blob) == 16
+    p2, blob = _simhash_kernel(blob, [_mk_sim_chunk([(2, s)])], 3, 1)
+    assert {(a, b) for a, b in zip(p2["id_a"], p2["id_b"])} == {(1, 2)}
+    assert len(blob) == 16  # doc 1 evicted (LRU), state stays bounded
+    p3, blob = _simhash_kernel(blob, [_mk_sim_chunk([(3, s)])], 3, 1)
+    # doc 3 pairs with the retained doc 2 but NOT the evicted doc 1 —
+    # the documented recall impact of the bound
+    assert {(a, b) for a, b in zip(p3["id_a"], p3["id_b"])} == {(2, 3)}
+    assert len(blob) == 16

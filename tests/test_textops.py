@@ -199,3 +199,47 @@ def test_neardup_verify_modes_identical(spark, docs):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="verify mode"):
         T.neardup_pairs(docs, verify="bogus")
+
+
+def test_lsh_hot_bucket_cap_planted_skew(spark):
+    # one degenerate band bucket (60 exact copies) must not quadratically
+    # dominate, and genuine near-dups in healthy buckets keep full recall
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark.textops import neardup_pairs
+
+    shared = " ".join(f"w{j}" for j in range(30))
+    rows = [(i, "copy copy copy identical boilerplate " * 5) for i in range(60)]
+    rows += [(100, f"{shared} alpha"), (101, f"{shared} beta")]  # planted near-dup
+    rows += [(200 + i, f"unique text number {i} nothing shared") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # cap smaller than the duplicate group: its buckets are excluded, the
+    # planted pair's buckets (2 members) survive
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in neardup_pairs(df, threshold_pct=70, num_hashes=32).collect()
+        if not (r.doc_a < 60 and r.doc_b < 60)
+    }
+    assert (100, 101) in got
+    from gorilla_stream_spark.textops import lsh_candidate_pairs, shingle_minhash
+
+    sig = shingle_minhash(
+        df.select(F.col("doc_id").alias("__nd_id"), F.col("text").alias("__nd_text")),
+        text_col="__nd_text", id_col="__nd_id", k=3, num_hashes=32,
+    )
+    capped = lsh_candidate_pairs(sig.select("doc_id", "sig"), num_hashes=32, max_bucket=16)
+    pairs = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    # the 60-copy group's buckets are over-cap: none of its E^2/2 pairs emitted
+    assert not any(a < 60 and b < 60 for a, b in pairs)
+    assert (100, 101) in pairs  # healthy buckets keep recall
+    # uncapped finds the same healthy pairs plus the quadratic dup block
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(
+            sig.select("doc_id", "sig"), num_hashes=32, max_bucket=None
+        ).collect()
+    }
+    assert pairs <= full
+    assert {(a, b) for a, b in full if not (a < 60 and b < 60)} == {
+        (a, b) for a, b in pairs if not (a < 60 and b < 60)
+    }

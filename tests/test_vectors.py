@@ -371,3 +371,70 @@ def test_pq_dim_mismatch_fails_loudly(spark, clustered):
         V.pq_encode(bad, books).collect()
     with pytest.raises(ValueError, match="dim"):
         V.pq_topk(V.pq_encode(df, books), books, [(0, [0.0] * 16)])
+
+
+def test_cosine_neardup_hot_bucket_cap_planted_skew(spark):
+    # near-constant embeddings put every copy in ONE band bucket per band;
+    # the cap keeps that from exploding the self-join while distinct
+    # near-dup pairs keep full recall (verified against the exact oracle)
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark.vectors import cosine_neardup_pairs
+
+    rng = np.random.default_rng(21)
+    dim = 16
+    base = rng.normal(0, 1, dim)
+    rows = []
+    for i in range(50):  # degenerate direction group (identical embedding)
+        rows.append((i, [float(x) for x in base]))
+    v = rng.normal(0, 1, dim)
+    rows.append((100, [float(x) for x in v]))
+    rows.append((101, [float(x) for x in (v + rng.normal(0, 0.02, dim))]))
+    for i in range(20):
+        rows.append((200 + i, [float(x) for x in rng.normal(0, 1, dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = cosine_neardup_pairs(df, threshold_pct=90, max_bucket=8)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    # dup-group pairs suppressed (their only buckets are over-cap)...
+    assert not any(a < 50 and b < 50 for a, b in got)
+    # ...while the planted distinct near-dup pair survives with exact parity
+    exact = {
+        (r.id_a, r.id_b)
+        for r in cosine_neardup_pairs(df, threshold_pct=90, exact=True).collect()
+    }
+    assert (100, 101) in got and (100, 101) in exact
+    healthy_exact = {(a, b) for a, b in exact if not (a < 50 and b < 50)}
+    healthy_capped = {(a, b) for a, b in got if not (a < 50 and b < 50)}
+    assert healthy_capped == healthy_exact
+
+
+def test_pq_sample_unbiased_under_source_order(spark):
+    # corpus ordered by source: first half drawn from cluster family A,
+    # second half from a DISJOINT family B.  With sample < |A| a limit()
+    # sample would train codebooks on A only and mis-quantize B; the
+    # hash-ordered sample must cover both, holding candidate recall on B.
+    rng = np.random.default_rng(77)
+    dim, per, nc = 32, 60, 10
+    rows = []
+    vid = 0
+    for fam_shift in (0.0, 8.0):  # family B lives far from family A
+        centers = rng.normal(fam_shift, 1, (nc, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        for c in centers:
+            for _ in range(per):
+                v = c + rng.normal(0, 0.15, dim)
+                v /= np.linalg.norm(v)
+                rows.append((vid, [float(x) for x in v.astype(np.float32)]))
+                vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(1)
+    n_a = nc * per  # 600; sample covers only half the corpus
+    books = V.train_pq(df, m=8, sample=n_a, iters=8)
+    codes = V.pq_encode(df, books).cache()
+    # query from family B (the half a head-sample would never see)
+    q_id = n_a + 37
+    queries = [(rows[q_id][0], rows[q_id][1])]
+    got = {r.vec_id for r in V.pq_topk(codes, books, queries, k=50).collect()}
+    bf = {r.vec_id for r in V.topk_dot(df, queries, k=10).collect()}
+    recall = len(got & bf) / 10
+    assert recall >= 0.8, f"family-B candidate recall@50 {recall} (biased sample?)"
