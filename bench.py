@@ -373,7 +373,10 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     )
 
     t0 = time.time()
-    wenc = encode_timeseries_wire(pts5, assume_sorted=True, block_points=65536)
+    # range-partition + sort (the migration-export job shape): assume_sorted
+    # on the cached parquet would collapse to ~1 input split (32 small files
+    # merge under maxPartitionBytes) and measure one core
+    wenc = encode_timeseries_wire(pts5, num_partitions=int(CPUS), block_points=65536)
     wire_path = os.path.join(CACHE, "ts5m_wire")
     wenc.write.mode("overwrite").parquet(wire_path)
     queries["q12_wire_encode_5m"] = time.time() - t0

@@ -271,6 +271,50 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_wire_export(args) -> int:
+    """Export a (ts, value) parquet table as reference .gorilla wire blocks
+    (byte-for-byte the reference format — a gorilla_stream user can decode
+    every block with GorillaStream.decompress/1)."""
+    from gorilla_stream_spark.gorilla_wire import encode_timeseries_wire
+
+    spark = _spark("gss-wire-export")
+    df = spark.read.parquet(args.input)
+    enc = encode_timeseries_wire(
+        df,
+        ts_col=args.ts_col,
+        val_col=args.value_col,
+        num_partitions=args.partitions,
+        block_points=args.block_points,
+        victoria_metrics=args.victoria_metrics,
+        is_counter=args.counter,
+    )
+    enc.write.mode("overwrite").parquet(args.output)
+    m = spark.read.parquet(args.output).agg(
+        F.count("*").alias("blocks"),
+        F.sum("n_points").alias("points"),
+        F.sum("enc_bytes").alias("enc_bytes"),
+    ).first()
+    print(json.dumps({
+        "blocks": m["blocks"], "points": int(m["points"] or 0),
+        "enc_bytes": int(m["enc_bytes"] or 0),
+        "ratio": (m["enc_bytes"] / (m["points"] * 16)) if m["points"] else None,
+    }))
+    return 0
+
+
+def cmd_wire_import(args) -> int:
+    """Decode reference .gorilla wire blocks back to (ts, value) rows."""
+    from gorilla_stream_spark.gorilla_wire import decode_timeseries_wire
+
+    spark = _spark("gss-wire-import")
+    enc = spark.read.parquet(args.input)
+    decode_timeseries_wire(enc, strict=not args.tolerant).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gorilla_stream_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -372,6 +416,23 @@ def main(argv: list[str] | None = None) -> int:
     dv.add_argument("--output", required=True)
     dv.add_argument("--tolerant", action="store_true")
     dv.set_defaults(fn=cmd_decode_vectors)
+
+    we = sub.add_parser("wire-export", help="export to reference .gorilla wire blocks")
+    we.add_argument("--input", required=True)
+    we.add_argument("--output", required=True)
+    we.add_argument("--ts-col", default="ts")
+    we.add_argument("--value-col", default="value")
+    we.add_argument("--partitions", type=int, default=None)
+    we.add_argument("--block-points", type=int, default=5000)
+    we.add_argument("--victoria-metrics", action="store_true")
+    we.add_argument("--counter", action="store_true")
+    we.set_defaults(fn=cmd_wire_export)
+
+    wi = sub.add_parser("wire-import", help="decode reference .gorilla wire blocks")
+    wi.add_argument("--input", required=True)
+    wi.add_argument("--output", required=True)
+    wi.add_argument("--tolerant", action="store_true", help="flag, not fail, on crc mismatch")
+    wi.set_defaults(fn=cmd_wire_import)
 
     an = sub.add_parser("ann", help="top-k search over lsh-layout vector blocks")
     an.add_argument("--input", required=True, help="encoded vector table (layout=lsh)")

@@ -347,7 +347,6 @@ def simhash_neardup_stream(
     history is ``max_state_per_bucket=0``.  Back the query with the
     RocksDB state store at scale.
     """
-    import numpy as np
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from gorilla_stream_spark.textops import simhash_bands, simhash_hof

@@ -115,3 +115,33 @@ def test_info_cli_header_only(spark, tmp_path, capsys):
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m["docs"] == 120 and m["ratio"] < 1 and m["blocks"] >= 1
     assert sum(m["codec_mix"].values()) == m["blocks"]
+
+
+def test_cli_wire_export_import_roundtrip(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark import jobs
+    from gorilla_stream_spark.gorilla_wire import wire_info
+
+    src = str(tmp_path / "wire_src")
+    enc = str(tmp_path / "wire_enc")
+    out = str(tmp_path / "wire_out")
+    n = 12_345
+    spark.range(n).select(
+        (F.lit(1_600_000_000) + F.col("id") * 30).alias("ts"),
+        (F.col("id") % 9).cast("double").alias("value"),
+    ).write.parquet(src)
+    rc = jobs.main(
+        ["wire-export", "--input", src, "--output", enc, "--partitions", "2"]
+    )
+    assert rc == 0
+    blocks = spark.read.parquet(enc).collect()
+    assert sum(r["n_points"] for r in blocks) == n
+    # every block is a valid reference-format binary
+    for r in blocks[:3]:
+        assert wire_info(bytes(r["buffer"]))["count"] == r["n_points"]
+    rc = jobs.main(["wire-import", "--input", enc, "--output", out])
+    assert rc == 0
+    dec = spark.read.parquet(out)
+    assert dec.count() == n
+    assert dec.agg(F.min("ts")).first()[0] == 1_600_000_000

@@ -88,3 +88,30 @@ def test_resize_with_custom_kernel_runs(spark, media):
     out = {r.item_id: bytes(r.payload) for r in M.resize_images(media, 4, 2, kernel=crop_kernel).collect()}
     src = {r.item_id: bytes(r.payload) for r in media.collect()}
     assert out == {i: p[:8] for i, p in src.items()}
+
+
+def test_image_features_vectorized_matches_per_row_kernel(spark):
+    # the vectorized default path must agree exactly with the per-row fake
+    # kernel on every edge: empty, sub-header, header-only, null payload
+    import struct
+
+    from gorilla_stream_spark.multimodal import fake_image_kernel, image_features
+
+    payloads = [
+        struct.pack("<II", 640, 480) + bytes(range(256)),
+        b"",
+        b"\x01\x02\x03",  # shorter than the 8-byte header
+        struct.pack("<II", 1, 1),  # header only
+        None,
+        struct.pack("<II", 12, 34) + b"\xff" * 1000,
+    ]
+    rows = [(i, p) for i, p in enumerate(payloads)]
+    df = spark.createDataFrame(rows, "item_id long, payload binary")
+    got = {
+        r.item_id: (r.width, r.height, r.mean_byte)
+        for r in image_features(df).collect()
+    }
+    for i, p in enumerate(payloads):
+        w, h, m = fake_image_kernel(p or b"")
+        assert got[i][0] == w and got[i][1] == h
+        assert abs(got[i][2] - m) < 1e-12, (i, got[i], (w, h, m))
