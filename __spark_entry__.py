@@ -591,6 +591,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_codec_mix(spark, "/root/testdata/sf0.001")
 
 
+def q_dict_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # trained-dictionary container (O59): train on a deterministic sample of
+    # encoded buffers (lowest doc_ids), encode the corpus with the shared
+    # zlib preset dictionary, decode with it, prove bit-identity per doc
+    from gorilla_stream_spark import decode, encode
+    from gorilla_stream_spark.codecs import train_container_dict
+
+    src = _tokens_from_documents(spark, sf_dir)
+    sample = src.orderBy("doc_id").limit(20)
+    bufs = [
+        bytes(r["buffer"])
+        for r in encode(sample, codec="auto", num_partitions=1)
+        .select("buffer")
+        .collect()
+    ]
+    d = train_container_dict(bufs)
+    enc = encode(src, codec="auto", num_partitions=4, container="zlib-dict", container_dict=d)
+    dec = decode(enc, container_dict=d)
+    return (
+        src.alias("s")
+        .join(dec.alias("d"), "doc_id", "inner")
+        .select("doc_id", (F.col("s.tokens") == F.col("d.tokens")).alias("ok"))
+    )
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -676,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q48_token_stats": q_token_stats,
         "q49_validate_vectors": q_validate_vectors,
         "q50_wire_roundtrip": q_wire_roundtrip,
+        "q51_dict_container_roundtrip": q_dict_container_roundtrip,
     }
 
 
@@ -1055,4 +1081,5 @@ WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
             " min(value) AS min_val, max(value) AS max_val"
             " FROM s GROUP BY 1"
         ),
+        "q51_dict_container_roundtrip": _ROUNDTRIP_ORACLE,
     }

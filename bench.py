@@ -67,6 +67,20 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     queries: dict[str, float] = {}
     extras: dict = {}
 
+    # q0: host-speed calibration — a fixed single-thread numpy workload
+    # (no Spark, no I/O).  A drifting calib_sec across rounds flags host
+    # slowdown, separating "code got slower" from "box got slower"
+    import numpy as _cal_np
+
+    t0 = time.time()
+    _rngc = _cal_np.random.default_rng(4242)
+    _a = _rngc.integers(0, 1 << 20, size=1 << 23).astype(_cal_np.int64)
+    for _ in range(3):
+        _b = _cal_np.sort(_a)
+        _ = _cal_np.diff(_b).clip(0).cumsum()
+        _ = (_a * 2654435761 % 4294967291).sum()
+    extras["calib_sec"] = round(time.time() - t0, 3)
+
     # q1: encode auto (headline) — write blocks (realistic sink incl. I/O)
     t0 = time.time()
     enc = encode(toks, codec="auto", num_partitions=int(CPUS))

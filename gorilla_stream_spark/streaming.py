@@ -151,7 +151,10 @@ def _dedup_kernel(blob: bytes, pdfs):
             keep &= hist[pos] != dig
         if keep.any():
             outs.append(pdf.iloc[np.flatnonzero(keep)][["doc_id", "text"]])
-            hist = np.sort(np.concatenate([hist, dig[keep]]))
+            # O(U + m) sorted merge (a full re-sort would be O(U log U)
+            # per batch once state holds millions of digests)
+            newdig = np.sort(dig[keep])
+            hist = np.insert(hist, np.searchsorted(hist, newdig), newdig)
             grew = True
     return (
         pd.concat(outs) if outs else None,

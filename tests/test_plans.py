@@ -73,3 +73,38 @@ def test_neardup_verify_uses_broadcast_pruning(spark, toks_path):
     # semi-joins before the wide verify join
     assert "BroadcastExchange" in p, p
     assert "LeftSemi" in p, p
+
+
+def test_cosine_neardup_plan_caps_buckets_and_prunes_vectors(spark):
+    import numpy as np
+
+    from gorilla_stream_spark.vectors import cosine_neardup_pairs
+
+    rng = np.random.default_rng(9)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = _plan(cosine_neardup_pairs(df, threshold_pct=90))
+    # hot-bucket cap runs as a count window over (band_idx, band_key)
+    assert "Window" in p, p
+    # both vector sides are broadcast-semi-pruned to candidate ids, so
+    # non-candidate qv arrays never shuffle into the verify join
+    assert "BroadcastExchange" in p, p
+    assert "LeftSemi" in p, p
+
+
+def test_lsh_candidate_plan_has_bucket_cap_window(spark, toks_path):
+    from gorilla_stream_spark.textops import lsh_candidate_pairs, shingle_minhash
+
+    docs = spark.read.parquet(toks_path).select(
+        F.xxhash64("doc_id").alias("__nd_id"),
+        F.concat_ws(" ", F.expr("transform(tokens, t -> CAST(t AS STRING))")).alias(
+            "__nd_text"
+        ),
+    )
+    sig = shingle_minhash(docs, text_col="__nd_text", id_col="__nd_id", num_hashes=32)
+    p = _plan(lsh_candidate_pairs(sig.select("doc_id", "sig"), num_hashes=32))
+    assert "Window" in p, p  # per-(band, hash) count gate before the self-join
+    p_uncapped = _plan(
+        lsh_candidate_pairs(sig.select("doc_id", "sig"), num_hashes=32, max_bucket=None)
+    )
+    assert "Window" not in p_uncapped, p_uncapped
