@@ -616,6 +616,29 @@ def q_dict_container_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequence packing (O60): concat docs in doc_id order, slice into
+    # fixed 512-token training rows; per-chunk scalars are order-sensitive
+    # (wsum weights each token by its 1-based position in the chunk), so a
+    # single out-of-place token breaks the hash
+    from gorilla_stream_spark.packing import pack_sequences
+
+    src = _tokens_from_documents(spark, sf_dir)
+    packed = pack_sequences(src, 512, num_partitions=4)
+    return packed.select(
+        "seq_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.size("doc_spans").cast("long").alias("n_docs"),
+        F.expr(
+            "aggregate(transform(tokens, t -> CAST(t AS BIGINT)), 0L, (a, x) -> a + x)"
+        ).alias("sum_tok"),
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)),"
+            " (t, i) -> CAST(t AS BIGINT) * i), 0L, (a, x) -> a + x)"
+        ).alias("wsum"),
+    )
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -702,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_validate_vectors": q_validate_vectors,
         "q50_wire_roundtrip": q_wire_roundtrip,
         "q51_dict_container_roundtrip": q_dict_container_roundtrip,
+        "q52_pack_sequences": q_pack_sequences,
     }
 
 
@@ -1082,4 +1106,20 @@ WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
             " FROM s GROUP BY 1"
         ),
         "q51_dict_container_roundtrip": _ROUNDTRIP_ORACLE,
+        "q52_pack_sequences": (
+            "WITH c AS (SELECT CAST(doc_id AS VARCHAR) AS did, text FROM documents),"
+            " t AS (SELECT did, ord(substr(text, CAST(i AS INTEGER), 1)) AS tok, i"
+            "       FROM (SELECT did, text, unnest(range(1, length(text) + 1)) AS i"
+            "             FROM c) WHERE length(text) > 0),"
+            " g AS (SELECT tok, did,"
+            "       row_number() OVER (ORDER BY did, i) - 1 AS gpos FROM t),"
+            " s AS (SELECT gpos // 512 AS seq_id, tok, did,"
+            "       gpos % 512 + 1 AS p FROM g)"
+            " SELECT CAST(seq_id AS BIGINT) AS seq_id,"
+            "  CAST(count(*) AS BIGINT) AS n_tok,"
+            "  CAST(count(DISTINCT did) AS BIGINT) AS n_docs,"
+            "  CAST(sum(tok) AS BIGINT) AS sum_tok,"
+            "  CAST(sum(tok * p) AS BIGINT) AS wsum"
+            " FROM s GROUP BY 1"
+        ),
     }

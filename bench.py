@@ -378,6 +378,20 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     touched = venc_df.filter(F.arrays_overlap(F.col("lsh_keys"), warr)).count()
     extras["ann_blocks_frac"] = touched / max(venc_df.count(), 1)
 
+    # q13: sequence packing (O60) — the training-data pipeline's terminal
+    # transform; one range shuffle + boundary-fragment assembly
+    from gorilla_stream_spark.packing import pack_sequences
+
+    t0 = time.time()
+    packed = pack_sequences(toks, 2048, num_partitions=int(CPUS))
+    pk = packed.agg(
+        F.count("*").alias("seqs"), F.sum("n_tok").alias("n")
+    ).first()
+    queries["q13_pack_sequences"] = time.time() - t0
+    assert pk["n"] == total_tokens, (pk["n"], total_tokens)
+    extras["pack_tokens_per_sec"] = total_tokens / queries["q13_pack_sequences"]
+    extras["pack_seqs"] = int(pk["seqs"])
+
     # q12: reference wire-format interop (O58) — encode/decode the 5M-point
     # series through the byte-for-byte .gorilla block format.  Interop path,
     # not the engine's native storage; recorded so migration cost is known.

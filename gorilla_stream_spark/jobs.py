@@ -271,6 +271,28 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_pack(args) -> int:
+    """Pack documents into fixed-length training sequences."""
+    from gorilla_stream_spark.packing import pack_sequences
+
+    spark = _spark("gss-pack")
+    df = spark.read.parquet(args.input)
+    packed = pack_sequences(
+        df,
+        args.seq_len,
+        tokens_col=args.tokens_col,
+        id_col=args.id_col,
+        num_partitions=args.partitions,
+        drop_last=args.drop_last,
+    )
+    packed.write.mode("overwrite").option("compression", "zstd").parquet(args.output)
+    m = spark.read.parquet(args.output).agg(
+        F.count("*").alias("seqs"), F.sum("n_tok").alias("tokens")
+    ).first()
+    print(json.dumps({"seqs": m["seqs"], "tokens": int(m["tokens"] or 0)}))
+    return 0
+
+
 def cmd_wire_export(args) -> int:
     """Export a (ts, value) parquet table as reference .gorilla wire blocks
     (byte-for-byte the reference format — a gorilla_stream user can decode
@@ -416,6 +438,16 @@ def main(argv: list[str] | None = None) -> int:
     dv.add_argument("--output", required=True)
     dv.add_argument("--tolerant", action="store_true")
     dv.set_defaults(fn=cmd_decode_vectors)
+
+    pk = sub.add_parser("pack", help="pack docs into fixed-length training sequences")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--seq-len", type=int, required=True)
+    pk.add_argument("--tokens-col", default="tokens")
+    pk.add_argument("--id-col", default="doc_id")
+    pk.add_argument("--partitions", type=int, default=None)
+    pk.add_argument("--drop-last", action="store_true")
+    pk.set_defaults(fn=cmd_pack)
 
     we = sub.add_parser("wire-export", help="export to reference .gorilla wire blocks")
     we.add_argument("--input", required=True)

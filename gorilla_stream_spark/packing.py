@@ -1,0 +1,198 @@
+"""Sequence packing — fixed-length training rows from a document table.
+
+The standard LLM pretraining transform: concatenate documents in a
+deterministic total order (by ``doc_id``) and slice the token stream into
+``seq_len`` chunks, document-boundary-agnostic (GPT-style), with per-chunk
+fragment lengths (``doc_spans``) for attention-mask construction.
+
+Scale design — global concatenation WITHOUT a global sort or full shuffle:
+
+1. range-partition + sort by ``doc_id`` (the one shuffle, same layout the
+   encode path uses);
+2. one pass counts tokens per partition; the driver turns the (tiny,
+   one-long-per-partition) counts into global start offsets;
+3. each partition then knows exactly which chunk ids it covers and emits
+   its INTERIOR chunks directly — only the head/tail fragments that share
+   a chunk with a neighboring partition are shuffled for assembly, so the
+   second shuffle moves O(partitions x seq_len) tokens, not the corpus.
+
+Assembly is pure JVM (``collect_list`` + ``array_sort`` + ``flatten``);
+the kernels are Arrow-vectorized (no per-row Python).
+
+No reference analog (the reference is a timeseries codec); this operator
+exists because a 100 TB training pipeline ends in exactly this transform
+(SURVEY.md round-2 scope: "operations a large-scale training-data pipeline
+would need").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pack_sequences"]
+
+
+def _frag_schema() -> str:
+    return (
+        "seq_id long, frag_pos long, tokens array<int>, spans array<int>, "
+        "complete boolean"
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    drop_last: bool = False,
+) -> DataFrame:
+    """Pack documents into fixed-``seq_len`` token rows.
+
+    Output: ``(seq_id, tokens array<int>, n_tok, doc_spans array<int>)``
+    where ``seq_id`` is the 0-based chunk index over the corpus-wide token
+    stream ordered by ``id_col``, and ``doc_spans`` are the lengths of the
+    document fragments inside the chunk (``sum(doc_spans) == n_tok``).
+    The final partial chunk is kept unless ``drop_last``.
+
+    Deterministic: a pure function of (table contents, seq_len) —
+    independent of input partitioning (pinned by test).
+    """
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+    spark = df.sparkSession
+    slim = df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks"))
+    n_part = num_partitions or slim.rdd.getNumPartitions() or 1
+    parted = slim.repartitionByRange(n_part, "__id").sortWithinPartitions("__id")
+    parted = parted.persist()
+
+    # pass 1: tokens per partition -> driver (one long per partition)
+    def count_fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        total = 0
+        for rb in batches:
+            col = rb.column(1)
+            if col.null_count:
+                raise ValueError("pack_sequences: null tokens cell (run clean first)")
+            total += len(col.flatten())
+        yield pa.RecordBatch.from_pydict(
+            {"pid": pa.array([pid], pa.int32()), "n": pa.array([total], pa.int64())}
+        )
+
+    counts = {
+        r["pid"]: r["n"] for r in parted.mapInArrow(count_fn, "pid int, n long").collect()
+    }
+    max_pid = max(counts) if counts else -1
+    sizes = [counts.get(p, 0) for p in range(max_pid + 1)]
+    offsets = np.concatenate(([0], np.cumsum(sizes))).astype(np.int64)
+    total_tokens = int(offsets[-1])
+    if total_tokens == 0:
+        return spark.createDataFrame(
+            [], "seq_id long, tokens array<int>, n_tok int, doc_spans array<int>"
+        )
+
+    L = seq_len
+
+    # pass 2: emit interior chunks whole; boundary pieces as fragments
+    def emit_fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        off = int(offsets[pid]) if pid < len(offsets) - 1 else int(offsets[-1])
+        flats: list[np.ndarray] = []
+        lens: list[np.ndarray] = []
+        for rb in batches:
+            col = rb.column(1)
+            if col.null_count or col.flatten().null_count:
+                raise ValueError("pack_sequences: null tokens (run clean first)")
+            flats.append(col.flatten().to_numpy(zero_copy_only=False).astype(np.int32))
+            lens.append(col.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64))
+        if not flats:
+            return
+        flat = np.concatenate(flats)
+        dlens = np.concatenate(lens)
+        T = flat.size
+        if T == 0:
+            return
+        # doc-boundary positions (global), for spans: a span breaks at doc
+        # boundaries and at chunk boundaries
+        doc_ends = off + np.cumsum(dlens)  # global end position per doc
+        lo, hi = off, off + T
+
+        def spans_for(a: int, b: int) -> np.ndarray:
+            """Fragment lengths for global token range [a, b).
+
+            Zero-length entries (empty documents share a boundary position)
+            are dropped — a span is a run of TOKENS from one document.
+            """
+            i = np.searchsorted(doc_ends, a, side="right")
+            j = np.searchsorted(doc_ends, b, side="left")
+            edges = np.concatenate(([a], doc_ends[i:j], [b]))
+            d = np.diff(edges).astype(np.int32)
+            return d[d > 0]
+
+        out = {
+            "seq_id": [], "frag_pos": [], "tokens": [], "spans": [], "complete": [],
+        }
+
+        def emit(a: int, b: int, complete: bool) -> None:
+            out["seq_id"].append(a // L)
+            out["frag_pos"].append(a)
+            out["tokens"].append(flat[a - lo : b - lo])
+            out["spans"].append(spans_for(a, b))
+            out["complete"].append(complete)
+
+        first_full = ((lo + L - 1) // L) * L  # first chunk start >= lo
+        if first_full > lo:  # head fragment shared with the previous partition
+            emit(lo, min(first_full, hi), False)
+        a = first_full
+        while a + L <= hi:
+            emit(a, a + L, True)
+            a += L
+        if first_full <= a < hi:  # tail fragment (or corpus tail)
+            emit(a, hi, False)
+        if out["seq_id"]:
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "seq_id": pa.array(out["seq_id"], pa.int64()),
+                    "frag_pos": pa.array(out["frag_pos"], pa.int64()),
+                    "tokens": pa.array(out["tokens"], pa.list_(pa.int32())),
+                    "spans": pa.array(out["spans"], pa.list_(pa.int32())),
+                    "complete": pa.array(out["complete"], pa.bool_()),
+                }
+            )
+
+    frags = parted.mapInArrow(emit_fn, _frag_schema())
+    interior = frags.filter("complete").select(
+        "seq_id",
+        "tokens",
+        F.size("tokens").alias("n_tok"),
+        F.col("spans").alias("doc_spans"),
+    )
+    boundary = (
+        frags.filter("NOT complete")
+        .groupBy("seq_id")
+        .agg(
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(frag_pos, tokens))), x -> x.tokens)")
+            ).alias("tokens"),
+            F.flatten(
+                F.expr("transform(array_sort(collect_list(struct(frag_pos, spans))), x -> x.spans)")
+            ).alias("doc_spans"),
+        )
+        .select("seq_id", "tokens", F.size("tokens").alias("n_tok"), "doc_spans")
+    )
+    result = interior.unionByName(boundary)
+    if drop_last and total_tokens % L:
+        result = result.filter(F.col("seq_id") != total_tokens // L)
+    return result

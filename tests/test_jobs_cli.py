@@ -145,3 +145,22 @@ def test_cli_wire_export_import_roundtrip(spark, tmp_path):
     dec = spark.read.parquet(out)
     assert dec.count() == n
     assert dec.agg(F.min("ts")).first()[0] == 1_600_000_000
+
+
+def test_cli_pack(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark import jobs
+
+    src = str(tmp_path / "pk_src")
+    out = str(tmp_path / "pk_out")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.expr("transform(sequence(1, 37), i -> cast(i as int))").alias("tokens"),
+    ).write.parquet(src)
+    rc = jobs.main(["pack", "--input", src, "--output", out, "--seq-len", "64"])
+    assert rc == 0
+    packed = spark.read.parquet(out)
+    assert packed.agg(F.sum("n_tok")).first()[0] == 100 * 37
+    full = packed.filter(F.col("n_tok") == 64).count()
+    assert full == (100 * 37) // 64

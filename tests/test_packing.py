@@ -1,0 +1,94 @@
+"""Sequence packing (O60) — fixed-length training rows."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark.packing import pack_sequences
+
+
+def _mk(spark, docs, n_part=3):
+    rows = [(i, list(t)) for i, t in enumerate(docs)]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(
+        n_part
+    )
+
+
+def _reference_pack(docs, L, drop_last=False):
+    """Straight-line oracle: concat in doc order, slice, spans at doc cuts."""
+    flat = [t for d in docs for t in d]
+    ends = np.cumsum([len(d) for d in docs])
+    out = {}
+    for s in range(0, len(flat), L):
+        chunk = flat[s : s + L]
+        if drop_last and len(chunk) < L:
+            continue
+        a, b = s, s + len(chunk)
+        cuts = [e for e in ends if a < e < b]
+        edges = [a] + cuts + [b]
+        spans = [
+            edges[i + 1] - edges[i] for i in range(len(edges) - 1) if edges[i + 1] > edges[i]
+        ]
+        out[s // L] = (chunk, spans)
+    return out
+
+
+def _collect(df):
+    return {
+        int(r.seq_id): (list(r.tokens), list(r.doc_spans), int(r.n_tok))
+        for r in df.collect()
+    }
+
+
+def test_pack_matches_reference_exactly(spark):
+    rng = np.random.default_rng(12)
+    docs = [list(map(int, rng.integers(0, 1000, rng.integers(1, 40)))) for _ in range(57)]
+    L = 64
+    got = _collect(pack_sequences(_mk(spark, docs), L, num_partitions=4))
+    want = _reference_pack(docs, L)
+    assert set(got) == set(want)
+    for sid, (chunk, spans) in want.items():
+        assert got[sid][0] == chunk, sid
+        assert got[sid][1] == spans, sid
+        assert got[sid][2] == len(chunk)
+        assert sum(got[sid][1]) == got[sid][2]
+
+
+def test_pack_invariant_to_partitioning(spark):
+    rng = np.random.default_rng(5)
+    docs = [list(map(int, rng.integers(0, 99, rng.integers(0, 25)))) for _ in range(40)]
+    a = _collect(pack_sequences(_mk(spark, docs, n_part=1), 32, num_partitions=2))
+    b = _collect(pack_sequences(_mk(spark, docs, n_part=7), 32, num_partitions=6))
+    assert a == b
+
+
+def test_pack_long_doc_spans_chunks(spark):
+    # one 300-token doc at L=64 -> split across 5 chunks, single span each
+    docs = [[7] * 300]
+    got = _collect(pack_sequences(_mk(spark, docs, n_part=1), 64, num_partitions=1))
+    assert len(got) == 5
+    assert got[4][2] == 300 - 4 * 64
+    for sid in got:
+        assert len(got[sid][1]) == 1  # one doc -> one span per chunk
+
+
+def test_pack_drop_last(spark):
+    docs = [[1] * 10, [2] * 10, [3] * 5]  # 25 tokens, L=8 -> 3 full + 1 partial
+    full = _collect(pack_sequences(_mk(spark, docs), 8))
+    assert len(full) == 4 and full[3][2] == 1
+    dropped = _collect(pack_sequences(_mk(spark, docs), 8, drop_last=True))
+    assert len(dropped) == 3 and all(v[2] == 8 for v in dropped.values())
+
+
+def test_pack_rejects_bad_seq_len_and_nulls(spark):
+    docs = [[1, 2, 3]]
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(_mk(spark, docs), 0)
+    df = spark.createDataFrame([(0, None)], "doc_id long, tokens array<int>")
+    with pytest.raises(Exception, match="null"):
+        pack_sequences(df, 8).collect()
+
+
+def test_pack_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, tokens array<int>")
+    assert pack_sequences(df, 16).count() == 0
