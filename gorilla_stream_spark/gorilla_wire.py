@@ -91,22 +91,45 @@ _FLAG_COUNTER = 0x2
 def _pack_fields(vals: np.ndarray, widths: np.ndarray) -> tuple[bytes, int]:
     """MSB-first concatenation of variable-width fields -> (bytes, nbits).
 
-    Ragged-arange construction: one bit-matrix row per OUTPUT bit, filled
-    with three vectorized gathers, then ``np.packbits`` (zero-pads the
-    final byte exactly like the reference's pad_to_byte_boundary,
-    bit_packing.ex:115-125).
+    Word-wise construction: every field lands in at most two consecutive
+    big-endian 64-bit words, fields never share bits (so OR == ADD), and
+    field offsets are non-decreasing — one stable sort of the (word,
+    contribution) pairs plus ``np.add.reduceat`` assembles the stream with
+    zero per-field Python and O(words) memory (the old per-bit matrix
+    built ``total_bits`` byte temporaries; this is ~8x less traffic).
+    Zero-pads the final byte exactly like the reference's
+    pad_to_byte_boundary (bit_packing.ex:115-125).
     """
-    vals = np.ascontiguousarray(vals, dtype=np.uint64)
-    widths = np.ascontiguousarray(widths, dtype=np.int64)
-    total = int(widths.sum())
+    v = np.ascontiguousarray(vals, dtype=np.uint64)
+    w = np.ascontiguousarray(widths, dtype=np.int64)
+    total = int(w.sum())
     if total == 0:
         return b"", 0
-    owner = np.repeat(np.arange(widths.size, dtype=np.int64), widths)
-    starts = np.cumsum(widths) - widths
-    j = np.arange(total, dtype=np.int64) - starts[owner]
-    shift = (widths[owner] - 1 - j).astype(np.uint64)
-    bits = ((vals[owner] >> shift) & np.uint64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes(), total
+    # keep only non-empty fields (width-0 contributes nothing)
+    nz = w > 0
+    if not nz.all():
+        v, w = v[nz], w[nz]
+    o = np.cumsum(w) - w  # start bit of each field
+    w0 = o >> 6
+    hi_shift = 64 - (o & 63) - w  # may be negative (field crosses a word)
+    pos_sh = np.maximum(hi_shift, 0).astype(np.uint64)
+    neg_sh = np.maximum(-hi_shift, 0).astype(np.uint64)
+    hi = np.where(hi_shift >= 0, v << pos_sh, v >> neg_sh)
+    crosses = hi_shift < 0
+    if crosses.any():
+        lo = v[crosses] << (np.uint64(64) - neg_sh[crosses])
+        idx = np.concatenate([w0, w0[crosses] + 1])
+        contrib = np.concatenate([hi, lo])
+        order = np.argsort(idx, kind="stable")
+        idx, contrib = idx[order], contrib[order]
+    else:
+        idx, contrib = w0, hi
+    run_start = np.concatenate(([True], idx[1:] != idx[:-1]))
+    sums = np.add.reduceat(contrib, np.flatnonzero(run_start))
+    n_words = (total + 63) >> 6
+    words = np.zeros(n_words, dtype=np.uint64)
+    words[idx[run_start]] = sums
+    return words.astype(">u8").tobytes()[: (total + 7) >> 3], total
 
 
 def _gather_bits(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:

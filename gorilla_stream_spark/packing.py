@@ -155,22 +155,53 @@ def pack_sequences(
         first_full = ((lo + L - 1) // L) * L  # first chunk start >= lo
         if first_full > lo:  # head fragment shared with the previous partition
             emit(lo, min(first_full, hi), False)
-        a = first_full
-        while a + L <= hi:
-            emit(a, a + L, True)
-            a += L
-        if first_full <= a < hi:  # tail fragment (or corpus tail)
-            emit(a, hi, False)
-        if out["seq_id"]:
+        n_int = max((hi - first_full) // L, 0)
+        tail_start = first_full + n_int * L
+        if first_full <= tail_start < hi:  # tail fragment (or corpus tail)
+            emit(tail_start, hi, False)
+        if out["seq_id"]:  # boundary fragments (<= 2 per partition)
             yield pa.RecordBatch.from_pydict(
                 {
                     "seq_id": pa.array(out["seq_id"], pa.int64()),
                     "frag_pos": pa.array(out["frag_pos"], pa.int64()),
                     "tokens": pa.array(out["tokens"], pa.list_(pa.int32())),
                     "spans": pa.array(out["spans"], pa.list_(pa.int32())),
-                    "complete": pa.array(out["complete"], pa.bool_()),
+                    "complete": pa.array([False] * len(out["seq_id"]), pa.bool_()),
                 }
             )
+        if n_int == 0:
+            return
+        # interior chunks, fully vectorized: tokens as one ListArray over
+        # the contiguous region at stride L; spans via a single sorted-edge
+        # pass (chunk bounds union interior doc ends, zero-width runs from
+        # empty docs deduped away)
+        A, B = first_full, tail_start
+        tok_vals = pa.array(flat[A - lo : B - lo], pa.int32())
+        tok_offs = pa.array(
+            (np.arange(n_int + 1, dtype=np.int64) * L).astype(np.int32), pa.int32()
+        )
+        tokens_arr = pa.ListArray.from_arrays(tok_offs, tok_vals)
+        i = np.searchsorted(doc_ends, A, side="right")
+        j = np.searchsorted(doc_ends, B, side="left")
+        bounds = A + L * np.arange(n_int + 1, dtype=np.int64)
+        edges = np.unique(np.concatenate([bounds, doc_ends[i:j]]))
+        widths = np.diff(edges).astype(np.int32)
+        owner = (edges[:-1] - A) // L
+        span_counts = np.bincount(owner, minlength=n_int)
+        span_offs = np.concatenate(([0], np.cumsum(span_counts))).astype(np.int32)
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(span_offs, pa.int32()), pa.array(widths, pa.int32())
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array((A // L) + np.arange(n_int, dtype=np.int64), pa.int64()),
+                pa.array(bounds[:-1], pa.int64()),
+                tokens_arr,
+                spans_arr,
+                pa.array(np.ones(n_int, dtype=bool)),
+            ],
+            names=["seq_id", "frag_pos", "tokens", "spans", "complete"],
+        )
 
     frags = parted.mapInArrow(emit_fn, _frag_schema())
     interior = frags.filter("complete").select(
