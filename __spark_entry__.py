@@ -639,6 +639,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stratified deterministic sampling (O61), md5 mode — the subset is a
+    # pure function of (doc_id, seed) reproducible in ANY engine, which is
+    # exactly what the oracle checks (per-source counts + id checksums)
+    from gorilla_stream_spark.textops import sample_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "source"
+    )
+    kept = sample_corpus(docs, 0.37, seed=11, hash_fn="md5")
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("doc_id").cast("long")).cast("long").alias("id_sum"),
+    )
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -726,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q50_wire_roundtrip": q_wire_roundtrip,
         "q51_dict_container_roundtrip": q_dict_container_roundtrip,
         "q52_pack_sequences": q_pack_sequences,
+        "q53_sample_corpus": q_sample_corpus,
     }
 
 
@@ -1106,6 +1123,13 @@ WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
             " FROM s GROUP BY 1"
         ),
         "q51_dict_container_roundtrip": _ROUNDTRIP_ORACLE,
+        "q53_sample_corpus": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents"
+            " WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':11'), 1, 6))"
+            "   AS BIGINT) < 6207570"
+            " GROUP BY source"
+        ),
         "q52_pack_sequences": (
             "WITH c AS (SELECT CAST(doc_id AS VARCHAR) AS did, text FROM documents),"
             " t AS (SELECT did, ord(substr(text, CAST(i AS INTEGER), 1)) AS tok, i"

@@ -36,8 +36,10 @@ from gorilla_stream_spark.engine import (
     read_timerange,
 )
 from gorilla_stream_spark.engine import decode_multi, encode_multi
+from gorilla_stream_spark.packing import pack_sequences
 from gorilla_stream_spark.textops import (
     dedup_exact,
+    sample_corpus,
     doc_fingerprint,
     lang_id,
     neardup_pairs,
@@ -89,6 +91,8 @@ __all__ = [
     "quality_score",
     "lang_id",
     "doc_fingerprint",
+    "sample_corpus",
+    "pack_sequences",
     "encode_vectors",
     "decode_vectors",
     "topk_dot",

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "sample_corpus",
     "dedup_exact",
     "text_stats",
     "quality_score",
@@ -97,6 +98,66 @@ def _stop_hits(text_col: str, lang: str) -> Column:
     return F.expr(
         f"size(filter(split({text_col}, ' '), w -> w IN ({_sql_list(STOPWORDS[lang])})))"
     )
+
+
+def sample_corpus(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    seed: int = 1337,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic stratified sampling — the data-mixing primitive.
+
+    Keeps a row iff ``pmod(xxhash64(id, seed), 1e6) < frac(source) * 1e6``:
+    a pure per-row predicate (zero shuffle, pushes past the scan like any
+    filter), reproducible run-to-run and across engines from (id, seed)
+    alone, and INCLUSION-MONOTONE — raising a source's rate only ADDS
+    documents, so epoch mixtures can be re-weighted without churning the
+    previously-selected subset.  ``fractions`` is either a single global
+    rate or a per-source dict (missing sources keep rate 1.0; rates clamp
+    to [0, 1]).
+
+    At 100 TB this is how the mixture in a training config becomes a scan
+    predicate instead of a sampling job.
+
+    ``hash_fn``: ``"xxhash64"`` (default — cheapest, stays in whole-stage
+    codegen) or ``"md5"`` (first 6 hex digits of ``md5(id || ':' || seed)``
+    — engine-portable, so another system can reproduce the exact subset;
+    the q53 oracle cross-checks this mode against DuckDB).
+    """
+    if hash_fn == "xxhash64":
+        space = 1_000_000
+        h = F.pmod(
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))), F.lit(space)
+        )
+    elif hash_fn == "md5":
+        space = 16**6
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{int(seed)}"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    million = space
+
+    def cut(frac: float) -> int:
+        return int(round(max(0.0, min(1.0, float(frac))) * million))
+    if isinstance(fractions, dict):
+        thr = None
+        for src_name, frac in sorted(fractions.items()):
+            clause = (F.col(source_col) == src_name, F.lit(cut(frac)))
+            thr = F.when(*clause) if thr is None else thr.when(*clause)
+        thr = thr.otherwise(F.lit(million)) if thr is not None else F.lit(million)
+    else:
+        thr = F.lit(cut(fractions))
+    return df.filter(h < thr)
 
 
 def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -108,3 +108,26 @@ def test_lsh_candidate_plan_has_bucket_cap_window(spark, toks_path):
         lsh_candidate_pairs(sig.select("doc_id", "sig"), num_hashes=32, max_bucket=None)
     )
     assert "Window" not in p_uncapped, p_uncapped
+
+
+def test_train_pq_sample_uses_take_ordered(spark):
+    # the PQ training sample must be a per-partition top-K + driver merge
+    # (TakeOrderedAndProject), never a full sort shuffle of the corpus
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sampled = (
+        df.select(
+            F.col("embedding").alias("v"),
+            F.col("vec_id").cast("string").alias("__id"),
+            F.xxhash64(F.col("vec_id").cast("string"), F.lit(9176)).alias("__h"),
+        )
+        .orderBy("__h", "__id")
+        .limit(32)
+    )
+    p = _plan(sampled)
+    assert "TakeOrderedAndProject" in p, p

@@ -243,3 +243,54 @@ def test_lsh_hot_bucket_cap_planted_skew(spark):
     assert {(a, b) for a, b in full if not (a < 60 and b < 60)} == {
         (a, b) for a, b in pairs if not (a < 60 and b < 60)
     }
+
+
+def test_sample_corpus_deterministic_monotone_and_stratified(spark):
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark.textops import sample_corpus
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "web").otherwise("books").alias("source"),
+        F.lit("x").alias("text"),
+    )
+    a = {r.doc_id for r in sample_corpus(df, 0.25, seed=7).collect()}
+    b = {r.doc_id for r in sample_corpus(df, 0.25, seed=7).collect()}
+    assert a == b  # run-to-run deterministic
+    assert abs(len(a) / 20_000 - 0.25) < 0.02  # near the requested rate
+    # inclusion-monotone: raising the rate only ADDS docs
+    c = {r.doc_id for r in sample_corpus(df, 0.50, seed=7).collect()}
+    assert a <= c
+    # different seed -> different subset
+    d = {r.doc_id for r in sample_corpus(df, 0.25, seed=8).collect()}
+    assert a != d
+    # stratified: per-source rates apply to their stratum only
+    mix = sample_corpus(df, {"web": 0.1, "books": 0.9}, seed=7)
+    rates = {
+        r.source: r.n
+        for r in mix.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    n_web = 20_000 // 3 + (1 if 20_000 % 3 else 0)
+    n_books = 20_000 - len(range(0, 20_000, 3))
+    assert abs(rates.get("web", 0) / len(range(0, 20_000, 3)) - 0.1) < 0.03
+    assert abs(rates["books"] / n_books - 0.9) < 0.03
+    # a source missing from the dict keeps rate 1.0
+    keep_all = sample_corpus(df, {"web": 0.0}, seed=7)
+    kept = {r.source for r in keep_all.select("source").distinct().collect()}
+    assert kept == {"books"}
+    assert keep_all.count() == n_books
+
+
+def test_sample_corpus_is_scan_predicate(spark, tmp_path):
+    # zero shuffle: the whole operator is one Filter over the scan
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark.textops import sample_corpus
+
+    path = str(tmp_path / "sc_src")
+    spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit("s").alias("source"), F.lit("t").alias("text")
+    ).write.parquet(path)
+    plan = sample_corpus(spark.read.parquet(path), 0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
