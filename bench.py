@@ -269,16 +269,16 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     t0 = time.time()
     simhash(corpus, impl="kernel").agg(F.expr("bit_xor(simhash)")).first()
     queries["q8b_simhash_kernel"] = time.time() - t0
-    n_sample = min(20000, n_corpus)
+    n_sample = min(10000, n_corpus)
     sim_sample = corpus.limit(n_sample).persist()
     sim_sample.count()
     t0 = time.time()
     simhash(sim_sample, impl="hof").agg(F.expr("bit_xor(simhash)")).first()
-    queries["q8c_simhash_hof_20k"] = time.time() - t0
+    queries["q8c_simhash_hof_10k"] = time.time() - t0
     sim_sample.unpersist()
     extras["simhash_kernel_docs_per_sec"] = n_corpus / queries["q8b_simhash_kernel"]
     extras["simhash_speedup_vs_hof"] = (
-        queries["q8c_simhash_hof_20k"] / n_sample
+        queries["q8c_simhash_hof_10k"] / n_sample
     ) / (queries["q8b_simhash_kernel"] / n_corpus)
 
     # vectors: mixture-of-Gaussians embeddings (256 unit-norm cluster
@@ -391,6 +391,56 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     assert pk["n"] == total_tokens, (pk["n"], total_tokens)
     extras["pack_tokens_per_sec"] = total_tokens / queries["q13_pack_sequences"]
     extras["pack_seqs"] = int(pk["seqs"])
+
+    # q14: streaming cross-batch near-dup (O56) — the stateful SimHash
+    # kernel driven through a real Structured Streaming query (4
+    # micro-batches over a 20K-doc slice, availableNow)
+    import shutil
+
+    stream_root = os.path.join(CACHE, "stream_nd")
+    src_dir = os.path.join(stream_root, "src")
+    n_stream_docs = 20_000
+    if not os.path.exists(os.path.join(src_dir, "_DONE")):
+        shutil.rmtree(stream_root, ignore_errors=True)
+        os.makedirs(src_dir)
+        sl = corpus.limit(n_stream_docs).cache()
+        n_sl = sl.count()
+        per = (n_sl + 3) // 4
+        rows_parts = sl.withColumn(
+            "__g", F.pmod(F.xxhash64("doc_id"), F.lit(4))
+        )
+        for g in range(4):
+            rows_parts.filter(F.col("__g") == g).drop("__g").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(src_dir, f"b{g}"))
+        sl.unpersist()
+        open(os.path.join(src_dir, "_DONE"), "w").close()
+    from gorilla_stream_spark.streaming import simhash_neardup_stream
+
+    stream_schema = spark.read.parquet(os.path.join(src_dir, "b0")).schema
+    out_dir = os.path.join(stream_root, "out")
+    ck_dir = os.path.join(stream_root, "ck")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ck_dir, ignore_errors=True)
+    stream = (
+        spark.readStream.schema(stream_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir + "/*")
+    )
+    t0 = time.time()
+    q = (
+        simhash_neardup_stream(stream, max_hamming=3)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(540)
+    queries["q14_stream_neardup"] = time.time() - t0
+    n_sp = spark.read.parquet(out_dir).dropDuplicates(["id_a", "id_b"]).count()
+    extras["stream_neardup_docs_per_sec"] = n_stream_docs / queries["q14_stream_neardup"]
+    extras["stream_neardup_pairs"] = int(n_sp)
 
     # q12: reference wire-format interop (O58) — encode/decode the 5M-point
     # series through the byte-for-byte .gorilla block format.  Interop path,
