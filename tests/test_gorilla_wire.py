@@ -449,3 +449,51 @@ def test_spark_wire_rejects_nulls(spark):
     )
     with pytest.raises(Exception, match="null"):
         gw.encode_timeseries_wire(df).collect()
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=64), st.integers(min_value=0)),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_pack_fields_gather_roundtrip(fields):
+    # direct property on the word-wise packer: every field reads back at
+    # its bit offset from the packed bytes
+    widths = np.array([w for w, _ in fields], dtype=np.int64)
+    vals = np.array(
+        [v & ((1 << w) - 1) for w, v in fields], dtype=np.uint64
+    )
+    buf, nbits = gw._pack_fields(vals, widths)
+    assert nbits == int(widths.sum())
+    assert len(buf) == (nbits + 7) // 8
+    data = np.frombuffer(buf, dtype=np.uint8)
+    starts = np.cumsum(widths) - widths
+    for w in np.unique(widths):
+        m = widths == w
+        got = gw._gather_bits_packed(data, starts[m], int(w))
+        assert np.array_equal(got, vals[m]), (w, got, vals[m])
+
+
+def test_decode_corruption_always_fails_cleanly():
+    # random byte corruption must surface as ValueError (or a flagged
+    # tolerant decode) — never IndexError/struct.error out of the kernels
+    rng = np.random.default_rng(0)
+    ts = np.arange(500, dtype=np.int64) * 60
+    vals = rng.normal(0, 1, 500)
+    base = bytearray(gw.encode_points(ts, vals))
+    for trial in range(400):
+        buf = bytearray(base)
+        for _ in range(int(rng.integers(1, 4))):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        try:
+            _, _, info = gw.decode_points(bytes(buf), strict=False)
+        except ValueError:
+            continue
+    for cut in range(0, len(base), 53):
+        try:
+            gw.decode_points(bytes(base[:cut]), strict=False)
+        except ValueError:
+            continue
