@@ -404,8 +404,7 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
         shutil.rmtree(stream_root, ignore_errors=True)
         os.makedirs(src_dir)
         sl = corpus.limit(n_stream_docs).cache()
-        n_sl = sl.count()
-        per = (n_sl + 3) // 4
+        sl.count()
         rows_parts = sl.withColumn(
             "__g", F.pmod(F.xxhash64("doc_id"), F.lit(4))
         )

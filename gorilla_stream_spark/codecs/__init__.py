@@ -339,7 +339,6 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
         # must not drive an unbounded (~1000x) decompression
         if orig_len > _MAX_CONTAINER_LEN:
             raise ValueError(f"implausible container orig_len {orig_len}")
-        body = bytes(mv[6:])
         try:
             if mid == _ZLIBD:
                 (did,) = _struct.unpack_from("<I", mv, 6)
@@ -359,11 +358,11 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
             elif mid == _ZSTD:
                 if _ZSTD_CODEC is None:
                     raise ValueError("zstd container but codec unavailable")
-                inner = bytes(_ZSTD_CODEC.decompress(body, orig_len))
+                inner = bytes(_ZSTD_CODEC.decompress(bytes(mv[6:]), orig_len))
             elif mid == _OPENZL:
                 if _OPENZL_MOD is None:
                     raise ValueError("openzl container but codec unavailable")
-                inner = _openzl_decompress(body)  # pragma: no cover - needs lib
+                inner = _openzl_decompress(bytes(mv[6:]))  # pragma: no cover - needs lib
             else:
                 # decompress(body, max_length=orig_len) TRUNCATES at orig_len,
                 # so a corrupt header declaring a too-small size would pass the
@@ -371,7 +370,7 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
                 # actually ENDS at orig_len (no buffered output, no pending
                 # input, end-of-stream marker reached)
                 dec = _zlib.decompressobj()
-                inner = dec.decompress(body, orig_len)
+                inner = dec.decompress(bytes(mv[6:]), orig_len)
                 # a valid stream parks its trailer in unconsumed_tail when
                 # max_length stops it; feeding the tail back must produce NO
                 # further output and must reach end-of-stream cleanly

@@ -132,22 +132,11 @@ def _pack_fields(vals: np.ndarray, widths: np.ndarray) -> tuple[bytes, int]:
     return words.astype(">u8").tobytes()[: (total + 7) >> 3], total
 
 
-def _gather_bits(bits: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
-    """Read ``width``-bit unsigned values at arbitrary bit offsets from an
-    UNPACKED bit array (one byte per bit)."""
-    if starts.size == 0:
-        return np.empty(0, dtype=np.uint64)
-    idx = starts.reshape(-1, 1) + np.arange(width, dtype=np.int64)
-    sh = np.arange(width - 1, -1, -1, dtype=np.uint64)
-    vals = bits[idx].astype(np.uint64) << sh
-    return np.bitwise_or.reduce(vals, axis=1)
-
-
 def _gather_bits_packed(data: np.ndarray, starts: np.ndarray, width: int) -> np.ndarray:
     """Read ``width``-bit (<=64) unsigned values at arbitrary absolute bit
     offsets from PACKED bytes — gathers ceil((7+w)/8) bytes per value
-    instead of w bit-bytes (~7x less traffic than :func:`_gather_bits` at
-    w=64, the decode hot path).  ``data`` must be a uint8 array.
+    instead of one byte per BIT (~7x less traffic at w=64, the decode
+    hot path).  ``data`` must be a uint8 array.
     """
     if starts.size == 0:
         return np.empty(0, dtype=np.uint64)
@@ -305,6 +294,11 @@ def _round_half_away(v: np.ndarray) -> np.ndarray:
 def _vm_preprocess(
     vals: np.ndarray, is_counter: bool, scale_decimals
 ) -> tuple[np.ndarray, int]:
+    if vals.size and not np.isfinite(vals).all():
+        # %.10f of NaN/Inf has no fraction part and decimal scaling of
+        # non-finite values is meaningless — fail loud (Erlang floats
+        # cannot be NaN, so the reference never sees this input)
+        raise ValueError("victoria_metrics scaling requires finite values")
     v = vals
     if is_counter:
         # first absolute, then diffs (enhancements.ex:57-63)

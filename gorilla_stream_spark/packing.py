@@ -68,6 +68,10 @@ def pack_sequences(
     slim = df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks"))
     n_part = num_partitions or slim.rdd.getNumPartitions() or 1
     parted = slim.repartitionByRange(n_part, "__id").sortWithinPartitions("__id")
+    # persisted across the two passes (counts, then emission); the cache
+    # entry outlives this call because the returned DataFrame still reads
+    # it lazily — long-lived sessions doing many pack runs should
+    # checkpoint/materialize the result and spark.catalog.clearCache()
     parted = parted.persist()
 
     # pass 1: tokens per partition -> driver (one long per partition)
@@ -124,6 +128,13 @@ def pack_sequences(
         T = flat.size
         if T == 0:
             return
+        if T > (1 << 31) - 1:
+            # Arrow list<int32> offsets wrap past 2^31 values — fail loud
+            # with the fix instead of writing corrupt training rows
+            raise ValueError(
+                f"pack_sequences: partition holds {T} tokens (> int32 offset"
+                " range) — raise num_partitions"
+            )
         # doc-boundary positions (global), for spans: a span breaks at doc
         # boundaries and at chunk boundaries
         doc_ends = off + np.cumsum(dlens)  # global end position per doc
@@ -141,24 +152,21 @@ def pack_sequences(
             d = np.diff(edges).astype(np.int32)
             return d[d > 0]
 
-        out = {
-            "seq_id": [], "frag_pos": [], "tokens": [], "spans": [], "complete": [],
-        }
+        out = {"seq_id": [], "frag_pos": [], "tokens": [], "spans": []}
 
-        def emit(a: int, b: int, complete: bool) -> None:
+        def emit_frag(a: int, b: int) -> None:
             out["seq_id"].append(a // L)
             out["frag_pos"].append(a)
             out["tokens"].append(flat[a - lo : b - lo])
             out["spans"].append(spans_for(a, b))
-            out["complete"].append(complete)
 
         first_full = ((lo + L - 1) // L) * L  # first chunk start >= lo
         if first_full > lo:  # head fragment shared with the previous partition
-            emit(lo, min(first_full, hi), False)
+            emit_frag(lo, min(first_full, hi))
         n_int = max((hi - first_full) // L, 0)
         tail_start = first_full + n_int * L
         if first_full <= tail_start < hi:  # tail fragment (or corpus tail)
-            emit(tail_start, hi, False)
+            emit_frag(tail_start, hi)
         if out["seq_id"]:  # boundary fragments (<= 2 per partition)
             yield pa.RecordBatch.from_pydict(
                 {

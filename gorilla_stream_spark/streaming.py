@@ -127,6 +127,15 @@ def _dedup_kernel(blob: bytes, pdfs):
 
     V16 = np.dtype((np.void, 16))
     hist = np.frombuffer(blob, dtype=V16)  # sorted digest records
+    if hist.size > 1:
+        # state written by the pre-sorted-format kernel (append order) is
+        # re-sorted once — membership semantics are unchanged, so survivors
+        # already emitted stay deduplicated after the upgrade.  (void16 has
+        # no `<` ufunc; big-endian u8 pairs give the same memcmp order.)
+        hu = hist.view(">u8").reshape(-1, 2)
+        a, b = hu[:-1], hu[1:]
+        if ((a[:, 0] > b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))).any():
+            hist = np.sort(hist)
     outs = []
     grew = False
     for pdf in pdfs:

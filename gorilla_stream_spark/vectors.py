@@ -610,8 +610,9 @@ def cosine_neardup_pairs(
             .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
             .distinct()
         )
-        # materialize pairs once, then broadcast-semi-prune BOTH vector
-        # sides to candidate ids (8 B/id) before the wide joins — the
+        # materialize pairs once (the cache entry lives until session
+        # cleanup — bounded: id pairs only), then broadcast-semi-prune BOTH
+        # vector sides to candidate ids (8 B/id) before the wide joins — the
         # dim-length qv arrays of non-candidate vectors never shuffle
         # (same two-pass shape as textops._verify_pairs), so verify cost
         # tracks the candidate set, not the corpus

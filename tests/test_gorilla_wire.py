@@ -497,3 +497,14 @@ def test_decode_corruption_always_fails_cleanly():
             gw.decode_points(bytes(base[:cut]), strict=False)
         except ValueError:
             continue
+
+
+def test_vm_rejects_non_finite():
+    ts = np.arange(3, dtype=np.int64)
+    vals = np.array([1.0, float("nan"), 2.0])
+    with pytest.raises(ValueError, match="finite"):
+        gw.encode_points(ts, vals, victoria_metrics=True)
+    # non-VM path stores NaN bit-exactly (IEEE payload), like the reference
+    buf = gw.encode_points(ts, vals)
+    _, v2, _ = gw.decode_points(buf)
+    assert np.array_equal(vals.view(np.uint64), v2.view(np.uint64))

@@ -399,3 +399,20 @@ def test_simhash_kernel_state_bound_evicts_lru():
     # the documented recall impact of the bound
     assert {(a, b) for a, b in zip(p3["id_a"], p3["id_b"])} == {(2, 3)}
     assert len(blob) == 16
+
+
+def test_dedup_kernel_migrates_unsorted_legacy_state():
+    # a blob written by the pre-sorted-format kernel (append order) must be
+    # handled without duplicate leakage
+    import hashlib
+
+    from gorilla_stream_spark.streaming import _dedup_kernel
+
+    legacy = b"".join(
+        hashlib.md5(f"content {i}".encode()).digest() for i in (5, 1, 9, 3)
+    )  # arrival order, NOT sorted
+    out, blob = _dedup_kernel(
+        legacy, [_mk_dedup_chunk([(50, "content 1"), (51, "brand new")])]
+    )
+    assert list(out["doc_id"]) == ["51"]  # content 1 is a legacy duplicate
+    assert len(blob) == 5 * 16
