@@ -54,6 +54,7 @@ from gorilla_stream_spark.gorilla_wire import (
     encode_points,
     encode_timeseries_wire,
     read_gorilla_file,
+    read_timerange_wire,
     wire_info,
     write_gorilla_file,
 )
@@ -103,6 +104,7 @@ __all__ = [
     "wire_info",
     "encode_timeseries_wire",
     "decode_timeseries_wire",
+    "read_timerange_wire",
     "write_gorilla_file",
     "read_gorilla_file",
     "__version__",

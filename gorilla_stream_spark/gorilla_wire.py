@@ -55,6 +55,7 @@ __all__ = [
     "VERSION",
     "encode_points",
     "decode_points",
+    "read_timerange_wire",
     "wire_info",
     "etf_encode",
     "etf_decode",
@@ -989,6 +990,21 @@ def encode_timeseries_wire(
     return slim.mapInArrow(
         fn,
         "block_id long, n_points long, enc_bytes long, ts_min long, ts_max long, buffer binary",
+    )
+
+
+def read_timerange_wire(enc_df, ts_lo: int, ts_hi: int, *, strict: bool = True):
+    """Time-range read over wire blocks with manifest pruning.
+
+    Same (ts_min, ts_max) min/max-stats pattern as the native table's
+    ``engine.read_timerange`` — non-overlapping blocks are pruned before
+    any reference-format buffer is parsed.
+    """
+    from pyspark.sql import functions as F
+
+    pruned = enc_df.filter((F.col("ts_max") >= ts_lo) & (F.col("ts_min") <= ts_hi))
+    return decode_timeseries_wire(pruned, strict=strict).filter(
+        (F.col("ts") >= ts_lo) & (F.col("ts") <= ts_hi)
     )
 
 

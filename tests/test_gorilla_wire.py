@@ -508,3 +508,26 @@ def test_vm_rejects_non_finite():
     buf = gw.encode_points(ts, vals)
     _, v2, _ = gw.decode_points(buf)
     assert np.array_equal(vals.view(np.uint64), v2.view(np.uint64))
+
+
+def test_read_timerange_wire_prunes_blocks(spark):
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark.gorilla_wire import (
+        encode_timeseries_wire,
+        read_timerange_wire,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.lit(1000) + F.col("id") * 10).alias("ts"),
+        F.col("id").cast("double").alias("value"),
+    )
+    enc = encode_timeseries_wire(df, num_partitions=4, block_points=1000)
+    lo, hi = 1000 + 5_000 * 10, 1000 + 5_999 * 10
+    rows = read_timerange_wire(enc, lo, hi).collect()
+    assert len(rows) == 1000
+    assert min(r.ts for r in rows) == lo and max(r.ts for r in rows) == hi
+    # pruning reaches the block filter: only overlapping blocks decode
+    pruned = enc.filter((F.col("ts_max") >= lo) & (F.col("ts_min") <= hi))
+    assert pruned.count() < enc.count()
