@@ -517,7 +517,39 @@ def _scan_value_positions(
     batch = 1024  # adapts to ~2x the observed run length (floor 64):
     # long-run streams probe whole runs at once, short-run streams stay
     # O(runs * 64) instead of O(runs * o) (quadratic on alternating data)
+    iters = 0
     while found < o:
+        iters += 1
+        if iters >= 64 and found < 4 * iters:
+            # short-run regime (near-alternating '0'/'10'): per-run Python
+            # costs more than one fully-vectorized pointer-doubling pass
+            # over the remainder (J[p] = p + 1 + 65*bit covers both codes)
+            remaining = (count - 1) - (zeros + found)
+            # int32 jump table halves doubling-gather traffic (block bit
+            # lengths are far below 2^31; blocks are bounded by MAX_COUNT)
+            jdt = np.int32 if val_bit_len < (1 << 31) - 66 else np.int64
+            J = np.minimum(
+                np.arange(val_bit_len, dtype=jdt)
+                + jdt(1)
+                + jdt(65) * region.astype(jdt),
+                jdt(val_bit_len),
+            )
+            J = np.concatenate([J, np.array([val_bit_len], dtype=jdt)])
+            P = _chain_positions(J, q, remaining).astype(np.int64)
+            if P.size and P[-1] >= val_bit_len:
+                return None
+            m = region[P] == 1
+            tens = P[m]
+            if tens.size and (
+                int(tens[-1]) + 66 > val_bit_len or region[tens + 1].any()
+            ):
+                return None
+            chunks.append(tens)
+            found += int(tens.size)
+            zeros += int(remaining - tens.size)
+            if found != o:
+                return None
+            return np.concatenate(chunks) if chunks else np.empty(0, np.int64)
         i = int(np.searchsorted(ones, q))
         if i >= ones.size:
             return None
