@@ -361,14 +361,18 @@ def simhash_neardup_stream(
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from gorilla_stream_spark.textops import simhash_bands, simhash_hof
+    from gorilla_stream_spark.textops import simhash, simhash_bands
 
-    sig = simhash_hof(
+    # the fused Arrow kernel (mapInArrow is streaming-safe) — bit-identical
+    # to the SQL-HOF formulation (pinned by the batch parity test) and
+    # ~100x faster; it was the whole cost of the streaming query
+    sig = simhash(
         stream_df.select(
             F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
         ),
         text_col="text",
         id_col="doc_id",
+        impl="kernel",
     )
     bands = simhash_bands(sig, id_col="doc_id", n_bands=max_hamming + 1)
 
