@@ -531,3 +531,53 @@ def test_read_timerange_wire_prunes_blocks(spark):
     # pruning reaches the block filter: only overlapping blocks decode
     pruned = enc.filter((F.col("ts_max") >= lo) & (F.col("ts_min") <= hi))
     assert pruned.count() < enc.count()
+
+
+def spec_encode_vm(ts, vals, is_counter=False, creation_time=0) -> bytes:
+    """VM-mode spec transcription: counter delta + decimal scaling
+    (enhancements.ex:19-78), v2 84-byte header with flags + scale_decimals
+    (metadata.ex:96-125)."""
+    ts = [int(t) for t in ts]
+    vals = [float(v) for v in vals]
+    n = len(ts)
+    v = vals
+    if is_counter:
+        v = [v[0]] + [v[i] - v[i - 1] for i in range(1, n)]
+    # detect_scale: max decimals via 10-decimal string, trimmed, cap 6
+    def decs(x):
+        s = f"{x:.10f}".split(".")[1].rstrip("0")
+        return len(s)
+    k = min(max((decs(x) for x in v), default=0), 6)
+    scale = 10.0**k
+    import math
+    pre = [float(math.floor(x * scale + 0.5) if x >= 0 else math.ceil(x * scale - 0.5)) for x in v]
+    body = spec_encode(ts, pre, creation_time=creation_time)
+    # rewrite outer header: v2 (84B), flags, scale_decimals appended
+    (magic, ver, _hl, cnt, csz, osz, crc, fts, fd, fvb, tl, vl, tb, ratio, ct, _fl) = struct.unpack(
+        ">QHHIIIIQiQIIIdQI", body[:80]
+    )
+    flags = 0x1 | (0x2 if is_counter else 0)
+    outer = struct.pack(
+        ">QHHIIIIQiQIIIdQI", magic, ver, 84, cnt, csz, osz, crc, fts, fd, fvb,
+        tl, vl, tb, ratio, ct, flags,
+    ) + struct.pack(">I", k)
+    return outer + body[80:]
+
+
+def test_vm_mode_byte_for_byte():
+    ts = list(range(1_600_000_000, 1_600_000_000 + 120, 15))
+    vals = [round(20.0 + 0.25 * i, 2) for i in range(8)]
+    exp = spec_encode_vm(ts, vals, creation_time=55)
+    got = gw.encode_points(
+        np.array(ts, np.int64), np.array(vals, np.float64),
+        victoria_metrics=True, creation_time=55,
+    )
+    assert got == exp
+    # counter mode
+    cnt = [float(x) for x in np.cumsum([5, 3, 0, 7, 2, 9, 1, 4])]
+    exp = spec_encode_vm(ts, cnt, is_counter=True, creation_time=55)
+    got = gw.encode_points(
+        np.array(ts, np.int64), np.array(cnt, np.float64),
+        victoria_metrics=True, is_counter=True, creation_time=55,
+    )
+    assert got == exp
