@@ -49,6 +49,7 @@ class CheckpointedEncode:
     block_tokens: int = DEFAULT_BLOCK_TOKENS
     container: str = "none"
     container_level: int | None = None
+    container_dict: bytes | None = None
     # multi-column mode: encode these array<int> columns per block
     # (engine.encode_multi); None = the single `tokens` column path
     token_cols: list[str] | None = None
@@ -63,6 +64,12 @@ class CheckpointedEncode:
             fp = f"{fp}:{self.container}"
             if self.container_level is not None:
                 fp = f"{fp}@{self.container_level}"
+        if self.container_dict is not None:
+            # the dictionary is part of the wire format: resuming with a
+            # different dict would mix undecodable buffers in one table
+            import zlib as _zlib
+
+            fp = f"{fp}:dict={_zlib.crc32(self.container_dict) & 0xFFFFFFFF:08x}"
         return fp
 
     def committed_parts(self, spark: SparkSession) -> list[int]:
@@ -104,6 +111,8 @@ class CheckpointedEncode:
                 codec=self.codec,
             )
         else:
+            if self.container == "zlib-dict" and self.container_dict is None:
+                raise ValueError("container='zlib-dict' requires container_dict bytes")
             enc = encode(
                 salted,
                 codec=self.codec,
@@ -111,6 +120,7 @@ class CheckpointedEncode:
                 repartition=False,  # already salted here
                 container=self.container,
                 container_level=self.container_level,
+                container_dict=self.container_dict,
             )
         # re-derive the lineage partition id from doc content, not from the
         # task's physical partition id (which shifts once rows are pruned)
@@ -202,6 +212,7 @@ def encode_with_checkpoint(
     codec: str = "auto",
     container: str = "none",
     container_level: int | None = None,
+    container_dict: bytes | None = None,
     token_cols: list[str] | None = None,
 ) -> dict:
     """One-call checkpointed encode; returns summary metrics dict."""
@@ -214,6 +225,7 @@ def encode_with_checkpoint(
         codec=codec,
         container=container,
         container_level=container_level,
+        container_dict=container_dict,
         token_cols=token_cols,
     )
     job.run(spark, df)

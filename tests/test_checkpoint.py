@@ -161,3 +161,43 @@ def test_multi_column_checkpoint_resume(spark, toks, paths):
     # fingerprint isolation: single-column job on the same paths is separate
     m = job.metrics(spark)
     assert m["parts_committed"] == 4 and m["ratio"] < 1
+
+
+def test_checkpoint_dict_container_roundtrip_and_fingerprint(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark import decode
+    from gorilla_stream_spark.checkpoint import CheckpointedEncode, encode_with_checkpoint
+    from gorilla_stream_spark.codecs import train_container_dict
+    from gorilla_stream_spark.engine import encode as plain_encode
+
+    docs = spark.range(120).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.expr("transform(sequence(1, 40), i -> cast((id * 3 + i) % 128 as int))").alias(
+            "tokens"
+        ),
+        F.lit("s").alias("source"),
+    )
+    sample = [
+        bytes(r["buffer"])
+        for r in plain_encode(docs.limit(10), num_partitions=1).select("buffer").collect()
+    ]
+    d = train_container_dict(sample)
+    out, ck = str(tmp_path / "dc_out"), str(tmp_path / "dc_ck")
+    m = encode_with_checkpoint(
+        spark, docs, output_path=out, checkpoint_path=ck,
+        num_partitions=2, container="zlib-dict", container_dict=d,
+    )
+    assert m["docs"] == 120
+    dec = decode(spark.read.parquet(out), container_dict=d)
+    assert dec.count() == 120
+    # a different dict must produce a DIFFERENT config fingerprint: a resume
+    # can never mix buffers encoded against different dictionaries
+    job_a = CheckpointedEncode(out, ck, "run1", 2, container="zlib-dict", container_dict=d)
+    job_b = CheckpointedEncode(out, ck, "run1", 2, container="zlib-dict", container_dict=d + b"x")
+    assert job_a._config_fingerprint() != job_b._config_fingerprint()
+    # zlib-dict without a dict fails at plan build
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="container_dict"):
+        CheckpointedEncode(out, ck, "run2", 2, container="zlib-dict").run(spark, docs)
