@@ -115,6 +115,34 @@ def _flatten_arrow(tok_arr, dtype=np.int64) -> tuple[np.ndarray, np.ndarray]:
     return flat, lens
 
 
+_MAX_SEQ = 1 << 24  # block_id = (pid << 24) | seq — seq must stay below
+
+
+def _check_seq(seq: int) -> int:
+    if seq >= _MAX_SEQ:
+        raise ValueError(
+            "partition emitted >= 2^24 blocks — block_id would collide with"
+            " the next partition; raise block_tokens or num_partitions"
+        )
+    return seq
+
+
+def _check_int32_tokens(flat: np.ndarray, tok_arr) -> None:
+    """Fail loud when a wider-typed tokens column holds values outside
+    int32: the raw-bytes lineage (crc32_raw) and decode output are int32,
+    so a silent wrap would round-trip corrupted data with green CRCs."""
+    import pyarrow as pa
+
+    vt = tok_arr.type.value_type if hasattr(tok_arr.type, "value_type") else None
+    if vt is not None and pa.types.is_int32(vt):
+        return  # schema already guarantees the range
+    if flat.size and (int(flat.min()) < -(1 << 31) or int(flat.max()) >= (1 << 31)):
+        raise ValueError(
+            "token values outside int32 range — the engine's token contract"
+            " is array<int32> (cast or re-tokenize upstream)"
+        )
+
+
 def _block_bounds(lens: np.ndarray, block_tokens: int) -> list[tuple[int, int]]:
     """Split rows into contiguous blocks of <= block_tokens tokens (>=1 row).
 
@@ -190,6 +218,7 @@ def _encode_fn(
             ids_arr = rb.column(rb.schema.get_field_index(id_col))
             src_arr = rb.column(rb.schema.get_field_index(source_col)) if source_col else None
             flat_all, lens = _flatten_arrow(tok_arr)
+            _check_int32_tokens(flat_all, tok_arr)
             offs = np.concatenate(([0], np.cumsum(lens)))
             cols: dict[str, list] = {name: [] for name in out_schema.names}
             for lo, hi in _block_bounds(lens, block_tokens):
@@ -203,7 +232,7 @@ def _encode_fn(
                     )
                 enc_us = int((_time.perf_counter() - t0) * 1e6)
                 raw = flat.astype("<i4").tobytes()
-                cols["block_id"].append((pid << 24) | seq)
+                cols["block_id"].append((pid << 24) | _check_seq(seq))
                 cols["part_id"].append(pid)
                 cols["seq_in_part"].append(seq)
                 cols["n_docs"].append(hi - lo)
@@ -561,7 +590,7 @@ def encode_timeseries(
             vbuf = encode_array(vals, codec=val_codec)
             out = pa.RecordBatch.from_pydict(
                 {
-                    "block_id": pa.array([(pid << 24) | seq], pa.int64()),
+                    "block_id": pa.array([(pid << 24) | _check_seq(seq)], pa.int64()),
                     "n_points": pa.array([int(ts.size)], pa.int64()),
                     "ts_codec": pa.array([codec_of(tbuf)], pa.string()),
                     "val_codec": pa.array([codec_of(vbuf)], pa.string()),
@@ -687,6 +716,7 @@ def encode_multi(
             flats, lens_by_col = [], []
             for ci in range(len(token_cols)):
                 fl, ln = _flatten_arrow(rb.column(1 + ci))
+                _check_int32_tokens(fl, rb.column(1 + ci))
                 flats.append(fl)
                 lens_by_col.append(ln)
             offs = [np.concatenate(([0], np.cumsum(ln))) for ln in lens_by_col]
@@ -700,7 +730,7 @@ def encode_multi(
                     codecs_.append(codec_of(buf))
                     col_lens.append(lens_by_col[ci][lo:hi].astype(np.int32))
                     raw += 4 * int(flat.size)
-                cols["block_id"].append((pid << 24) | seq)
+                cols["block_id"].append((pid << 24) | _check_seq(seq))
                 cols["part_id"].append(pid)
                 cols["n_docs"].append(hi - lo)
                 cols["doc_ids"].append(ids_arr.slice(lo, hi - lo).to_pylist())

@@ -955,6 +955,8 @@ def encode_timeseries_wire(
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
+    from gorilla_stream_spark.engine import _check_seq
+
     slim = df.select(
         F.col(ts_col).cast("long").alias("__ts"),
         F.col(val_col).cast("double").alias("__val"),
@@ -981,7 +983,7 @@ def encode_timeseries_wire(
             )
             out = pa.RecordBatch.from_pydict(
                 {
-                    "block_id": pa.array([(pid << 24) | seq], pa.int64()),
+                    "block_id": pa.array([(pid << 24) | _check_seq(seq)], pa.int64()),
                     "n_points": pa.array([int(ts.size)], pa.int64()),
                     "enc_bytes": pa.array([len(buf)], pa.int64()),
                     "ts_min": pa.array([int(ts.min())], pa.int64()),

@@ -25,6 +25,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "cap_hot_buckets",
     "sample_corpus",
     "dedup_exact",
     "text_stats",
@@ -600,6 +601,25 @@ def minhash_signature(shingled: DataFrame, num_hashes: int = 128) -> DataFrame:
     return hashed.mapInArrow(fn, "doc_id long, sig array<long>")
 
 
+def cap_hot_buckets(df: DataFrame, key_cols: list[str], max_bucket: int | None) -> DataFrame:
+    """Drop rows of (key_cols) groups larger than ``max_bucket``.
+
+    The shared LSH hot-bucket gate: a degenerate band bucket of E members
+    self-joins into E^2/2 rows, so over-cap buckets are excluded from
+    candidate generation (see callers for the recall notes).  The count
+    window shuffles on the same key as the subsequent self-join, so the
+    gate adds no extra exchange shape.  ``None`` disables.
+    """
+    if not max_bucket:
+        return df
+    w = Window.partitionBy(*key_cols)
+    return (
+        df.withColumn("__bc", F.count("*").over(w))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     rows_per_band: int = 2,
@@ -633,16 +653,7 @@ def lsh_candidate_pairs(
     # expressions read the materialized sig array instead of inlining (and
     # recomputing) the full signature subtree per band
     exploded = sig_df.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
-    if max_bucket:
-        # the window shuffles on the SAME key as the self-join below, so
-        # the count costs no extra exchange shape — and over-cap buckets
-        # never reach the join
-        w = Window.partitionBy("band_idx", "band_hash")
-        exploded = (
-            exploded.withColumn("__bc", F.count("*").over(w))
-            .filter(F.col("__bc") <= max_bucket)
-            .drop("__bc")
-        )
+    exploded = cap_hot_buckets(exploded, ["band_idx", "band_hash"], max_bucket)
     a, e2 = exploded.alias("a"), exploded.alias("b")
     return (
         a.join(
@@ -781,9 +792,15 @@ def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return out.select(
         "n_docs",
         "n_distinct",
-        F.expr("((n_docs - n_distinct) * 100) div n_docs").cast("long").alias("dup_pct"),
-        "total_chars",
-        F.expr("qsum div qn").cast("long").alias("mean_quality"),
+        # guard the empty corpus: Spark 4 ANSI throws DIVIDE_BY_ZERO
+        F.expr(
+            "CASE WHEN n_docs = 0 THEN 0L"
+            " ELSE ((n_docs - n_distinct) * 100) div n_docs END"
+        ).cast("long").alias("dup_pct"),
+        F.coalesce(F.col("total_chars"), F.lit(0)).cast("long").alias("total_chars"),
+        F.expr("CASE WHEN qn = 0 THEN 0L ELSE qsum div qn END")
+        .cast("long")
+        .alias("mean_quality"),
         F.coalesce(F.col("en"), F.lit(0)).cast("long").alias("n_en"),
         F.coalesce(F.col("es"), F.lit(0)).cast("long").alias("n_es"),
         F.coalesce(F.col("de"), F.lit(0)).cast("long").alias("n_de"),

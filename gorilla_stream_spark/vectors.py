@@ -31,7 +31,7 @@ from gorilla_stream_spark.codecs import (
     decode_array,
     floatcodecs,
 )
-from gorilla_stream_spark.engine import _block_bounds, _flatten_arrow
+from gorilla_stream_spark.engine import _block_bounds, _check_seq, _flatten_arrow
 
 __all__ = [
     "encode_vectors",
@@ -181,7 +181,11 @@ def encode_vectors(
     if quantize not in (None, "int8", "fp16"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
     slim = df.select(
-        F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col).alias("vec")
+        F.col(id_col).cast("long").alias("vec_id"),
+        # cast once at the plan (no-op for array<float> inputs): the lsh
+        # layout passes this column through an Arrow batch declared
+        # array<float>, which would reject an array<double> source
+        F.col(vec_col).cast("array<float>").alias("vec"),
     )
     P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     if layout == "lsh":
@@ -255,7 +259,7 @@ def encode_vectors(
                     if quantize is None
                     else zlib.crc32(decode_array(buf).astype(np.float32).tobytes())
                 )
-                out["block_id"].append((pid << 24) | seq)
+                out["block_id"].append((pid << 24) | _check_seq(seq))
                 out["part_id"].append(pid)
                 out["seq_in_part"].append(seq)
                 out["n_vecs"].append(hi - lo)
@@ -581,24 +585,17 @@ def cosine_neardup_pairs(
     if exact:
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        from pyspark.sql.window import Window
+        from gorilla_stream_spark.textops import cap_hot_buckets
 
         bands = hyperplane_bands(
             quant.select("vec_id", "qv"), n_bands=n_bands, rows_per_band=rows_per_band
         )
-        if max_bucket:
-            # hot-bucket cap: a degenerate band key (near-constant
-            # embeddings) would otherwise self-join quadratically; over-cap
-            # buckets are dropped from candidate generation.  Recall note: a
-            # pair is missed only if EVERY band it shares is over-cap —
-            # exact-duplicate embedding groups, which belong in dedup, not
-            # near-dup.  None disables.
-            w = Window.partitionBy("band_idx", "band_key")
-            bands = (
-                bands.withColumn("__bc", F.count("*").over(w))
-                .filter(F.col("__bc") <= max_bucket)
-                .drop("__bc")
-            )
+        # hot-bucket cap (shared gate): a degenerate band key (near-constant
+        # embeddings) would otherwise self-join quadratically.  Recall note:
+        # a pair is missed only if EVERY band it shares is over-cap —
+        # exact-duplicate embedding groups, which belong in dedup, not
+        # near-dup.  None disables.
+        bands = cap_hot_buckets(bands, ["band_idx", "band_key"], max_bucket)
         x, y = bands.alias("x"), bands.alias("y")
         pairs = (
             x.join(
@@ -666,16 +663,31 @@ def ann_search(
     """
     if not queries:
         raise ValueError("ann_search requires at least one query vector")
+    if "lsh_keys" not in enc_df.columns or not enc_df.filter(
+        F.col("lsh_keys").isNotNull()
+    ).limit(1).count():
+        raise ValueError(
+            "ann_search requires an lsh-layout table (encode_vectors(layout='lsh'))"
+            " — this table has no lsh_keys manifest"
+        )
     dim = len(queries[0][1])
     planes = _index_planes(dim)
     Q = np.array([v for _, v in queries], dtype=np.float64)
     keys = _bucket_keys(Q, planes)
+    from itertools import combinations
+
+    n_bits = planes.shape[0]
     probes: set[int] = set()
     for key in keys.tolist():
         probes.add(key)
-        if probe_flips >= 1:
-            for i in range(planes.shape[0]):
-                probes.add(key ^ (1 << i))
+        # every key within `probe_flips` bit flips (sum of C(n_bits, f) —
+        # bounded by the small index width, never by the corpus)
+        for f in range(1, max(0, int(probe_flips)) + 1):
+            for bits in combinations(range(n_bits), f):
+                flip = 0
+                for i in bits:
+                    flip |= 1 << i
+                probes.add(key ^ flip)
     wanted = F.array(*[F.lit(int(p)).cast("long") for p in sorted(probes)])
     overlap = F.arrays_overlap(F.col("lsh_keys"), wanted)
     if "bucket_pfx" in enc_df.columns:
@@ -727,6 +739,10 @@ def train_pq(
     executors; codebooks (m * k * dsub * 4 B, ~64 KB at the defaults
     for dim 64) ride task closures afterwards.
     """
+    if not 1 <= nbits <= 8:
+        # codes are stored one byte per subspace; a 9-bit codebook would
+        # silently truncate indices (uint8 wrap -> wrong centroids)
+        raise ValueError(f"train_pq: nbits must be in [1, 8], got {nbits}")
     k = 1 << nbits
     rows = (
         df.select(
@@ -785,6 +801,8 @@ def pq_encode(
     import pyarrow as pa
 
     m, k, dsub = codebooks.shape
+    if k > 256:
+        raise ValueError(f"pq_encode: codebook k={k} exceeds the 1-byte code range")
     books = codebooks.astype(np.float32)
 
     def fn(batches: Iterator) -> Iterator:
@@ -804,11 +822,12 @@ def pq_encode(
                 C = books[j]
                 d2p = (C * C).sum(1)[None, :] - np.float32(2.0) * (S @ C.T)
                 codes[:, j] = d2p.argmin(1).astype(np.uint8)
+            n_rows = len(ids)
+            codes_arr = pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(m), n_rows, [None, pa.py_buffer(codes.tobytes())]
+            ).cast(pa.binary())
             yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids, pa.int64()),
-                    pa.array(list(codes.tobytes()[i * m : (i + 1) * m] for i in range(len(ids))), pa.binary()),
-                ],
+                [pa.array(ids, pa.int64()), codes_arr],
                 names=["vec_id", "codes"],
             )
 
@@ -854,9 +873,18 @@ def pq_topk(
             if rb.num_rows == 0:
                 continue
             ids = rb.column(0).to_numpy(zero_copy_only=False)
-            codes = np.frombuffer(
-                b"".join(rb.column(1)[i].as_py() for i in range(rb.num_rows)), dtype=np.uint8
-            ).reshape(len(ids), m)
+            col = rb.column(1)
+            offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + len(col) + 1
+            ]
+            widths = np.diff(offs)
+            if (widths != m).any():
+                raise ValueError(
+                    f"pq_topk: codes width {set(widths.tolist())} != m={m}"
+                    " (codes table from a different codebook?)"
+                )
+            vals = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            codes = vals[offs[0] : offs[-1]].reshape(len(ids), m)
             take = min(k, len(ids))
             out_q, out_v, out_s = [], [], []
             for qi, qid in enumerate(qids):

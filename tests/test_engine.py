@@ -412,3 +412,30 @@ def test_decode_docs_multi_point_lookup(spark):
     assert got == want and len(got) == 3
     # empty lookup is a clean empty frame
     assert decode_docs_multi(enc, ["tokens", "mask"], []).count() == 0
+
+
+def test_encode_rejects_out_of_int32_tokens(spark):
+    # a bigint tokens column holding 2^31 must fail loud: the raw-bytes
+    # lineage and decode output are int32, so a silent wrap would
+    # round-trip corrupted data with green CRCs
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark import encode
+
+    df = spark.range(3).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(F.lit(2**31).cast("long"), F.lit(5).cast("long")).alias("tokens"),
+        F.lit("s").alias("source"),
+    )
+    with pytest.raises(Exception, match="int32"):
+        encode(df, num_partitions=1).collect()
+    # in-range bigint tokens encode fine (type widened, values preserved)
+    ok = spark.range(3).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.array(F.lit(7).cast("long"), F.lit(9).cast("long")).alias("tokens"),
+        F.lit("s").alias("source"),
+    )
+    from gorilla_stream_spark import decode
+
+    rows = decode(encode(ok, num_partitions=1)).collect()
+    assert all(list(r.tokens) == [7, 9] for r in rows)

@@ -294,3 +294,13 @@ def test_sample_corpus_is_scan_predicate(spark, tmp_path):
     ).write.parquet(path)
     plan = sample_corpus(spark.read.parquet(path), 0.5)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_corpus_report_empty_corpus(spark):
+    from gorilla_stream_spark.textops import corpus_report
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    row = corpus_report(empty).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_docs == 0 and r.dup_pct == 0 and r.mean_quality == 0

@@ -438,3 +438,41 @@ def test_pq_sample_unbiased_under_source_order(spark):
     bf = {r.vec_id for r in V.topk_dot(df, queries, k=10).collect()}
     recall = len(got & bf) / 10
     assert recall >= 0.8, f"family-B candidate recall@50 {recall} (biased sample?)"
+
+
+def test_train_pq_rejects_wide_nbits(spark, clustered):
+    df, _ = clustered
+    with pytest.raises(ValueError, match="nbits"):
+        V.train_pq(df, m=4, nbits=9, sample=100, iters=1)
+
+
+def test_ann_search_rejects_hash_layout(spark, emb):
+    enc = V.encode_vectors(emb, num_partitions=1)  # layout="hash"
+    q = [(0, [0.1] * 8)]
+    with pytest.raises(ValueError, match="lsh"):
+        V.ann_search(enc, [(0, [0.1] * len(emb.first().embedding))], k=3)
+
+
+def test_encode_vectors_lsh_accepts_double_arrays(spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), i -> cast(id * 0.5 + i as double))").alias(
+            "embedding"
+        ),
+    )
+    enc = V.encode_vectors(df, num_partitions=1, layout="lsh")
+    assert enc.count() > 0
+    dec = V.decode_vectors(enc)
+    assert dec.count() == 50
+
+
+def test_ann_search_probe_flips_2_expands_probe_set(spark, clustered):
+    df, rows = clustered
+    enc = V.encode_vectors(df, num_partitions=2, layout="lsh")
+    q = [(rows[5][0], rows[5][1])]
+    r1 = {x.vec_id for x in V.ann_search(enc, q, k=20, probe_flips=1).collect()}
+    r2 = {x.vec_id for x in V.ann_search(enc, q, k=20, probe_flips=2).collect()}
+    # hamming-2 probing can only widen the candidate pool (recall >=)
+    assert len(r2) >= len(r1)
