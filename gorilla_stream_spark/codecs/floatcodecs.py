@@ -349,15 +349,20 @@ def scaledf_decode(buf: bytes | memoryview) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# float32 vector codec (embedding columns).  Two modes behind one frame:
+# float32 vector codec (embedding columns).  Three modes behind one frame:
 #   mode 1 — float32 decimal scaling (the scaledf/VictoriaMetrics idea,
 #            /root/reference/lib/gorilla_stream/compression/enhancements.ex:
 #            19-50, gated by EXACT float32 bit reconstruction): quantized /
 #            rounded embeddings collapse to small ints and ride the whole
 #            int codec family.
-#   mode 0 — raw float32 bit patterns as int32 through the int auto-selector
-#            (full-precision embeddings are entropy-dense; the selector's
-#            raw floor guarantees ~4 B/value worst case).
+#   mode 0 — float32 bit patterns as int32 through the int auto-selector
+#            (structured-but-not-decimal data: shared exponents, sparse
+#            mantissas).
+#   mode 2 — raw little-endian float32 bytes.  Full-precision embeddings are
+#            entropy-dense; a sampled mode-0 trial decides whether the
+#            selector can beat raw, and when it can't (the common case for
+#            trained-model embeddings) encode is a memcpy — ~50x faster
+#            than running the selector over incompressible bits.
 # ---------------------------------------------------------------------------
 
 
@@ -377,20 +382,53 @@ def f32scaled_try_encode(vals32: np.ndarray, codec: str = "auto") -> bytes | Non
         return struct.pack("<IBI", 0, 0, 0)
     if not np.isfinite(vals32).all():
         return None
-    bits = vals32.view(np.uint32)
-    negzero = bits == 0x80000000
-    zidx = np.flatnonzero(negzero).astype(np.int64)
-    if zidx.size > n // 8:  # too many exceptions to be worth it
-        return None
-    target = np.where(negzero, np.uint32(0), bits)
-    v64 = vals32.astype(np.float64)  # exact widening
+    # sample-first scale gate (same protocol as scaledf above): tolerance is
+    # derived from the FULL array's max, so a k the full pass would accept is
+    # never rejected on the sample — failing ks (the common case for
+    # full-precision embeddings) die on ~8K elements instead of the block.
+    # The full-array widening / neg-zero scan is deferred until a k survives
+    # the sample, so the all-ks-fail path touches the block only twice
+    # (isfinite + absmax).
+    absmax = float(np.abs(vals32).max())
+    if n > 8192:
+        mid = n // 2
+        s32 = np.concatenate((vals32[:4096], vals32[mid : mid + 2048], vals32[-2048:]))
+        samp = s32.astype(np.float64)
+        sbits = s32.view(np.uint32)
+        stgt = np.where(sbits == 0x80000000, np.uint32(0), sbits)
+    else:
+        samp, stgt = None, None
+    full: tuple | None = None
     for k in range(_SCALE_MAX + 1):
         scale = 10.0**k
-        scaled = v64 * scale
-        if np.abs(scaled).max() >= 2**53:
+        if absmax * scale >= 2**53:
             return None
+        tol = 1e-6 * max(1.0, absmax * scale)
+        if samp is not None:
+            ss = samp * scale
+            si = np.rint(ss)
+            if np.abs(ss - si).max() > tol:
+                continue
+            srecon = (
+                (si.astype(np.int64).astype(np.float64) / scale)
+                .astype(np.float32)
+                .view(np.uint32)
+            )
+            if (srecon != stgt).any():
+                continue
+        if full is None:
+            bits = vals32.view(np.uint32)
+            negzero = bits == 0x80000000
+            zidx = np.flatnonzero(negzero).astype(np.int64)
+            if zidx.size > n // 8:  # too many exceptions to be worth it
+                return None
+            target = np.where(negzero, np.uint32(0), bits)
+            v64 = vals32.astype(np.float64)  # exact widening
+            full = (v64, target, zidx)
+        v64, target, zidx = full
+        scaled = v64 * scale
         ints = np.rint(scaled)
-        if np.abs(scaled - ints).max() > 1e-6 * max(1.0, np.abs(scaled).max()):
+        if np.abs(scaled - ints).max() > tol:
             continue
         # gate on the EXACT decode pipeline (through int64; -0.0 handled by
         # the exception list, all other values must reconstruct bit-for-bit)
@@ -412,10 +450,24 @@ def f32_encode(a: np.ndarray, codec: str = "auto") -> bytes:
 
     a = np.ascontiguousarray(a, dtype=np.float32)
     scaled = f32scaled_try_encode(a, codec=codec)
+    raw_buf = b"\x02" + a.tobytes()
+    # sampled compressibility probe: run the int auto-selector on ~8K bit
+    # patterns first; only pay the full-block selector when the sample beats
+    # raw fp32 by >2%.  Entropy-dense embeddings (the common case) take the
+    # memcpy path; the probe can at worst forgo a <2%-of-sample size win,
+    # never correctness.
+    n = a.size
+    if codec == "auto" and n > 8192:
+        mid = n // 2
+        samp = np.concatenate((a[:4096], a[mid : mid + 2048], a[-2048:]))
+        senc = encode_array(samp.view(np.int32).astype(np.int64), codec="auto")
+        if len(senc) >= 0.98 * 4 * samp.size:
+            return raw_buf if scaled is None or len(scaled) >= len(raw_buf) else b"\x01" + scaled
     bits_buf = b"\x00" + encode_array(a.view(np.int32).astype(np.int64), codec=codec)
-    if scaled is not None and 1 + len(scaled) < len(bits_buf):
+    best = min(bits_buf, raw_buf, key=len)
+    if scaled is not None and 1 + len(scaled) < len(best):
         return b"\x01" + scaled
-    return bits_buf
+    return best
 
 
 def f32_decode(buf: bytes | memoryview) -> np.ndarray:
@@ -426,6 +478,13 @@ def f32_decode(buf: bytes | memoryview) -> np.ndarray:
     if mode == 0:
         ints = decode_array(mv[1:])
         return ints.astype(np.int32).view(np.float32)
+    if mode == 2:
+        body = mv[1:]
+        if len(body) % 4:
+            raise ValueError(f"f32 raw body length {len(body)} not a multiple of 4")
+        out = np.frombuffer(body, dtype="<f4")
+        bitio.check_count(out.size)
+        return out
     if mode != 1:
         raise ValueError(f"unknown f32 mode {mode}")
     n, k, zlen = struct.unpack_from("<IBI", mv, 1)

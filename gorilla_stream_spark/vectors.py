@@ -251,7 +251,7 @@ def encode_vectors(
                 else:
                     body = floatcodecs.f32_encode(flat)
                     buf = bytes([VECF32]) + body
-                    codec_name = "f32scaled" if body[0] == 1 else "f32bits"
+                    codec_name = {1: "f32scaled", 2: "f32raw"}.get(body[0], "f32bits")
                 # lossy codecs crc the DEQUANTIZED stream (what decode
                 # returns) so the strict integrity gate stays meaningful
                 crc_raw = (

@@ -67,6 +67,38 @@ def test_f32_codec_hypothesis_edges():
         np.testing.assert_array_equal(out.view(np.uint32), a.view(np.uint32))
 
 
+def test_f32_raw_mode_for_entropy_dense_blocks():
+    # full-precision random floats must take the mode-2 memcpy path (the
+    # sampled probe shows the selector can't beat raw) and round-trip
+    # bit-for-bit; block sizes straddle the 8192 sample threshold
+    rng = np.random.default_rng(7)
+    for n in (8192, 8193, 100_000):
+        a = rng.standard_normal(n).astype(np.float32)
+        buf = fc.f32_encode(a)
+        out = fc.f32_decode(buf)
+        np.testing.assert_array_equal(out.view(np.uint32), a.view(np.uint32))
+        if n > 8192:
+            assert buf[0] == 2, f"n={n} picked mode {buf[0]}"
+            assert len(buf) == 1 + 4 * n
+    # truncated raw body must raise, not silently drop values
+    big = fc.f32_encode(rng.standard_normal(9000).astype(np.float32))
+    with pytest.raises(ValueError, match="multiple of 4"):
+        fc.f32_decode(big[:-2])
+
+
+def test_f32scaled_sample_gate_matches_full_decision():
+    # the sample-first gate must never reject a k the full pass accepts:
+    # rounded decimals (with neg-zeros) above the sample threshold still
+    # reconstruct exactly
+    rng = np.random.default_rng(11)
+    a = np.round(rng.normal(0, 5, 20_000), 2).astype(np.float32)
+    a[::97] = np.float32(-0.0)
+    body = fc.f32scaled_try_encode(a)
+    assert body is not None
+    out = fc.f32_decode(b"\x01" + body)
+    np.testing.assert_array_equal(out.view(np.uint32), a.view(np.uint32))
+
+
 def test_topk_matches_numpy_bruteforce(spark, emb):
     rows = emb.orderBy("vec_id").collect()
     ids = np.array([r.vec_id for r in rows])
