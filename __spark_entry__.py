@@ -639,6 +639,22 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fragment the table with tiny blocks (streaming-ingest shape), compact
+    # into full blocks, and prove decoded content is bit-identical per doc
+    from gorilla_stream_spark import compact_blocks, decode, encode
+
+    src = _tokens_from_documents(spark, sf_dir)
+    enc = encode(src, num_partitions=4, block_tokens=2000)
+    comp = compact_blocks(enc, block_tokens=64000, num_partitions=4)
+    dec = decode(comp)
+    return (
+        src.alias("s")
+        .join(dec.alias("d"), "doc_id", "inner")
+        .select("doc_id", (F.col("s.tokens") == F.col("d.tokens")).alias("ok"))
+    )
+
+
 def q_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stratified deterministic sampling (O61), md5 mode — the subset is a
     # pure function of (doc_id, seed) reproducible in ANY engine, which is
@@ -743,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q51_dict_container_roundtrip": q_dict_container_roundtrip,
         "q52_pack_sequences": q_pack_sequences,
         "q53_sample_corpus": q_sample_corpus,
+        "q54_compact_roundtrip": q_compact_roundtrip,
     }
 
 
@@ -1123,6 +1140,7 @@ WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
             " FROM s GROUP BY 1"
         ),
         "q51_dict_container_roundtrip": _ROUNDTRIP_ORACLE,
+        "q54_compact_roundtrip": _ROUNDTRIP_ORACLE,
         "q53_sample_corpus": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
             " CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents"

@@ -26,6 +26,7 @@ LLM training-data operators (round 2):
 
 from gorilla_stream_spark.analyze import analyze_and_recommend
 from gorilla_stream_spark.engine import (
+    compact_blocks,
     decode,
     decode_docs,
     decode_timeseries,
@@ -71,6 +72,7 @@ __version__ = "0.2.0"
 
 __all__ = [
     "encode",
+    "compact_blocks",
     "decode",
     "encode_timeseries",
     "decode_timeseries",

@@ -47,6 +47,7 @@ from gorilla_stream_spark.skew import salted_repartition
 __all__ = [
     "ENCODED_SCHEMA",
     "encode",
+    "compact_blocks",
     "decode",
     "estimate",
     "encode_timeseries",
@@ -399,6 +400,216 @@ def manifest(enc_df: DataFrame) -> DataFrame:
     reads, analog of ``GorillaStream.File.get_file_info/1``,
     ``/root/reference/lib/gorilla_stream/file.ex:121-148``)."""
     return enc_df.drop("buffer", "doc_ids", "doc_lens", "sources")
+
+
+_COMPACT_PART_BASE = 1 << 20
+"""Reserved ``part_id`` namespace for compacted blocks.
+
+``compact_blocks`` re-stamps merged blocks as ``part_id = base + pid`` so
+their ``block_id``s cannot collide with passthrough blocks (which keep
+their original ids).  Holds as long as ingest partition counts stay below
+2^20 — ingest ``part_id`` comes from ``num_partitions``, and a 1M-partition
+encode job is far past the point where block sizing should change instead.
+"""
+
+
+def _compact_fn(
+    codec: str,
+    block_tokens: int,
+    page_tokens: int,
+    strict: bool,
+    container: str,
+    container_level: int | None,
+    container_dict: bytes | None,
+):
+    """Arrow kernel: decode under-filled blocks, re-chunk to ``block_tokens``,
+    re-encode.  Memory is bounded: pending docs are flushed as soon as they
+    fill a block, so at most ~(arrow batch + block_tokens) tokens are held."""
+    import pyarrow as pa
+
+    from gorilla_stream_spark.codecs import wrap_container
+
+    out_schema = pa.schema(
+        [
+            ("block_id", pa.int64()),
+            ("part_id", pa.int32()),
+            ("seq_in_part", pa.int32()),
+            ("n_docs", pa.int32()),
+            ("n_tokens", pa.int64()),
+            ("doc_ids", pa.list_(pa.string())),
+            ("doc_lens", pa.list_(pa.int32())),
+            ("sources", pa.list_(pa.string())),
+            ("codec", pa.string()),
+            ("raw_bytes", pa.int64()),
+            ("enc_bytes", pa.int64()),
+            ("crc32_raw", pa.int64()),
+            ("crc32_buf", pa.int64()),
+            ("enc_us", pa.int64()),
+            ("buffer", pa.binary()),
+        ]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        if container_dict is not None:
+            from gorilla_stream_spark.codecs import register_container_dict
+
+            register_container_dict(container_dict)
+        ctx = TaskContext.get()
+        pid = (ctx.partitionId() if ctx is not None else 0) + _COMPACT_PART_BASE
+        seq = 0
+        # pending docs not yet filling a block: parallel per-doc arrays
+        p_flat: list[np.ndarray] = []
+        p_lens: list[np.ndarray] = []
+        p_ids: list[list] = []
+        p_srcs: list[list] = []
+        p_tokens = 0
+
+        def flush(final: bool):
+            nonlocal seq, p_flat, p_lens, p_ids, p_srcs, p_tokens
+            if not p_lens:
+                return None
+            flat_all = p_flat[0] if len(p_flat) == 1 else np.concatenate(p_flat)
+            lens = p_lens[0] if len(p_lens) == 1 else np.concatenate(p_lens)
+            ids = [i for chunk in p_ids for i in chunk]
+            srcs = [s for chunk in p_srcs for s in chunk]
+            offs = np.concatenate(([0], np.cumsum(lens)))
+            bounds = _block_bounds(lens, block_tokens)
+            if not final and bounds:
+                lo, hi = bounds[-1]
+                if offs[hi] - offs[lo] < block_tokens:
+                    bounds.pop()  # tail stays pending until it fills
+            if not bounds:
+                return None
+            cols: dict[str, list] = {n: [] for n in out_schema.names}
+            for lo, hi in bounds:
+                t0 = _time.perf_counter()
+                flat = flat_all[offs[lo] : offs[hi]]
+                buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
+                if container != "none":
+                    buf = wrap_container(
+                        buf, method=container, level=container_level,
+                        zdict=container_dict,
+                    )
+                enc_us = int((_time.perf_counter() - t0) * 1e6)
+                raw = flat.astype("<i4").tobytes()
+                cols["block_id"].append((pid << 24) | _check_seq(seq))
+                cols["part_id"].append(pid)
+                cols["seq_in_part"].append(seq)
+                cols["n_docs"].append(hi - lo)
+                cols["n_tokens"].append(int(flat.size))
+                cols["doc_ids"].append(ids[lo:hi])
+                cols["doc_lens"].append(lens[lo:hi].astype(np.int32))
+                cols["sources"].append(srcs[lo:hi])
+                cols["codec"].append(codec_name)
+                cols["raw_bytes"].append(len(raw))
+                cols["enc_bytes"].append(len(buf))
+                cols["crc32_raw"].append(zlib.crc32(raw))
+                cols["crc32_buf"].append(zlib.crc32(buf))
+                cols["enc_us"].append(enc_us)
+                cols["buffer"].append(buf)
+                seq += 1
+            cut = bounds[-1][1]
+            rest_flat = flat_all[offs[cut] :]
+            rest_lens = lens[cut:]
+            p_flat = [rest_flat] if rest_flat.size else []
+            p_lens = [rest_lens] if rest_lens.size else []
+            p_ids = [ids[cut:]] if cut < len(ids) else []
+            p_srcs = [srcs[cut:]] if cut < len(srcs) else []
+            p_tokens = int(rest_flat.size)
+            return pa.RecordBatch.from_arrays(
+                [pa.array(cols[n], type=out_schema.field(n).type) for n in out_schema.names],
+                schema=out_schema,
+            )
+
+        for rb in batches:
+            names = rb.schema.names
+            col = {n: rb.column(i) for i, n in enumerate(names)}
+            for i in range(rb.num_rows):
+                raw_buf = col["buffer"][i].as_py()
+                if strict and "crc32_buf" in col:
+                    bcrc = zlib.crc32(raw_buf)
+                    bexpect = col["crc32_buf"][i].as_py()
+                    if bcrc != bexpect:
+                        raise ValueError(
+                            f"buffer crc32 mismatch on block"
+                            f" {col['block_id'][i].as_py()}: {bcrc} != {bexpect}"
+                        )
+                flat = decode_array(raw_buf)
+                if strict:
+                    crc = zlib.crc32(flat.astype("<i4").tobytes())
+                    expect = col["crc32_raw"][i].as_py()
+                    if crc != expect:
+                        raise ValueError(
+                            f"crc32 mismatch on block {col['block_id'][i].as_py()}:"
+                            f" {crc} != {expect}"
+                        )
+                lens = col["doc_lens"][i].values.to_numpy(zero_copy_only=False).astype(np.int64)
+                srcs_cell = col["sources"][i]
+                p_flat.append(flat.astype(np.int64, copy=False))
+                p_lens.append(lens)
+                p_ids.append(col["doc_ids"][i].values.to_pylist())
+                p_srcs.append(
+                    srcs_cell.values.to_pylist() if srcs_cell.is_valid else [None] * len(lens)
+                )
+                p_tokens += int(flat.size)
+                if p_tokens >= block_tokens:
+                    out = flush(final=False)
+                    if out is not None:
+                        yield out
+        out = flush(final=True)
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def compact_blocks(
+    enc_df: DataFrame,
+    codec: str = "auto",
+    block_tokens: int = DEFAULT_BLOCK_TOKENS,
+    min_tokens: int | None = None,
+    page_tokens: int = DEFAULT_PAGE_TOKENS,
+    num_partitions: int | None = None,
+    strict: bool = True,
+    container: str = "none",
+    container_level: int | None = None,
+    container_dict: bytes | None = None,
+) -> DataFrame:
+    """Merge under-filled blocks into full ones; healthy blocks pass through.
+
+    Streaming / checkpointed ingest and per-micro-batch encode leave tables
+    littered with small blocks (the reference's streaming chunks have the
+    same failure mode, ``lib/gorilla_stream/stream.ex:39-42`` — 5,000-point
+    chunks regardless of how full the last one is).  At 100 TB that means
+    more manifest rows to scan, worse codec ratios (fixed per-block header
+    cost), and more tasks per decode.
+
+    Scale shape: only blocks with ``n_tokens < min_tokens`` (default
+    ``block_tokens // 2``) are shuffled and re-encoded — the healthy
+    majority passes through with buffers, ids, and manifests untouched, so
+    compaction cost is proportional to the *fragmented* fraction, not the
+    table.  Re-encoded blocks take ``part_id`` from a reserved namespace
+    (``_COMPACT_PART_BASE``) so ``block_id`` stays unique table-wide.
+    """
+    min_tokens = int(min_tokens if min_tokens is not None else block_tokens // 2)
+    small = enc_df.filter(F.col("n_tokens") < min_tokens)
+    large = enc_df.filter(F.col("n_tokens") >= min_tokens)
+    P = num_partitions or enc_df.sparkSession.sparkContext.defaultParallelism
+    needed = ["block_id", "doc_ids", "doc_lens", "sources", "crc32_raw", "buffer"]
+    if strict and "crc32_buf" in enc_df.columns:
+        needed.insert(-1, "crc32_buf")
+    merged = (
+        small.select(*needed)
+        .repartition(P)
+        .mapInArrow(
+            _compact_fn(
+                codec, block_tokens, page_tokens, strict,
+                container, container_level, container_dict,
+            ),
+            ENCODED_SCHEMA,
+        )
+    )
+    return large.unionByName(merged)
 
 
 def decode_docs(

@@ -439,3 +439,58 @@ def test_encode_rejects_out_of_int32_tokens(spark):
 
     rows = decode(encode(ok, num_partitions=1)).collect()
     assert all(list(r.tokens) == [7, 9] for r in rows)
+
+
+def test_compact_blocks_roundtrip_and_fill(spark, toks):
+    from gorilla_stream_spark import compact_blocks
+
+    # tiny blocks simulate a fragmented streaming-ingest table
+    enc = encode(toks, num_partitions=8, block_tokens=400)
+    enc.cache()
+    n_before = enc.count()
+    comp = compact_blocks(enc, block_tokens=8000, num_partitions=2)
+    comp.cache()
+    n_after = comp.count()
+    assert n_after < n_before / 4, (n_before, n_after)
+    # decoded content identical to the source, bit-for-bit
+    _assert_roundtrip(spark, toks, comp)
+    # block_id unique across passthrough + compacted rows
+    assert comp.select("block_id").distinct().count() == n_after
+    # conservation: token count and doc count preserved exactly
+    a = enc.agg(F.sum("n_tokens"), F.sum("n_docs")).first()
+    b = comp.agg(F.sum("n_tokens"), F.sum("n_docs")).first()
+    assert tuple(a) == tuple(b)
+
+
+def test_compact_blocks_passthrough_untouched(spark, toks):
+    from gorilla_stream_spark import compact_blocks
+    from gorilla_stream_spark.engine import _COMPACT_PART_BASE
+
+    enc = encode(toks, num_partitions=4, block_tokens=3000).cache()
+    # min_tokens=1 -> nothing qualifies as small; table must be byte-identical
+    same = compact_blocks(enc, block_tokens=3000, min_tokens=1)
+    assert same.count() == enc.count()
+    assert (
+        same.select("block_id", F.crc32(F.col("buffer")).alias("c"))
+        .exceptAll(enc.select("block_id", F.crc32(F.col("buffer")).alias("c")))
+        .count()
+        == 0
+    )
+    # with a real threshold, passthrough rows keep their ids; merged rows
+    # live in the reserved part_id namespace
+    comp = compact_blocks(enc, block_tokens=12000, num_partitions=2).cache()
+    merged = comp.filter(F.col("part_id") >= _COMPACT_PART_BASE)
+    kept = comp.filter(F.col("part_id") < _COMPACT_PART_BASE)
+    assert merged.count() > 0
+    assert kept.join(enc, "block_id").count() == kept.count()
+
+
+def test_compact_blocks_detects_corruption(spark, toks):
+    from gorilla_stream_spark import compact_blocks
+
+    enc = encode(toks, num_partitions=2, block_tokens=500)
+    bad = enc.withColumn("crc32_raw", F.col("crc32_raw") + 1)
+    with pytest.raises(Exception, match="crc32"):
+        compact_blocks(bad, block_tokens=8000).filter(
+            F.col("part_id") >= (1 << 20)
+        ).count()

@@ -131,3 +131,19 @@ def test_train_pq_sample_uses_take_ordered(spark):
     )
     p = _plan(sampled)
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_compact_blocks_shuffles_only_small_blocks(spark, tmp_path):
+    # the n_tokens threshold must reach the parquet scan as a pushed filter
+    # and the single Exchange must sit on the small-block branch only — at
+    # 100 TB the healthy majority of blocks never moves
+    from gorilla_stream_spark import compact_blocks, encode
+    from gorilla_stream_spark.generator import tokens_df
+
+    path = str(tmp_path / "enc")
+    enc = encode(tokens_df(spark, 200, seed=2), num_partitions=2, block_tokens=500)
+    enc.write.parquet(path)
+    tab = spark.read.parquet(path)
+    p = _plan(compact_blocks(tab, block_tokens=8000))
+    assert p.count("Exchange") == 1, p
+    assert "PushedFilters: [IsNotNull(n_tokens)" in p or "LessThan(n_tokens" in p, p
