@@ -609,7 +609,10 @@ def compact_blocks(
             ENCODED_SCHEMA,
         )
     )
-    return large.unionByName(merged)
+    # checkpointed-encode tables carry extra bookkeeping columns (e.g.
+    # config_fp); passthrough rows keep them, re-encoded rows get NULL —
+    # a merged block spans source blocks whose fingerprints may differ
+    return large.unionByName(merged, allowMissingColumns=True)
 
 
 def decode_docs(

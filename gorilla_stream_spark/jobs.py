@@ -55,6 +55,34 @@ def cmd_decode(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Maintenance job: merge under-filled blocks (streaming-ingest debris)
+    into full ones; healthy blocks pass through untouched."""
+    from pyspark.sql import functions as F2
+
+    from gorilla_stream_spark import compact_blocks
+
+    spark = _spark("gss-compact")
+    enc = spark.read.parquet(args.input)
+    out = compact_blocks(
+        enc,
+        codec=args.codec,
+        block_tokens=args.block_tokens,
+        min_tokens=args.min_tokens,
+        num_partitions=args.partitions,
+        strict=not args.tolerant,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    before, after = enc.count(), res.count()
+    merged = res.filter(F2.col("part_id") >= (1 << 20)).count()
+    print(json.dumps({
+        "blocks_before": before, "blocks_after": after, "blocks_merged_into": merged,
+        "tokens": res.agg(F2.sum("n_tokens")).first()[0],
+    }))
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Round-trip gate: every doc's decoded tokens bit-identical to source."""
     from gorilla_stream_spark import decode
@@ -360,6 +388,16 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--output", required=True)
     d.add_argument("--tolerant", action="store_true", help="don't fail on crc mismatch")
     d.set_defaults(fn=cmd_decode)
+
+    cp = sub.add_parser("compact", help="merge under-filled blocks into full ones")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--codec", default="auto")
+    cp.add_argument("--block-tokens", type=int, default=1 << 20)
+    cp.add_argument("--min-tokens", type=int, default=None)
+    cp.add_argument("--partitions", type=int, default=None)
+    cp.add_argument("--tolerant", action="store_true", help="don't fail on crc mismatch")
+    cp.set_defaults(fn=cmd_compact)
 
     v = sub.add_parser("verify", help="bit-identity round-trip check")
     v.add_argument("--source", required=True)

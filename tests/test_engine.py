@@ -485,6 +485,23 @@ def test_compact_blocks_passthrough_untouched(spark, toks):
     assert kept.join(enc, "block_id").count() == kept.count()
 
 
+def test_compact_blocks_preserves_extra_columns(spark, toks):
+    # checkpointed tables carry config_fp etc. — passthrough rows keep the
+    # value, merged rows get NULL (their sources may span fingerprints)
+    from gorilla_stream_spark import compact_blocks
+
+    enc = encode(toks, num_partitions=4, block_tokens=500).withColumn(
+        "config_fp", F.lit("fp0")
+    )
+    comp = compact_blocks(enc, block_tokens=12000, num_partitions=2).cache()
+    assert "config_fp" in comp.columns
+    merged = comp.filter(F.col("part_id") >= (1 << 20))
+    assert merged.filter(F.col("config_fp").isNotNull()).count() == 0
+    kept = comp.filter(F.col("part_id") < (1 << 20))
+    assert kept.filter(F.col("config_fp") != "fp0").count() == 0
+    _assert_roundtrip(spark, toks, comp.drop("config_fp"))
+
+
 def test_compact_blocks_detects_corruption(spark, toks):
     from gorilla_stream_spark import compact_blocks
 
