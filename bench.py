@@ -143,6 +143,28 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     queries["q4_encode_documents"] = time.time() - t0
     extras["documents_ratio"] = dstats["e"] / dstats["r"] if dstats["r"] else None
 
+    # q4b: block compaction of a fragmented ingest table — 1/8 of the token
+    # corpus encoded at 1/16th block size (streaming-ingest debris shape),
+    # then merged back to full blocks; measures decode+re-encode of the
+    # fragmented fraction (here: all of it, the worst case)
+    from gorilla_stream_spark import compact_blocks
+
+    frag_path = os.path.join(CACHE, f"frag_toks_sf{sf}")
+    if not os.path.exists(os.path.join(frag_path, "_SUCCESS")):
+        encode(
+            toks.filter(F.pmod(F.xxhash64("doc_id"), F.lit(8)) == 0),
+            codec="auto", num_partitions=int(CPUS), block_tokens=1 << 16,
+        ).write.mode("overwrite").parquet(frag_path)
+    frag = spark.read.parquet(frag_path)
+    n_frag = frag.count()
+    t0 = time.time()
+    comp = compact_blocks(frag, block_tokens=1 << 20, num_partitions=int(CPUS))
+    cstats = comp.agg(F.count("*").alias("b"), F.sum("n_tokens").alias("t")).first()
+    queries["q4b_compact_blocks"] = time.time() - t0
+    extras["compact_blocks_before"] = n_frag
+    extras["compact_blocks_after"] = int(cstats["b"])
+    extras["compact_tokens_per_sec"] = int(cstats["t"]) / queries["q4b_compact_blocks"]
+
     # q5: Gorilla timeseries path on events
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
         F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").alias("ts"), "value"
