@@ -68,6 +68,8 @@ ENCODED_SCHEMA = StructType(
         StructField("doc_ids", ArrayType(StringType(), False), False),
         StructField("doc_lens", ArrayType(IntegerType(), False), False),
         StructField("sources", ArrayType(StringType(), True), True),
+        StructField("id_min", StringType(), False),
+        StructField("id_max", StringType(), False),
         StructField("codec", StringType(), False),
         StructField("raw_bytes", LongType(), False),
         StructField("enc_bytes", LongType(), False),
@@ -198,6 +200,8 @@ def _encode_fn(
             ("doc_ids", pa.list_(pa.string())),
             ("doc_lens", pa.list_(pa.int32())),
             ("sources", pa.list_(pa.string())),
+            ("id_min", pa.string()),
+            ("id_max", pa.string()),
             ("codec", pa.string()),
             ("raw_bytes", pa.int64()),
             ("enc_bytes", pa.int64()),
@@ -238,11 +242,17 @@ def _encode_fn(
                 cols["seq_in_part"].append(seq)
                 cols["n_docs"].append(hi - lo)
                 cols["n_tokens"].append(int(flat.size))
-                cols["doc_ids"].append(ids_arr.slice(lo, hi - lo).to_pylist())
+                block_ids = ids_arr.slice(lo, hi - lo).to_pylist()
+                cols["doc_ids"].append(block_ids)
                 cols["doc_lens"].append(lens[lo:hi].astype(np.int32))
                 cols["sources"].append(
                     src_arr.slice(lo, hi - lo).to_pylist() if src_arr is not None else None
                 )
+                # per-block doc-id bounds: parquet min/max stats on these two
+                # short strings let point lookups prune row groups without
+                # reading the doc_ids list column (decode_docs)
+                cols["id_min"].append(min(block_ids))
+                cols["id_max"].append(max(block_ids))
                 cols["codec"].append(codec_name)
                 cols["raw_bytes"].append(len(raw))
                 cols["enc_bytes"].append(len(buf))
@@ -439,6 +449,8 @@ def _compact_fn(
             ("doc_ids", pa.list_(pa.string())),
             ("doc_lens", pa.list_(pa.int32())),
             ("sources", pa.list_(pa.string())),
+            ("id_min", pa.string()),
+            ("id_max", pa.string()),
             ("codec", pa.string()),
             ("raw_bytes", pa.int64()),
             ("enc_bytes", pa.int64()),
@@ -497,9 +509,12 @@ def _compact_fn(
                 cols["seq_in_part"].append(seq)
                 cols["n_docs"].append(hi - lo)
                 cols["n_tokens"].append(int(flat.size))
-                cols["doc_ids"].append(ids[lo:hi])
+                block_ids = ids[lo:hi]
+                cols["doc_ids"].append(block_ids)
                 cols["doc_lens"].append(lens[lo:hi].astype(np.int32))
                 cols["sources"].append(srcs[lo:hi])
+                cols["id_min"].append(min(block_ids))
+                cols["id_max"].append(max(block_ids))
                 cols["codec"].append(codec_name)
                 cols["raw_bytes"].append(len(raw))
                 cols["enc_bytes"].append(len(buf))
@@ -615,6 +630,28 @@ def compact_blocks(
     return large.unionByName(merged, allowMissingColumns=True)
 
 
+def _prune_by_id_bounds(enc_df: DataFrame, doc_ids: list[str]) -> DataFrame:
+    """Row-group-prunable pre-filter on the (id_min, id_max) manifest bounds.
+
+    Plain string comparisons on two short columns reach the parquet scan as
+    pushed filters, so row groups whose id range misses every wanted id are
+    skipped without reading the fat ``doc_ids`` list column.  Up to 64 ids
+    get exact per-id range predicates; beyond that a single [min, max]
+    envelope still prunes coarsely.  Tables written before these columns
+    existed pass through unchanged (the membership filter still applies).
+    """
+    if "id_min" not in enc_df.columns or "id_max" not in enc_df.columns:
+        return enc_df
+    if len(doc_ids) <= 64:
+        cond = None
+        for d in doc_ids:
+            c = (F.col("id_min") <= d) & (F.col("id_max") >= d)
+            cond = c if cond is None else (cond | c)
+    else:
+        cond = (F.col("id_min") <= max(doc_ids)) & (F.col("id_max") >= min(doc_ids))
+    return enc_df.filter(cond)
+
+
 def decode_docs(
     enc_df: DataFrame,
     doc_ids: list[str],
@@ -634,7 +671,9 @@ def decode_docs(
     if not doc_ids:  # F.array() of zero columns is invalid — empty lookup
         return decode(enc_df.limit(0), strict=strict, container_dict=container_dict)
     wanted = F.array([F.lit(d) for d in doc_ids])
-    pruned = enc_df.filter(F.arrays_overlap(F.col("doc_ids"), wanted))
+    pruned = _prune_by_id_bounds(enc_df, doc_ids).filter(
+        F.arrays_overlap(F.col("doc_ids"), wanted)
+    )
     return decode(pruned, strict=strict, container_dict=container_dict).filter(
         F.col("doc_id").isin(doc_ids)
     )
@@ -909,6 +948,8 @@ def encode_multi(
             ("part_id", pa.int32()),
             ("n_docs", pa.int32()),
             ("doc_ids", pa.list_(pa.string())),
+            ("id_min", pa.string()),
+            ("id_max", pa.string()),
             ("col_names", pa.list_(pa.string())),
             ("codecs", pa.list_(pa.string())),
             ("col_lens", pa.list_(pa.list_(pa.int32()))),
@@ -947,7 +988,10 @@ def encode_multi(
                 cols["block_id"].append((pid << 24) | _check_seq(seq))
                 cols["part_id"].append(pid)
                 cols["n_docs"].append(hi - lo)
-                cols["doc_ids"].append(ids_arr.slice(lo, hi - lo).to_pylist())
+                block_ids = ids_arr.slice(lo, hi - lo).to_pylist()
+                cols["doc_ids"].append(block_ids)
+                cols["id_min"].append(min(block_ids))
+                cols["id_max"].append(max(block_ids))
                 cols["col_names"].append(list(token_cols))
                 cols["codecs"].append(codecs_)
                 cols["col_lens"].append(col_lens)
@@ -964,6 +1008,7 @@ def encode_multi(
 
     ddl = (
         "block_id long, part_id int, n_docs int, doc_ids array<string>,"
+        " id_min string, id_max string,"
         " col_names array<string>, codecs array<string>,"
         " col_lens array<array<int>>, raw_bytes long, enc_bytes long,"
         " crc32_bufs array<long>, buffers array<binary>"
@@ -1030,7 +1075,9 @@ def decode_docs_multi(
     if not doc_ids:
         return decode_multi(enc_df.limit(0), token_cols, strict=strict)
     wanted = F.array([F.lit(d) for d in doc_ids])
-    pruned = enc_df.filter(F.arrays_overlap(F.col("doc_ids"), wanted))
+    pruned = _prune_by_id_bounds(enc_df, doc_ids).filter(
+        F.arrays_overlap(F.col("doc_ids"), wanted)
+    )
     return decode_multi(pruned, token_cols, strict=strict).filter(
         F.col("doc_id").isin(doc_ids)
     )

@@ -511,3 +511,20 @@ def test_compact_blocks_detects_corruption(spark, toks):
         compact_blocks(bad, block_tokens=8000).filter(
             F.col("part_id") >= (1 << 20)
         ).count()
+
+
+def test_decode_docs_on_legacy_table_without_id_bounds(spark, toks):
+    # tables written before id_min/id_max existed must still point-lookup
+    from gorilla_stream_spark.engine import decode_docs
+
+    enc = encode(toks, num_partitions=2, block_tokens=2000)
+    legacy = enc.drop("id_min", "id_max")
+    want = ["doc00000011", "doc00000023"]
+    got = {r.doc_id for r in decode_docs(legacy, want).collect()}
+    assert got == set(want)
+    # and the bounds themselves are consistent with the doc_ids manifest
+    bad = enc.filter(
+        (F.col("id_min") != F.array_min("doc_ids"))
+        | (F.col("id_max") != F.array_max("doc_ids"))
+    ).count()
+    assert bad == 0

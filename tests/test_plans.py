@@ -147,3 +147,18 @@ def test_compact_blocks_shuffles_only_small_blocks(spark, tmp_path):
     p = _plan(compact_blocks(tab, block_tokens=8000))
     assert p.count("Exchange") == 1, p
     assert "PushedFilters: [IsNotNull(n_tokens)" in p or "LessThan(n_tokens" in p, p
+
+
+def test_decode_docs_pushes_id_bounds_to_scan(spark, tmp_path):
+    # point lookups must prune row groups via the (id_min, id_max) string
+    # bounds — pushed to the parquet scan — before the fat doc_ids list
+    # column is read
+    from gorilla_stream_spark import encode
+    from gorilla_stream_spark.engine import decode_docs
+    from gorilla_stream_spark.generator import tokens_df
+
+    path = str(tmp_path / "enc")
+    encode(tokens_df(spark, 100, seed=3), num_partitions=2, block_tokens=800).write.parquet(path)
+    tab = spark.read.parquet(path)
+    p = _plan(decode_docs(tab, ["doc-42", "doc-7"]))
+    assert "id_min" in p.split("PushedFilters")[1][:400], p
