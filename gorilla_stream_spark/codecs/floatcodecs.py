@@ -450,24 +450,28 @@ def f32_encode(a: np.ndarray, codec: str = "auto") -> bytes:
 
     a = np.ascontiguousarray(a, dtype=np.float32)
     scaled = f32scaled_try_encode(a, codec=codec)
-    raw_buf = b"\x02" + a.tobytes()
-    # sampled compressibility probe: run the int auto-selector on ~8K bit
-    # patterns first; only pay the full-block selector when the sample beats
-    # raw fp32 by >2%.  Entropy-dense embeddings (the common case) take the
-    # memcpy path; the probe can at worst forgo a <2%-of-sample size win,
-    # never correctness.
     n = a.size
+    raw_len = 1 + 4 * n  # known without building the buffer
+    # sampled compressibility probe: run the int auto-selector on a ~8K
+    # STRIDED sample of the bit patterns first; only pay the full-block
+    # selector when the sample beats raw fp32 by >2%.  Entropy-dense
+    # embeddings (the common case) take the memcpy path.  The stride covers
+    # the whole block, so misclassification requires structure finer than
+    # the stride; the risk is only a forgone size win on such blocks, never
+    # correctness (and the scaled/bits modes are still compared when the
+    # probe says the block compresses).
     if codec == "auto" and n > 8192:
-        mid = n // 2
-        samp = np.concatenate((a[:4096], a[mid : mid + 2048], a[-2048:]))
+        samp = np.ascontiguousarray(a[:: max(1, n // 8192)])
         senc = encode_array(samp.view(np.int32).astype(np.int64), codec="auto")
         if len(senc) >= 0.98 * 4 * samp.size:
-            return raw_buf if scaled is None or len(scaled) >= len(raw_buf) else b"\x01" + scaled
+            if scaled is not None and 1 + len(scaled) < raw_len:
+                return b"\x01" + scaled
+            return b"\x02" + a.tobytes()
     bits_buf = b"\x00" + encode_array(a.view(np.int32).astype(np.int64), codec=codec)
-    best = min(bits_buf, raw_buf, key=len)
-    if scaled is not None and 1 + len(scaled) < len(best):
+    best_len = min(len(bits_buf), raw_len)
+    if scaled is not None and 1 + len(scaled) < best_len:
         return b"\x01" + scaled
-    return best
+    return bits_buf if len(bits_buf) <= raw_len else b"\x02" + a.tobytes()
 
 
 def f32_decode(buf: bytes | memoryview) -> np.ndarray:
@@ -482,7 +486,10 @@ def f32_decode(buf: bytes | memoryview) -> np.ndarray:
         body = mv[1:]
         if len(body) % 4:
             raise ValueError(f"f32 raw body length {len(body)} not a multiple of 4")
-        out = np.frombuffer(body, dtype="<f4")
+        # copy: frombuffer over a bytes slice is read-only (and offset-1
+        # unaligned); modes 0/1 return fresh writable arrays, so mode 2
+        # must too or in-place consumers crash data-dependently
+        out = np.frombuffer(body, dtype="<f4").copy()
         bitio.check_count(out.size)
         return out
     if mode != 1:

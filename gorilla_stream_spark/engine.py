@@ -167,6 +167,62 @@ def _block_bounds(lens: np.ndarray, block_tokens: int) -> list[tuple[int, int]]:
     return bounds
 
 
+
+
+def _enc_arrow_schema():
+    """Arrow twin of ENCODED_SCHEMA — single source for every kernel that
+    emits block-manifest rows (encode, compact); a column added here plus
+    ENCODED_SCHEMA reaches all of them."""
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            ("block_id", pa.int64()),
+            ("part_id", pa.int32()),
+            ("seq_in_part", pa.int32()),
+            ("n_docs", pa.int32()),
+            ("n_tokens", pa.int64()),
+            ("doc_ids", pa.list_(pa.string())),
+            ("doc_lens", pa.list_(pa.int32())),
+            ("sources", pa.list_(pa.string())),
+            ("id_min", pa.string()),
+            ("id_max", pa.string()),
+            ("codec", pa.string()),
+            ("raw_bytes", pa.int64()),
+            ("enc_bytes", pa.int64()),
+            ("crc32_raw", pa.int64()),
+            ("crc32_buf", pa.int64()),
+            ("enc_us", pa.int64()),
+            ("buffer", pa.binary()),
+        ]
+    )
+
+
+def _decode_block_checked(col: dict, i: int, strict: bool) -> np.ndarray:
+    """Decode one block row's buffer with the two-stage crc gate (buffer
+    crc BEFORE decode so corruption fails here, raw crc after) — shared by
+    the decode and compact kernels."""
+    raw_buf = col["buffer"][i].as_py()
+    if strict and "crc32_buf" in col:
+        bcrc = zlib.crc32(raw_buf)
+        bexpect = col["crc32_buf"][i].as_py()
+        if bcrc != bexpect:
+            raise ValueError(
+                f"buffer crc32 mismatch on block"
+                f" {col['block_id'][i].as_py()}: {bcrc} != {bexpect}"
+            )
+    flat = decode_array(raw_buf)
+    if strict:
+        crc = zlib.crc32(flat.astype("<i4").tobytes())
+        expect = col["crc32_raw"][i].as_py()
+        if crc != expect:
+            raise ValueError(
+                f"crc32 mismatch on block {col['block_id'][i].as_py()}:"
+                f" {crc} != {expect}"
+            )
+    return flat
+
+
 def _encode_fn(
     tokens_col: str,
     id_col: str,
@@ -340,26 +396,7 @@ def _decode_fn(strict: bool, container_dict: bytes | None = None):
             names = rb.schema.names
             col = {n: rb.column(i) for i, n in enumerate(names)}
             for i in range(rb.num_rows):
-                raw_buf = col["buffer"][i].as_py()
-                if strict and "crc32_buf" in col:
-                    # verify the buffer BEFORE decoding — a corrupted buffer
-                    # fails here instead of inside codec kernels
-                    bcrc = zlib.crc32(raw_buf)
-                    bexpect = col["crc32_buf"][i].as_py()
-                    if bcrc != bexpect:
-                        raise ValueError(
-                            f"buffer crc32 mismatch on block"
-                            f" {col['block_id'][i].as_py()}: {bcrc} != {bexpect}"
-                        )
-                flat = decode_array(raw_buf)
-                if strict:
-                    crc = zlib.crc32(flat.astype("<i4").tobytes())
-                    expect = col["crc32_raw"][i].as_py()
-                    if crc != expect:
-                        raise ValueError(
-                            f"crc32 mismatch on block {col['block_id'][i].as_py()}:"
-                            f" {crc} != {expect}"
-                        )
+                flat = _decode_block_checked(col, i, strict)
                 lens = col["doc_lens"][i].values.to_numpy(zero_copy_only=False).astype(np.int64)
                 offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
                 tokens = pa.ListArray.from_arrays(
@@ -431,6 +468,7 @@ def _compact_fn(
     container: str,
     container_level: int | None,
     container_dict: bytes | None,
+    part_base: int = _COMPACT_PART_BASE,
 ):
     """Arrow kernel: decode under-filled blocks, re-chunk to ``block_tokens``,
     re-encode.  Memory is bounded: pending docs are flushed as soon as they
@@ -439,27 +477,7 @@ def _compact_fn(
 
     from gorilla_stream_spark.codecs import wrap_container
 
-    out_schema = pa.schema(
-        [
-            ("block_id", pa.int64()),
-            ("part_id", pa.int32()),
-            ("seq_in_part", pa.int32()),
-            ("n_docs", pa.int32()),
-            ("n_tokens", pa.int64()),
-            ("doc_ids", pa.list_(pa.string())),
-            ("doc_lens", pa.list_(pa.int32())),
-            ("sources", pa.list_(pa.string())),
-            ("id_min", pa.string()),
-            ("id_max", pa.string()),
-            ("codec", pa.string()),
-            ("raw_bytes", pa.int64()),
-            ("enc_bytes", pa.int64()),
-            ("crc32_raw", pa.int64()),
-            ("crc32_buf", pa.int64()),
-            ("enc_us", pa.int64()),
-            ("buffer", pa.binary()),
-        ]
-    )
+    out_schema = _enc_arrow_schema()
 
     def fn(batches: Iterator) -> Iterator:
         if container_dict is not None:
@@ -467,7 +485,7 @@ def _compact_fn(
 
             register_container_dict(container_dict)
         ctx = TaskContext.get()
-        pid = (ctx.partitionId() if ctx is not None else 0) + _COMPACT_PART_BASE
+        pid = (ctx.partitionId() if ctx is not None else 0) + part_base
         seq = 0
         # pending docs not yet filling a block: parallel per-doc arrays
         p_flat: list[np.ndarray] = []
@@ -524,13 +542,18 @@ def _compact_fn(
                 cols["buffer"].append(buf)
                 seq += 1
             cut = bounds[-1][1]
-            rest_flat = flat_all[offs[cut] :]
-            rest_lens = lens[cut:]
-            p_flat = [rest_flat] if rest_flat.size else []
-            p_lens = [rest_lens] if rest_lens.size else []
-            p_ids = [ids[cut:]] if cut < len(ids) else []
-            p_srcs = [srcs[cut:]] if cut < len(srcs) else []
-            p_tokens = int(rest_flat.size)
+            if cut < len(lens):
+                # reset pending on ROW count, not token count — a pending
+                # tail of zero-token docs must keep all four accumulators
+                # aligned or the final flush concatenates mismatched lists
+                p_flat = [flat_all[offs[cut] :]]
+                p_lens = [lens[cut:]]
+                p_ids = [ids[cut:]]
+                p_srcs = [srcs[cut:]]
+                p_tokens = int(p_flat[0].size)
+            else:
+                p_flat, p_lens, p_ids, p_srcs = [], [], [], []
+                p_tokens = 0
             return pa.RecordBatch.from_arrays(
                 [pa.array(cols[n], type=out_schema.field(n).type) for n in out_schema.names],
                 schema=out_schema,
@@ -540,24 +563,7 @@ def _compact_fn(
             names = rb.schema.names
             col = {n: rb.column(i) for i, n in enumerate(names)}
             for i in range(rb.num_rows):
-                raw_buf = col["buffer"][i].as_py()
-                if strict and "crc32_buf" in col:
-                    bcrc = zlib.crc32(raw_buf)
-                    bexpect = col["crc32_buf"][i].as_py()
-                    if bcrc != bexpect:
-                        raise ValueError(
-                            f"buffer crc32 mismatch on block"
-                            f" {col['block_id'][i].as_py()}: {bcrc} != {bexpect}"
-                        )
-                flat = decode_array(raw_buf)
-                if strict:
-                    crc = zlib.crc32(flat.astype("<i4").tobytes())
-                    expect = col["crc32_raw"][i].as_py()
-                    if crc != expect:
-                        raise ValueError(
-                            f"crc32 mismatch on block {col['block_id'][i].as_py()}:"
-                            f" {crc} != {expect}"
-                        )
+                flat = _decode_block_checked(col, i, strict)
                 lens = col["doc_lens"][i].values.to_numpy(zero_copy_only=False).astype(np.int64)
                 srcs_cell = col["sources"][i]
                 p_flat.append(flat.astype(np.int64, copy=False))
@@ -603,13 +609,18 @@ def compact_blocks(
     ``block_tokens // 2``) are shuffled and re-encoded — the healthy
     majority passes through with buffers, ids, and manifests untouched, so
     compaction cost is proportional to the *fragmented* fraction, not the
-    table.  Re-encoded blocks take ``part_id`` from a reserved namespace
-    (``_COMPACT_PART_BASE``) so ``block_id`` stays unique table-wide.
+    table.  Re-encoded blocks take ``part_id`` above both the reserved
+    namespace floor (``_COMPACT_PART_BASE``) and the table's current max
+    ``part_id`` (one cheap manifest-stats agg), so ``block_id`` stays
+    unique table-wide across REPEATED compactions — run 2's merged blocks
+    never reuse ids that run 1's survivors still carry.
     """
     min_tokens = int(min_tokens if min_tokens is not None else block_tokens // 2)
     small = enc_df.filter(F.col("n_tokens") < min_tokens)
     large = enc_df.filter(F.col("n_tokens") >= min_tokens)
     P = num_partitions or enc_df.sparkSession.sparkContext.defaultParallelism
+    prev_max = enc_df.agg(F.max("part_id")).first()[0]
+    part_base = max(_COMPACT_PART_BASE, int(prev_max or 0) + 1)
     needed = ["block_id", "doc_ids", "doc_lens", "sources", "crc32_raw", "buffer"]
     if strict and "crc32_buf" in enc_df.columns:
         needed.insert(-1, "crc32_buf")
@@ -620,6 +631,7 @@ def compact_blocks(
             _compact_fn(
                 codec, block_tokens, page_tokens, strict,
                 container, container_level, container_dict,
+                part_base=part_base,
             ),
             ENCODED_SCHEMA,
         )
@@ -649,7 +661,11 @@ def _prune_by_id_bounds(enc_df: DataFrame, doc_ids: list[str]) -> DataFrame:
             cond = c if cond is None else (cond | c)
     else:
         cond = (F.col("id_min") <= max(doc_ids)) & (F.col("id_max") >= min(doc_ids))
-    return enc_df.filter(cond)
+    # mixed-schema tables (old parquet files appended to, or compaction
+    # passthrough over a pre-bounds table) read back NULL bounds — those
+    # blocks must stay IN (the membership filter still screens them), or
+    # the lookup silently loses their docs
+    return enc_df.filter(cond | F.col("id_min").isNull() | F.col("id_max").isNull())
 
 
 def decode_docs(

@@ -64,6 +64,7 @@ def cmd_compact(args) -> int:
 
     spark = _spark("gss-compact")
     enc = spark.read.parquet(args.input)
+    cdict = open(args.dict_path, "rb").read() if args.dict_path else None
     out = compact_blocks(
         enc,
         codec=args.codec,
@@ -71,11 +72,17 @@ def cmd_compact(args) -> int:
         min_tokens=args.min_tokens,
         num_partitions=args.partitions,
         strict=not args.tolerant,
+        container=args.container,
+        container_level=args.level,
+        container_dict=cdict,
     )
     out.write.mode("overwrite").parquet(args.output)
     res = spark.read.parquet(args.output)
     before, after = enc.count(), res.count()
-    merged = res.filter(F2.col("part_id") >= (1 << 20)).count()
+    # merged-this-run rows sit ABOVE the input's previous max part_id
+    # (earlier compactions' survivors keep their old reserved-range ids)
+    prev_max = int(enc.agg(F2.max("part_id")).first()[0] or 0)
+    merged = res.filter(F2.col("part_id") > prev_max).count()
     print(json.dumps({
         "blocks_before": before, "blocks_after": after, "blocks_merged_into": merged,
         "tokens": res.agg(F2.sum("n_tokens")).first()[0],
@@ -396,6 +403,11 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--block-tokens", type=int, default=1 << 20)
     cp.add_argument("--min-tokens", type=int, default=None)
     cp.add_argument("--partitions", type=int, default=None)
+    cp.add_argument("--container", default="none",
+                    help="re-wrap merged blocks (match the table's encode container)")
+    cp.add_argument("--level", type=int, default=None)
+    cp.add_argument("--dict-path", default=None,
+                    help="container dictionary file (zlib-dict tables need it to decode)")
     cp.add_argument("--tolerant", action="store_true", help="don't fail on crc mismatch")
     cp.set_defaults(fn=cmd_compact)
 

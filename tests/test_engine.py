@@ -528,3 +528,69 @@ def test_decode_docs_on_legacy_table_without_id_bounds(spark, toks):
         | (F.col("id_max") != F.array_max("doc_ids"))
     ).count()
     assert bad == 0
+
+
+def test_compact_blocks_rerun_keeps_block_ids_unique(spark, toks):
+    # periodic maintenance: run 1's merged survivors pass through run 2,
+    # which must allocate NEW part_ids above them — never reuse (base, seq)
+    from gorilla_stream_spark import compact_blocks
+
+    enc = encode(toks, num_partitions=4, block_tokens=500)
+    run1 = compact_blocks(enc, block_tokens=6000, num_partitions=2)
+    # new streaming debris arrives after the first compaction
+    more = encode(toks.limit(200), num_partitions=2, block_tokens=400).withColumn(
+        "doc_id_salt", F.lit(1)
+    ).drop("doc_id_salt")
+    table = run1.unionByName(more)
+    run2 = compact_blocks(table, block_tokens=6000, num_partitions=2).cache()
+    n = run2.count()
+    assert run2.select("block_id").distinct().count() == n
+    # run 2's merged rows sit strictly above run 1's part_ids
+    prev_max = table.agg(F.max("part_id")).first()[0]
+    assert run2.filter(F.col("part_id") > prev_max).count() > 0
+
+
+def test_decode_docs_mixed_null_bounds_not_dropped(spark, toks):
+    # passthrough rows of a pre-bounds table get NULL id_min/id_max after
+    # compaction union — point lookups must still find their docs
+    from gorilla_stream_spark import compact_blocks
+    from gorilla_stream_spark.engine import decode_docs
+
+    legacy = encode(toks, num_partitions=2, block_tokens=4000).drop("id_min", "id_max")
+    comp = compact_blocks(legacy, block_tokens=8000, min_tokens=2000).cache()
+    assert "id_min" in comp.columns
+    # docs living in passthrough (NULL-bounds) blocks
+    null_blocks = comp.filter(F.col("id_min").isNull())
+    assert null_blocks.count() > 0
+    some = null_blocks.select(F.explode("doc_ids").alias("d")).limit(2).collect()
+    want = [r.d for r in some]
+    got = {r.doc_id for r in decode_docs(comp, want).collect()}
+    assert got == set(want)
+
+
+def test_compact_blocks_with_zero_token_docs(spark):
+    # zero-length token arrays must survive compaction with aligned
+    # accumulators (the pending tail can be all-zero-token docs)
+    from gorilla_stream_spark import compact_blocks, decode
+
+    rows = [(f"d{i:04d}", [] if i % 3 == 0 else list(range(i % 50)), "s") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+    enc = encode(df, num_partitions=2, block_tokens=64)
+    comp = compact_blocks(enc, block_tokens=2000, num_partitions=1)
+    dec = decode(comp)
+    assert dec.count() == 300
+    bad = (
+        df.alias("s").join(dec.alias("d"), "doc_id")
+        .filter(F.col("s.tokens") != F.col("d.tokens")).count()
+    )
+    assert bad == 0
+
+
+def test_compact_blocks_preserves_container(spark, toks):
+    from gorilla_stream_spark import compact_blocks
+
+    enc = encode(toks, num_partitions=2, block_tokens=800, container="zlib")
+    comp = compact_blocks(enc, block_tokens=8000, container="zlib").cache()
+    merged = comp.filter(F.col("part_id") >= (1 << 20))
+    assert merged.count() > 0
+    _assert_roundtrip(spark, toks, comp)
