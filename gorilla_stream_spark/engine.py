@@ -233,6 +233,7 @@ def _encode_fn(
     container: str = "none",
     container_level: int | None = None,
     container_dict: bytes | None = None,
+    part_base: int = 0,
 ):
     """Arrow-native encode kernel (``mapInArrow``).
 
@@ -270,7 +271,7 @@ def _encode_fn(
 
     def fn(batches: Iterator) -> Iterator:
         ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
+        pid = (ctx.partitionId() if ctx is not None else 0) + part_base
         seq = 0
         for rb in batches:
             if rb.num_rows == 0:
@@ -342,6 +343,7 @@ def encode(
     container: str = "none",
     container_level: int | None = None,
     container_dict: bytes | None = None,
+    part_base: int = 0,
 ) -> DataFrame:
     """Encode a tokens table into self-describing compressed blocks.
 
@@ -351,6 +353,13 @@ def encode(
     selection is per *page* (``page_tokens``) inside each block; partitions
     are sorted by (source, doc_id) when a source column exists so pages stay
     stratum-homogeneous after the shuffle.
+
+    ``part_base`` namespaces this run's ``part_id``s (and therefore
+    ``block_id``s) for BATCH APPEND: a second ingest run into the same
+    table must pass a base above the table's current max ``part_id``, or
+    both runs number partitions from 0 and their block ids collide.
+    (Streaming ingest gets this from ``encode_stream``'s replay markers;
+    compaction computes it automatically.)
     """
     if source_col and source_col not in df.columns:
         source_col = None
@@ -364,7 +373,7 @@ def encode(
     return slim.mapInArrow(
         _encode_fn(
             tokens_col, id_col, source_col, codec, block_tokens, page_tokens,
-            container, container_level, container_dict,
+            container, container_level, container_dict, part_base,
         ),
         ENCODED_SCHEMA,
     )

@@ -90,6 +90,25 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Source-free integrity check: per-block crc + manifest consistency."""
+    from pyspark.sql import functions as F2
+
+    from gorilla_stream_spark.validate import fsck_blocks
+
+    spark = _spark("gss-fsck")
+    rep = fsck_blocks(spark.read.parquet(args.input)).cache()
+    bad = rep.filter(~F2.col("ok"))
+    n_bad = bad.count()
+    if args.report:
+        bad.write.mode("overwrite").parquet(args.report)
+    print(json.dumps({
+        "blocks": rep.count(), "bad": n_bad,
+        "first_errors": [r.error for r in bad.limit(5).collect()],
+    }))
+    return 0 if n_bad == 0 else 1
+
+
 def cmd_verify(args) -> int:
     """Round-trip gate: every doc's decoded tokens bit-identical to source."""
     from gorilla_stream_spark import decode
@@ -410,6 +429,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="container dictionary file (zlib-dict tables need it to decode)")
     cp.add_argument("--tolerant", action="store_true", help="don't fail on crc mismatch")
     cp.set_defaults(fn=cmd_compact)
+
+    fs = sub.add_parser("fsck", help="source-free block integrity check (crc + manifest)")
+    fs.add_argument("--input", required=True)
+    fs.add_argument("--report", default=None, help="write bad-block rows here")
+    fs.set_defaults(fn=cmd_fsck)
 
     v = sub.add_parser("verify", help="bit-identity round-trip check")
     v.add_argument("--source", required=True)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "clean", "validate_timeseries", "validate_vectors"]
+__all__ = ["validate", "clean", "validate_timeseries", "validate_vectors", "fsck_blocks"]
 
 MAX_TOKEN = (1 << 32) - 2  # fsst pair-packing bound
 
@@ -202,3 +202,71 @@ def validate_vectors(
         .filter(F.col("issue").isNotNull())
         .select(F.col(id_col), "issue")
     )
+
+
+def fsck_blocks(enc_df: DataFrame) -> DataFrame:
+    """Distributed integrity check of an encoded block table — no source
+    needed (the fsck a 100 TB table gets after a copy/migration, when
+    re-deriving from raw is off the table).
+
+    Per block: buffer crc, full decode, raw-stream crc, and manifest
+    consistency (n_tokens vs doc_lens sum vs decoded size).  Never raises —
+    returns one row per block with ``ok`` and the first error string, so
+    the caller aggregates or quarantines.  All work is block-local inside
+    ``mapInArrow``; the scan reads only the columns the check needs.
+    """
+    import zlib
+    from collections.abc import Iterator
+
+    import numpy as np
+
+    from gorilla_stream_spark.codecs import decode_array
+
+    def fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for rb in batches:
+            col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            out_id, out_ok, out_err = [], [], []
+            for i in range(rb.num_rows):
+                bid = col["block_id"][i].as_py()
+                err = None
+                try:
+                    buf = col["buffer"][i].as_py()
+                    if "crc32_buf" in col:
+                        bcrc = zlib.crc32(buf)
+                        bexp = col["crc32_buf"][i].as_py()
+                        if bcrc != bexp:
+                            raise ValueError(f"buffer crc32 {bcrc} != manifest {bexp}")
+                    flat = decode_array(buf)
+                    crc = zlib.crc32(flat.astype("<i4").tobytes())
+                    rexp = col["crc32_raw"][i].as_py()
+                    if crc != rexp:
+                        raise ValueError(f"raw crc32 {crc} != manifest {rexp}")
+                    lens = col["doc_lens"][i].values.to_numpy(zero_copy_only=False)
+                    n_tok = col["n_tokens"][i].as_py()
+                    if int(lens.sum()) != n_tok or int(flat.size) != n_tok:
+                        raise ValueError(
+                            f"count mismatch: n_tokens={n_tok},"
+                            f" doc_lens sum={int(lens.sum())}, decoded={int(flat.size)}"
+                        )
+                    if len(col["doc_ids"][i]) != len(lens):
+                        raise ValueError("doc_ids / doc_lens length mismatch")
+                except Exception as e:  # noqa: BLE001 — fsck reports, never dies
+                    err = f"{type(e).__name__}: {e}"
+                out_id.append(bid)
+                out_ok.append(err is None)
+                out_err.append(err)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_ok, pa.bool_()),
+                    pa.array(out_err, pa.string()),
+                ],
+                names=["block_id", "ok", "error"],
+            )
+
+    needed = ["block_id", "n_tokens", "doc_ids", "doc_lens", "crc32_raw", "buffer"]
+    if "crc32_buf" in enc_df.columns:
+        needed.insert(-1, "crc32_buf")
+    return enc_df.select(*needed).mapInArrow(fn, "block_id long, ok boolean, error string")

@@ -594,3 +594,14 @@ def test_compact_blocks_preserves_container(spark, toks):
     merged = comp.filter(F.col("part_id") >= (1 << 20))
     assert merged.count() > 0
     _assert_roundtrip(spark, toks, comp)
+
+
+def test_encode_part_base_namespaces_append_runs(spark, toks):
+    # batch append: run 2 encodes with part_base above run 1's max part_id,
+    # so the unioned table keeps block_id unique
+    run1 = encode(toks.limit(300), num_partitions=2, block_tokens=2000)
+    base = int(run1.agg(F.max("part_id")).first()[0]) + 1
+    run2 = encode(toks, num_partitions=2, block_tokens=2000, part_base=base)
+    table = run1.unionByName(run2).cache()
+    assert table.select("block_id").distinct().count() == table.count()
+    assert run2.agg(F.min("part_id")).first()[0] >= base
