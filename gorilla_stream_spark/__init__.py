@@ -59,7 +59,7 @@ from gorilla_stream_spark.gorilla_wire import (
     wire_info,
     write_gorilla_file,
 )
-from gorilla_stream_spark.validate import clean, fsck_blocks, validate, validate_timeseries
+from gorilla_stream_spark.validate import clean, fsck, fsck_blocks, validate, validate_timeseries
 from gorilla_stream_spark.vectors import (
     ann_search,
     cosine_neardup_pairs,
@@ -85,6 +85,7 @@ __all__ = [
     "analyze_and_recommend",
     "validate",
     "fsck_blocks",
+    "fsck",
     "clean",
     "validate_timeseries",
     "dedup_exact",

@@ -94,10 +94,10 @@ def cmd_fsck(args) -> int:
     """Source-free integrity check: per-block crc + manifest consistency."""
     from pyspark.sql import functions as F2
 
-    from gorilla_stream_spark.validate import fsck_blocks
+    from gorilla_stream_spark.validate import fsck
 
     spark = _spark("gss-fsck")
-    rep = fsck_blocks(spark.read.parquet(args.input)).cache()
+    rep = fsck(spark.read.parquet(args.input)).cache()
     bad = rep.filter(~F2.col("ok"))
     n_bad = bad.count()
     if args.report:
@@ -430,7 +430,7 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--tolerant", action="store_true", help="don't fail on crc mismatch")
     cp.set_defaults(fn=cmd_compact)
 
-    fs = sub.add_parser("fsck", help="source-free block integrity check (crc + manifest)")
+    fs = sub.add_parser("fsck", help="source-free integrity check, any block-table kind")
     fs.add_argument("--input", required=True)
     fs.add_argument("--report", default=None, help="write bad-block rows here")
     fs.set_defaults(fn=cmd_fsck)

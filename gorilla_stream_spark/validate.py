@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["validate", "clean", "validate_timeseries", "validate_vectors", "fsck_blocks"]
+__all__ = ["validate", "clean", "validate_timeseries", "validate_vectors", "fsck_blocks", "fsck"]
 
 MAX_TOKEN = (1 << 32) - 2  # fsst pair-packing bound
 
@@ -270,3 +270,171 @@ def fsck_blocks(enc_df: DataFrame) -> DataFrame:
     if "crc32_buf" in enc_df.columns:
         needed.insert(-1, "crc32_buf")
     return enc_df.select(*needed).mapInArrow(fn, "block_id long, ok boolean, error string")
+
+
+def _fsck_frame(enc_df: DataFrame, needed: list[str], row_check) -> DataFrame:
+    """Shared fsck runner: per-row ``row_check(col, i)`` raises on any
+    inconsistency; the report row records the first error instead."""
+    from collections.abc import Iterator
+
+    def fn(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+
+        for rb in batches:
+            col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            out_id, out_ok, out_err = [], [], []
+            for i in range(rb.num_rows):
+                err = None
+                try:
+                    row_check(col, i)
+                except Exception as e:  # noqa: BLE001 — fsck reports, never dies
+                    err = f"{type(e).__name__}: {e}"
+                out_id.append(col["block_id"][i].as_py())
+                out_ok.append(err is None)
+                out_err.append(err)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, pa.int64()),
+                    pa.array(out_ok, pa.bool_()),
+                    pa.array(out_err, pa.string()),
+                ],
+                names=["block_id", "ok", "error"],
+            )
+
+    cols = [c for c in needed if c in enc_df.columns]
+    return enc_df.select(*cols).mapInArrow(fn, "block_id long, ok boolean, error string")
+
+
+def fsck_vectors(enc_df: DataFrame) -> DataFrame:
+    """Integrity report for vector block tables (``encode_vectors``)."""
+    import zlib
+
+    from gorilla_stream_spark.codecs import decode_array
+
+    def check(col, i):
+        buf = col["buffer"][i].as_py()
+        if "crc32_buf" in col and zlib.crc32(buf) != col["crc32_buf"][i].as_py():
+            raise ValueError("buffer crc32 mismatch")
+        flat = decode_array(buf)
+        n_values = col["n_values"][i].as_py()
+        lens = col["vec_lens"][i].values.to_numpy(zero_copy_only=False)
+        if int(flat.size) != n_values or int(lens.sum()) != n_values:
+            raise ValueError(
+                f"count mismatch: n_values={n_values}, decoded={int(flat.size)},"
+                f" vec_lens sum={int(lens.sum())}"
+            )
+        if len(col["vec_ids"][i]) != len(lens):
+            raise ValueError("vec_ids / vec_lens length mismatch")
+
+    return _fsck_frame(
+        enc_df,
+        ["block_id", "n_values", "vec_ids", "vec_lens", "crc32_buf", "buffer"],
+        check,
+    )
+
+
+def fsck_timeseries(enc_df: DataFrame) -> DataFrame:
+    """Integrity report for timeseries block tables (``encode_timeseries``).
+
+    These blocks carry no crc (the self-describing codecs validate their own
+    counts); fsck decodes both buffers and cross-checks n_points and the
+    (ts_min, ts_max) pruning manifest — a wrong manifest silently breaks
+    ``read_timerange``, so it is an integrity error here.
+    """
+    from gorilla_stream_spark.codecs import decode_array
+
+    def check(col, i):
+        ts = decode_array(col["ts_buffer"][i].as_py())
+        vals = decode_array(col["val_buffer"][i].as_py())
+        n = col["n_points"][i].as_py()
+        if ts.size != n or vals.size != n:
+            raise ValueError(f"count mismatch: n_points={n}, ts={ts.size}, vals={vals.size}")
+        if n and "ts_min" in col:
+            lo, hi = col["ts_min"][i].as_py(), col["ts_max"][i].as_py()
+            if lo is not None and (int(ts.min()) != lo or int(ts.max()) != hi):
+                raise ValueError(
+                    f"pruning manifest mismatch: [{lo}, {hi}] vs"
+                    f" data [{int(ts.min())}, {int(ts.max())}]"
+                )
+
+    return _fsck_frame(
+        enc_df,
+        ["block_id", "n_points", "ts_min", "ts_max", "ts_buffer", "val_buffer"],
+        check,
+    )
+
+
+def fsck_multi(enc_df: DataFrame) -> DataFrame:
+    """Integrity report for multi-column block tables (``encode_multi``)."""
+    import zlib
+
+    from gorilla_stream_spark.codecs import decode_array
+
+    def check(col, i):
+        bufs = col["buffers"][i].as_py()
+        crcs = col["crc32_bufs"][i].as_py()
+        col_lens = col["col_lens"][i].as_py()
+        if not (len(bufs) == len(crcs) == len(col_lens)):
+            raise ValueError("buffers / crc32_bufs / col_lens arity mismatch")
+        n_docs = col["n_docs"][i].as_py()
+        for ci, buf in enumerate(bufs):
+            if zlib.crc32(buf) != crcs[ci]:
+                raise ValueError(f"buffer crc32 mismatch on column {ci}")
+            flat = decode_array(buf)
+            lens = col_lens[ci]
+            if len(lens) != n_docs:
+                raise ValueError(f"col_lens[{ci}] length {len(lens)} != n_docs {n_docs}")
+            if int(flat.size) != int(sum(lens)):
+                raise ValueError(
+                    f"column {ci} count mismatch: decoded {int(flat.size)},"
+                    f" col_lens sum {int(sum(lens))}"
+                )
+
+    return _fsck_frame(
+        enc_df,
+        ["block_id", "n_docs", "col_lens", "crc32_bufs", "buffers"],
+        check,
+    )
+
+
+def fsck_wire(enc_df: DataFrame) -> DataFrame:
+    """Integrity report for reference wire-format tables
+    (``encode_timeseries_wire``): full decode + count + pruning manifest."""
+    from gorilla_stream_spark.gorilla_wire import decode_points
+
+    def check(col, i):
+        buf = col["buffer"][i].as_py()
+        if "enc_bytes" in col and len(buf) != col["enc_bytes"][i].as_py():
+            raise ValueError(
+                f"enc_bytes {col['enc_bytes'][i].as_py()} != buffer length {len(buf)}"
+            )
+        ts, vals, _info = decode_points(buf)
+        n = col["n_points"][i].as_py()
+        if ts.size != n or vals.size != n:
+            raise ValueError(f"count mismatch: n_points={n}, decoded={ts.size}")
+        if n and "ts_min" in col:
+            lo, hi = col["ts_min"][i].as_py(), col["ts_max"][i].as_py()
+            if lo is not None and (int(ts.min()) != lo or int(ts.max()) != hi):
+                raise ValueError("pruning manifest mismatch")
+
+    return _fsck_frame(
+        enc_df, ["block_id", "n_points", "enc_bytes", "ts_min", "ts_max", "buffer"], check
+    )
+
+
+def fsck(enc_df: DataFrame) -> DataFrame:
+    """Integrity check for ANY engine table — dispatches on the manifest
+    shape (token blocks, vector blocks, multi-column blocks, timeseries
+    blocks, reference wire blocks).  Returns (block_id, ok, error)."""
+    cols = set(enc_df.columns)
+    if "buffers" in cols:
+        return fsck_multi(enc_df)
+    if "vec_ids" in cols:
+        return fsck_vectors(enc_df)
+    if "ts_buffer" in cols:
+        return fsck_timeseries(enc_df)
+    if "doc_ids" in cols:
+        return fsck_blocks(enc_df)
+    if "n_points" in cols and "buffer" in cols:
+        return fsck_wire(enc_df)
+    raise ValueError(f"unrecognized block-table schema: {sorted(cols)}")

@@ -28,3 +28,54 @@ def test_fsck_blocks_reports_without_raising(spark):
     )
     bad2 = fsck_blocks(lie).filter(~F.col("ok")).collect()
     assert len(bad2) == 1 and "mismatch" in bad2[0].error
+
+
+def test_fsck_dispatch_all_table_kinds(spark):
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark import encode, encode_multi, encode_timeseries
+    from gorilla_stream_spark.gorilla_wire import encode_timeseries_wire
+    from gorilla_stream_spark.generator import tokens_df
+    from gorilla_stream_spark.validate import fsck
+    from gorilla_stream_spark.vectors import encode_vectors
+
+    toks = tokens_df(spark, 120, seed=4).cache()
+    kinds = {}
+    kinds["tokens"] = encode(toks, num_partitions=2, block_tokens=2000)
+    kinds["multi"] = encode_multi(
+        toks.withColumn("mask", F.expr("transform(tokens, t -> 1)")),
+        ["tokens", "mask"], num_partitions=2,
+    )
+    rng = np.random.default_rng(0)
+    vec = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    kinds["vectors"] = encode_vectors(vec, num_partitions=2)
+    ts = spark.range(5000).select(
+        (F.col("id") * 1000).alias("ts"), (F.col("id") * 0.5).alias("value")
+    )
+    kinds["timeseries"] = encode_timeseries(ts, num_partitions=2)
+    kinds["wire"] = encode_timeseries_wire(ts, num_partitions=2)
+    for name, tab in kinds.items():
+        rep = fsck(tab)
+        bad = rep.filter(~F.col("ok")).collect()
+        assert not bad, (name, bad)
+        assert rep.count() > 0, name
+
+
+def test_fsck_timeseries_flags_manifest_lie(spark):
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark import encode_timeseries
+    from gorilla_stream_spark.validate import fsck
+
+    ts = spark.range(5000).select(
+        (F.col("id") * 1000).alias("ts"), (F.col("id") * 0.5).alias("value")
+    )
+    enc = encode_timeseries(ts, num_partitions=1)
+    # a wrong ts_min silently breaks read_timerange pruning — fsck flags it
+    lie = enc.withColumn("ts_min", F.col("ts_min") + 1)
+    bad = fsck(lie).filter(~F.col("ok")).collect()
+    assert bad and "pruning manifest" in bad[0].error
