@@ -39,6 +39,7 @@ from gorilla_stream_spark.engine import (
 from gorilla_stream_spark.engine import decode_multi, encode_multi
 from gorilla_stream_spark.packing import pack_sequences
 from gorilla_stream_spark.textops import (
+    decontaminate,
     dedup_exact,
     sample_corpus,
     doc_fingerprint,
@@ -90,6 +91,7 @@ __all__ = [
     "validate_timeseries",
     "dedup_exact",
     "neardup_pairs",
+    "decontaminate",
     "simhash",
     "simhash_neardup_pairs",
     "text_stats",

@@ -90,6 +90,27 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_decontaminate(args) -> int:
+    """Flag (and optionally drop) training docs that leak eval content."""
+    from gorilla_stream_spark.textops import decontaminate
+
+    spark = _spark("gss-decontaminate")
+    train = spark.read.parquet(args.train)
+    ev = spark.read.parquet(args.eval)
+    pairs = decontaminate(
+        train, ev, threshold_pct=args.threshold, metric=args.metric
+    ).cache()
+    pairs.write.mode("overwrite").parquet(args.output)
+    out = {"pairs": pairs.count(), "train_docs_flagged": pairs.select("train_id").distinct().count()}
+    if args.cleaned:
+        leaked = pairs.select(F.col("train_id").alias("doc_id")).distinct()
+        kept = train.join(leaked, "doc_id", "left_anti")
+        kept.write.mode("overwrite").parquet(args.cleaned)
+        out["train_docs_kept"] = spark.read.parquet(args.cleaned).count()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_fsck(args) -> int:
     """Source-free integrity check: per-block crc + manifest consistency."""
     from pyspark.sql import functions as F2
@@ -429,6 +450,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="container dictionary file (zlib-dict tables need it to decode)")
     cp.add_argument("--tolerant", action="store_true", help="don't fail on crc mismatch")
     cp.set_defaults(fn=cmd_compact)
+
+    dc = sub.add_parser("decontaminate", help="drop training docs that leak eval content")
+    dc.add_argument("--train", required=True)
+    dc.add_argument("--eval", required=True)
+    dc.add_argument("--output", required=True, help="(train_id, eval_id) pairs parquet")
+    dc.add_argument("--cleaned", default=None, help="also write the cleaned train table here")
+    dc.add_argument("--threshold", type=int, default=70)
+    dc.add_argument("--metric", default="jaccard", choices=["jaccard", "containment"])
+    dc.set_defaults(fn=cmd_decontaminate)
 
     fs = sub.add_parser("fsck", help="source-free integrity check, any block-table kind")
     fs.add_argument("--input", required=True)

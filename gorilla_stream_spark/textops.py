@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cap_hot_buckets",
+    "decontaminate",
     "sample_corpus",
     "dedup_exact",
     "text_stats",
@@ -620,6 +621,19 @@ def cap_hot_buckets(df: DataFrame, key_cols: list[str], max_bucket: int | None) 
     )
 
 
+def _sig_bands(sig_df: DataFrame, rows_per_band: int, num_hashes: int) -> DataFrame:
+    """Explode a (doc_id, sig) table into (doc_id, band_idx, band_hash) rows.
+
+    The Arrow hop producing sig is a projection barrier, so the band
+    expressions read the materialized sig array instead of inlining (and
+    recomputing) the full signature subtree per band.
+    """
+    b = num_hashes // rows_per_band
+    idx = ", ".join(f"sig[{rows_per_band} * j + {i}]" for i in range(rows_per_band))
+    bands = F.expr(f"transform(sequence(0, {b - 1}), j -> xxhash64(j, {idx}))")
+    return sig_df.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     rows_per_band: int = 2,
@@ -644,15 +658,7 @@ def lsh_candidate_pairs(
     (see the skew note in :func:`neardup_pairs`).  ``max_bucket=None``
     disables the cap.
     """
-    from pyspark.sql.window import Window
-
-    b = num_hashes // rows_per_band
-    idx = ", ".join(f"sig[{rows_per_band} * j + {i}]" for i in range(rows_per_band))
-    bands = F.expr(f"transform(sequence(0, {b - 1}), j -> xxhash64(j, {idx}))")
-    # the Arrow hop producing sig is a projection barrier, so the b band
-    # expressions read the materialized sig array instead of inlining (and
-    # recomputing) the full signature subtree per band
-    exploded = sig_df.select("doc_id", F.posexplode(bands).alias("band_idx", "band_hash"))
+    exploded = _sig_bands(sig_df, rows_per_band, num_hashes)
     exploded = cap_hot_buckets(exploded, ["band_idx", "band_hash"], max_bucket)
     a, e2 = exploded.alias("a"), exploded.alias("b")
     return (
@@ -765,6 +771,97 @@ def _verify_pairs(sh_df: DataFrame, cand: DataFrame, threshold_pct: int) -> Data
         joined.filter((100 * inter) >= (threshold_pct * union))
         .select("doc_a", "doc_b")
     )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold_pct: int = 70,
+    k: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+    metric: str = "jaccard",
+) -> DataFrame:
+    """Training docs that leak evaluation content (cross-corpus near-dup).
+
+    The benchmark-decontamination step of an LLM data pipeline: find
+    (train_id, eval_id) pairs whose k-shingle overlap clears
+    ``threshold_pct``, exact integer verify — feed the train ids to a
+    ``left_anti`` join to clean the corpus.
+
+    ``metric="jaccard"`` is the symmetric near-dup test;
+    ``metric="containment"`` scores ``|A ∩ E| / |E|`` against the EVAL
+    doc's shingle set — the right test when a short eval item is embedded
+    inside a longer training document (jaccard would dilute it).
+
+    Scale shape: eval corpora are small (benchmarks), so every eval-side
+    artifact is BROADCAST and the train corpus never shuffles documents.
+    Jaccard mode generates candidates with a broadcast hash join on
+    MinHash band keys, then integer-verifies shingle sets (the verify join
+    broadcast-semi-pruned to candidate train ids).  Containment mode skips
+    MinHash ENTIRELY — symmetric LSH provably misses a small eval doc
+    embedded in a long train doc (the pair's jaccard is tiny, so bands
+    never collide); instead train shingles stream through a broadcast
+    inner join against the eval shingle table, so only MATCHING shingles
+    survive to the (train_id, eval_id) count — exact containment, shuffle
+    volume proportional to actual overlap, not the corpus.
+    """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    tr = train_df.select(
+        F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_text")
+    )
+    ev = eval_df.select(
+        F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_text")
+    )
+    shm_t = shingle_minhash(
+        tr, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes, with_sh=True
+    ).persist()
+    shm_e = shingle_minhash(
+        ev, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes, with_sh=True
+    ).persist()
+    # materialize before the broadcast subtrees build (cache-race note in
+    # neardup_pairs)
+    shm_t.count()
+    shm_e.count()
+    if metric == "containment":
+        t_sh = shm_t.select(F.col("doc_id").alias("train_id"), F.explode("sh").alias("__s"))
+        e_sh = shm_e.select(F.col("doc_id").alias("eval_id"), F.explode("sh").alias("__s"))
+        e_cnt = shm_e.select(
+            F.col("doc_id").alias("eval_id"), F.size("sh").cast("long").alias("__ne")
+        )
+        inter = (
+            t_sh.join(F.broadcast(e_sh), "__s")
+            .groupBy("train_id", "eval_id")
+            .agg(F.count("*").cast("long").alias("__i"))
+        )
+        return (
+            inter.join(F.broadcast(e_cnt), "eval_id")
+            .filter((100 * F.col("__i")) >= (threshold_pct * F.col("__ne")))
+            .select("train_id", "eval_id")
+        )
+    bt = _sig_bands(shm_t.select("doc_id", "sig"), rows_per_band, num_hashes)
+    be = _sig_bands(shm_e.select("doc_id", "sig"), rows_per_band, num_hashes).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    cand = (
+        bt.join(F.broadcast(be), ["band_idx", "band_hash"])
+        .select(F.col("doc_id").alias("train_id"), "eval_id")
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    sa = shm_t.select(F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_a")).join(
+        F.broadcast(cand.select("train_id").distinct()), "train_id", "left_semi"
+    )
+    sb = shm_e.select(F.col("doc_id").alias("eval_id"), F.col("sh").alias("sh_b"))
+    joined = cand.join(sa, "train_id").join(F.broadcast(sb), "eval_id")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
+    ok = (100 * inter) >= (threshold_pct * union)
+    return joined.filter(ok).select("train_id", "eval_id")
 
 
 def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

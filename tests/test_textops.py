@@ -304,3 +304,77 @@ def test_corpus_report_empty_corpus(spark):
     assert len(row) == 1
     r = row[0]
     assert r.n_docs == 0 and r.dup_pct == 0 and r.mean_quality == 0
+
+
+def test_decontaminate_finds_planted_leaks(spark):
+    import random
+
+    from gorilla_stream_spark.textops import decontaminate, neardup_pairs
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(400)]
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    evals = [(1000 + i, mk(30)) for i in range(10)]
+    train = [(i, mk(40)) for i in range(60)]
+    # plant: train doc 3 copies eval 1002 with one word changed (near-dup);
+    # train doc 7 is an exact copy of eval 1005
+    leak1 = evals[2][1].split()
+    leak1[5] = "changed"
+    train[3] = (3, " ".join(leak1))
+    train[7] = (7, evals[5][1])
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "doc_id long, text string")
+    got = {(r.train_id, r.eval_id) for r in decontaminate(tdf, edf).collect()}
+    assert (3, 1002) in got and (7, 1005) in got
+    # no random pair sneaks past the exact verify
+    for t, e in got:
+        assert (t, e) in {(3, 1002), (7, 1005)}
+    # cleaning: left_anti removes exactly the leaked train docs
+    import pyspark.sql.functions as F
+
+    leaked = decontaminate(tdf, edf).select(F.col("train_id").alias("doc_id")).distinct()
+    cleaned = tdf.join(leaked, "doc_id", "left_anti")
+    assert cleaned.count() == 58
+
+
+def test_decontaminate_containment_catches_embedded_eval(spark):
+    import random
+
+    from gorilla_stream_spark.textops import decontaminate
+
+    rng = random.Random(11)
+    words = [f"v{i}" for i in range(300)]
+    mk = lambda n: " ".join(rng.choice(words) for _ in range(n))
+    ev_text = mk(12)
+    evals = [(500, ev_text), (501, mk(12))]
+    # eval 500 embedded inside a much longer train doc: jaccard dilutes
+    # below threshold, containment does not
+    train = [(0, mk(200) + " " + ev_text + " " + mk(200)), (1, mk(150))]
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(evals, "doc_id long, text string")
+    jac = {(r.train_id, r.eval_id) for r in decontaminate(tdf, edf, metric="jaccard").collect()}
+    con = {
+        (r.train_id, r.eval_id)
+        for r in decontaminate(tdf, edf, metric="containment", threshold_pct=90).collect()
+    }
+    assert (0, 500) not in jac
+    assert (0, 500) in con and (1, 501) not in con
+
+
+def test_decontaminate_train_side_never_shuffles(spark, tmp_path):
+    # the candidate join must be a broadcast hash join on band keys — no
+    # Exchange on the train bands branch (eval artifacts broadcast)
+    from gorilla_stream_spark.textops import decontaminate
+
+    tpath, epath = str(tmp_path / "t"), str(tmp_path / "e")
+    spark.createDataFrame(
+        [(i, f"a b c d e f g h {i}") for i in range(50)], "doc_id long, text string"
+    ).write.parquet(tpath)
+    spark.createDataFrame(
+        [(i, f"x y z w u v {i}") for i in range(5)], "doc_id long, text string"
+    ).write.parquet(epath)
+    plan = (
+        decontaminate(spark.read.parquet(tpath), spark.read.parquet(epath))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
