@@ -85,10 +85,13 @@ def analyze_and_recommend(
     return {
         "n_docs": int(n_docs),
         "total_tokens": int(total),
-        "avg_tokens_per_doc": round(float(stats["avg_tok"]), 1),
+        # all-NULL n_tok leaves the aggregates None even with rows present
+        # (pre-backfill tables); report zeros instead of crashing the tool
+        # whose job is to flag exactly that
+        "avg_tokens_per_doc": round(float(stats["avg_tok"] or 0), 1),
         "p50_tokens": int(p50),
         "p99_tokens": int(p99),
-        "max_tokens": int(stats["max_tok"]),
+        "max_tokens": int(stats["max_tok"] or 0),
         "length_skew_p99_over_p50": round(skew, 2),
         # the salted repartition absorbs doc-level skew; flag it so operators
         # know why the explicit shuffle exists (north rule)

@@ -73,10 +73,18 @@ class CheckpointedEncode:
         return fp
 
     def committed_parts(self, spark: SparkSession) -> list[int]:
+        from pyspark.errors import AnalysisException
+
         try:
             cp = spark.read.parquet(self.checkpoint_path)
-        except Exception:
-            return []
+        except AnalysisException as e:
+            # ONLY a first run's missing checkpoint dir means "nothing
+            # committed"; any other failure (permissions, corrupt footer,
+            # transient FS outage) must raise — treating it as empty would
+            # silently re-encode and re-commit the entire job
+            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+                return []
+            raise
         fp = self._config_fingerprint()
         return [
             r["part_id"]
@@ -132,11 +140,15 @@ class CheckpointedEncode:
         # dynamic partition overwrite: a partition half-written by a crashed
         # run (data present, checkpoint row absent) is replaced, not
         # duplicated — the idempotent analog of an Iceberg overwrite-by-filter
+        # partition by (config_fp, part_id): dynamic overwrite then replaces
+        # only THIS fingerprint's directories — a second run with a
+        # different config into the same output table cannot wipe the
+        # first's files while its checkpoint still claims them committed
         (
             enc.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .option("compression", "zstd")
-            .partitionBy("part_id")
+            .partitionBy("config_fp", "part_id")
             .parquet(self.output_path)
         )
         wall = time.time() - t0
@@ -230,7 +242,16 @@ def encode_with_checkpoint(
     )
     job.run(spark, df)
     m = job.metrics(spark)
-    os.makedirs(os.path.dirname(checkpoint_path) or ".", exist_ok=True)
-    with open(os.path.join(checkpoint_path, "_summary.json"), "w") as f:
-        json.dump({k: (float(v) if v is not None else None) for k, v in m.items()}, f)
+    # Hadoop FS write (not local open()): checkpoint_path may be an
+    # hdfs:///s3a:// URI, and a local-fs failure here would surface AFTER
+    # the job fully committed
+    payload = json.dumps({k: (float(v) if v is not None else None) for k, v in m.items()})
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(checkpoint_path + "/_summary.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(payload.encode()))
+    finally:
+        out.close()
     return m

@@ -27,7 +27,10 @@ def _issue_col(max_token: int):
     return (
         F.when(F.col("doc_id").isNull(), "null_doc_id")
         .when(F.col("tokens").isNull(), "null_tokens")
-        .when(F.col("n_tok") != F.size("tokens"), "n_tok_mismatch")
+        .when(
+            F.col("n_tok").isNull() | (F.col("n_tok") != F.size("tokens")),
+            "n_tok_mismatch",
+        )
         .when(F.exists("tokens", lambda t: t.isNull()), "null_token")
         .when(
             F.exists("tokens", lambda t: (t < F.lit(0)) | (t > F.lit(max_token))),
@@ -106,6 +109,9 @@ def validate_timeseries(
     agg = base.groupBy(skey).agg(
         F.count("*").cast("long").alias("n_points"),
         F.countDistinct("__ts").cast("long").alias("n_distinct_ts"),
+        # countDistinct skips NULLs, so duplicates must compare against the
+        # non-null count or any NULL ts fabricates a phantom duplicate
+        F.count("__ts").cast("long").alias("n_ts_nonnull"),
         F.sum(
             F.when(
                 (F.col("__ts") >= 0) & ~F.isnan("__val") & (F.abs("__val") != float("inf")),
@@ -136,7 +142,7 @@ def validate_timeseries(
     sig_gaps = (F.col("large_gaps") * 10 > F.col("n_deltas")).cast("int")
     issues = (
         sig_gaps
-        + (F.col("n_distinct_ts") < F.col("n_points")).cast("int")
+        + (F.col("n_distinct_ts") < F.col("n_ts_nonnull")).cast("int")
         + (F.col("nan_count") > 0).cast("int")
         + (F.col("inf_count") > 0).cast("int")
         + (F.col("n_valid") < F.col("n_points")).cast("int")
@@ -154,7 +160,7 @@ def validate_timeseries(
         "sum_delta",
         "large_gaps",
         sig_gaps.cast("boolean").alias("significant_gaps"),
-        (F.col("n_distinct_ts") < F.col("n_points")).alias("duplicate_timestamps"),
+        (F.col("n_distinct_ts") < F.col("n_ts_nonnull")).alias("duplicate_timestamps"),
         "nan_count",
         "inf_count",
         quality.alias("quality_pct"),
@@ -204,75 +210,12 @@ def validate_vectors(
     )
 
 
-def fsck_blocks(enc_df: DataFrame) -> DataFrame:
-    """Distributed integrity check of an encoded block table — no source
-    needed (the fsck a 100 TB table gets after a copy/migration, when
-    re-deriving from raw is off the table).
-
-    Per block: buffer crc, full decode, raw-stream crc, and manifest
-    consistency (n_tokens vs doc_lens sum vs decoded size).  Never raises —
-    returns one row per block with ``ok`` and the first error string, so
-    the caller aggregates or quarantines.  All work is block-local inside
-    ``mapInArrow``; the scan reads only the columns the check needs.
-    """
-    import zlib
-    from collections.abc import Iterator
-
-    import numpy as np
-
-    from gorilla_stream_spark.codecs import decode_array
-
-    def fn(batches: Iterator) -> Iterator:
-        import pyarrow as pa
-
-        for rb in batches:
-            col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
-            out_id, out_ok, out_err = [], [], []
-            for i in range(rb.num_rows):
-                bid = col["block_id"][i].as_py()
-                err = None
-                try:
-                    buf = col["buffer"][i].as_py()
-                    if "crc32_buf" in col:
-                        bcrc = zlib.crc32(buf)
-                        bexp = col["crc32_buf"][i].as_py()
-                        if bcrc != bexp:
-                            raise ValueError(f"buffer crc32 {bcrc} != manifest {bexp}")
-                    flat = decode_array(buf)
-                    crc = zlib.crc32(flat.astype("<i4").tobytes())
-                    rexp = col["crc32_raw"][i].as_py()
-                    if crc != rexp:
-                        raise ValueError(f"raw crc32 {crc} != manifest {rexp}")
-                    lens = col["doc_lens"][i].values.to_numpy(zero_copy_only=False)
-                    n_tok = col["n_tokens"][i].as_py()
-                    if int(lens.sum()) != n_tok or int(flat.size) != n_tok:
-                        raise ValueError(
-                            f"count mismatch: n_tokens={n_tok},"
-                            f" doc_lens sum={int(lens.sum())}, decoded={int(flat.size)}"
-                        )
-                    if len(col["doc_ids"][i]) != len(lens):
-                        raise ValueError("doc_ids / doc_lens length mismatch")
-                except Exception as e:  # noqa: BLE001 — fsck reports, never dies
-                    err = f"{type(e).__name__}: {e}"
-                out_id.append(bid)
-                out_ok.append(err is None)
-                out_err.append(err)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(out_id, pa.int64()),
-                    pa.array(out_ok, pa.bool_()),
-                    pa.array(out_err, pa.string()),
-                ],
-                names=["block_id", "ok", "error"],
-            )
-
-    needed = ["block_id", "n_tokens", "doc_ids", "doc_lens", "crc32_raw", "buffer"]
-    if "crc32_buf" in enc_df.columns:
-        needed.insert(-1, "crc32_buf")
-    return enc_df.select(*needed).mapInArrow(fn, "block_id long, ok boolean, error string")
-
-
-def _fsck_frame(enc_df: DataFrame, needed: list[str], row_check) -> DataFrame:
+def _fsck_frame(
+    enc_df: DataFrame,
+    needed: list[str],
+    row_check,
+    container_dict: bytes | None = None,
+) -> DataFrame:
     """Shared fsck runner: per-row ``row_check(col, i)`` raises on any
     inconsistency; the report row records the first error instead."""
     from collections.abc import Iterator
@@ -280,6 +223,10 @@ def _fsck_frame(enc_df: DataFrame, needed: list[str], row_check) -> DataFrame:
     def fn(batches: Iterator) -> Iterator:
         import pyarrow as pa
 
+        if container_dict is not None:
+            from gorilla_stream_spark.codecs import register_container_dict
+
+            register_container_dict(container_dict)
         for rb in batches:
             col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
             out_id, out_ok, out_err = [], [], []
@@ -303,6 +250,54 @@ def _fsck_frame(enc_df: DataFrame, needed: list[str], row_check) -> DataFrame:
 
     cols = [c for c in needed if c in enc_df.columns]
     return enc_df.select(*cols).mapInArrow(fn, "block_id long, ok boolean, error string")
+
+
+def fsck_blocks(
+    enc_df: DataFrame, container_dict: bytes | None = None
+) -> DataFrame:
+    """Distributed integrity check of an encoded block table — no source
+    needed (the fsck a 100 TB table gets after a copy/migration, when
+    re-deriving from raw is off the table).
+
+    Per block: buffer crc, full decode, raw-stream crc, and manifest
+    consistency (n_tokens vs doc_lens sum vs decoded size).  Never raises —
+    returns one row per block with ``ok`` and the first error string, so
+    the caller aggregates or quarantines.  Tables written with
+    ``container='zlib-dict'`` need the same ``container_dict`` bytes or
+    every block reports undecodable.
+    """
+    import zlib
+
+    from gorilla_stream_spark.codecs import decode_array
+
+    def check(col, i):
+        buf = col["buffer"][i].as_py()
+        if "crc32_buf" in col:
+            bcrc = zlib.crc32(buf)
+            bexp = col["crc32_buf"][i].as_py()
+            if bcrc != bexp:
+                raise ValueError(f"buffer crc32 {bcrc} != manifest {bexp}")
+        flat = decode_array(buf)
+        crc = zlib.crc32(flat.astype("<i4").tobytes())
+        rexp = col["crc32_raw"][i].as_py()
+        if crc != rexp:
+            raise ValueError(f"raw crc32 {crc} != manifest {rexp}")
+        lens = col["doc_lens"][i].values.to_numpy(zero_copy_only=False)
+        n_tok = col["n_tokens"][i].as_py()
+        if int(lens.sum()) != n_tok or int(flat.size) != n_tok:
+            raise ValueError(
+                f"count mismatch: n_tokens={n_tok},"
+                f" doc_lens sum={int(lens.sum())}, decoded={int(flat.size)}"
+            )
+        if len(col["doc_ids"][i]) != len(lens):
+            raise ValueError("doc_ids / doc_lens length mismatch")
+
+    return _fsck_frame(
+        enc_df,
+        ["block_id", "n_tokens", "doc_ids", "doc_lens", "crc32_raw", "crc32_buf", "buffer"],
+        check,
+        container_dict=container_dict,
+    )
 
 
 def fsck_vectors(enc_df: DataFrame) -> DataFrame:
@@ -422,7 +417,7 @@ def fsck_wire(enc_df: DataFrame) -> DataFrame:
     )
 
 
-def fsck(enc_df: DataFrame) -> DataFrame:
+def fsck(enc_df: DataFrame, container_dict: bytes | None = None) -> DataFrame:
     """Integrity check for ANY engine table — dispatches on the manifest
     shape (token blocks, vector blocks, multi-column blocks, timeseries
     blocks, reference wire blocks).  Returns (block_id, ok, error)."""
@@ -434,7 +429,7 @@ def fsck(enc_df: DataFrame) -> DataFrame:
     if "ts_buffer" in cols:
         return fsck_timeseries(enc_df)
     if "doc_ids" in cols:
-        return fsck_blocks(enc_df)
+        return fsck_blocks(enc_df, container_dict=container_dict)
     if "n_points" in cols and "buffer" in cols:
         return fsck_wire(enc_df)
     raise ValueError(f"unrecognized block-table schema: {sorted(cols)}")

@@ -66,7 +66,7 @@ def test_crash_resume(spark, toks, paths):
     cp = spark.read.parquet(ckpt).filter(F.col("part_id") < 2).toPandas()
     shutil.rmtree(ckpt)
     spark.createDataFrame(cp).write.parquet(ckpt)
-    for d in glob.glob(os.path.join(out, "part_id=3")):
+    for d in glob.glob(os.path.join(out, "config_fp=*", "part_id=3")):
         shutil.rmtree(d)
     job2 = _job(out, ckpt)
     assert sorted(job2.committed_parts(spark)) == [0, 1]
@@ -144,7 +144,7 @@ def test_multi_column_checkpoint_resume(spark, toks, paths):
     job.run(spark, src)
     assert sorted(job.committed_parts(spark)) == [0, 1, 2, 3]
     # simulate crash: drop one partition's data + checkpoint rows
-    shutil.rmtree(glob.glob(os.path.join(out, "part_id=2"))[0])
+    shutil.rmtree(glob.glob(os.path.join(out, "config_fp=*", "part_id=2"))[0])
     cp = spark.read.parquet(ckpt).filter(F.col("part_id") != 2)
     cp.write.mode("overwrite").parquet(ckpt + "_fix")
     shutil.rmtree(ckpt)
@@ -201,3 +201,43 @@ def test_checkpoint_dict_container_roundtrip_and_fingerprint(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="container_dict"):
         CheckpointedEncode(out, ck, "run2", 2, container="zlib-dict").run(spark, docs)
+
+
+def test_two_fingerprints_share_output_without_clobbering(spark, tmp_path):
+    # run B (different codec -> different config_fp) into the SAME output
+    # table must not delete run A's files; both stay fully readable
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark.checkpoint import CheckpointedEncode
+    from gorilla_stream_spark.generator import tokens_df
+
+    src = tokens_df(spark, 120, seed=13).cache()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    for codec in ("raw", "rle"):
+        CheckpointedEncode(
+            output_path=out, checkpoint_path=ck, run_id="r1",
+            num_partitions=2, codec=codec,
+        ).run(spark, src)
+    tab = spark.read.parquet(out)
+    fps = [r.config_fp for r in tab.select("config_fp").distinct().collect()]
+    assert len(fps) == 2
+    for fp in fps:
+        sub = tab.filter(F.col("config_fp") == fp)
+        assert sub.agg(F.sum("n_docs")).first()[0] == 120
+
+
+def test_committed_parts_raises_on_unreadable_checkpoint(spark, tmp_path):
+    from gorilla_stream_spark.checkpoint import CheckpointedEncode
+
+    ck = tmp_path / "ck"
+    job = CheckpointedEncode(
+        output_path=str(tmp_path / "out"), checkpoint_path=str(ck),
+        run_id="r1", num_partitions=2,
+    )
+    assert job.committed_parts(spark) == []  # missing dir: first run
+    ck.mkdir()
+    (ck / "junk.parquet").write_bytes(b"not parquet at all")
+    import pytest as _pt
+
+    with _pt.raises(Exception):
+        job.committed_parts(spark)
