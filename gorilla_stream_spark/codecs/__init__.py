@@ -149,7 +149,9 @@ def encode_paged(
         return buf, CODEC_NAMES[buf[0]]
     bufs = [encode_array(a[i : i + page_tokens], codec=codec) for i in range(0, n, page_tokens)]
     names = [CODEC_NAMES[b[0]] for b in bufs]
-    majority = max(set(names), key=names.count)
+    # sorted() pins ties: set order is hash-seed randomized, and the
+    # manifest codec name must be identical across bit-identical reruns
+    majority = max(sorted(set(names)), key=names.count)
     head = bytes([PAGED]) + _struct.pack("<II", len(bufs), page_tokens)
     directory = b"".join(_struct.pack("<I", len(b)) for b in bufs)
     return head + directory + b"".join(bufs), majority

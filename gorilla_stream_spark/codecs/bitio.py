@@ -103,9 +103,15 @@ def unpack(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     if width == 0:
         return np.zeros(n, dtype=np.uint64)
-    raw = np.frombuffer(buf, dtype=np.uint8, count=(n * width + 7) >> 3) if isinstance(
-        buf, (bytes, bytearray, memoryview)
-    ) else np.asarray(buf, dtype=np.uint8)[: (n * width + 7) >> 3]
+    nbytes = (n * width + 7) >> 3
+    if isinstance(buf, (bytes, bytearray, memoryview)):
+        raw = np.frombuffer(buf, dtype=np.uint8, count=nbytes)
+    else:
+        raw = np.asarray(buf, dtype=np.uint8)[:nbytes]
+        if raw.size < nbytes:
+            # match the bytes path: a short ndarray must raise, not
+            # zero-fill the missing payload into silent corruption
+            raise ValueError(f"unpack: buffer has {raw.size} bytes, need {nbytes}")
     if width == 64:
         return raw.view(">u8").astype(np.uint64)
     ngroups = (n + 7) >> 3

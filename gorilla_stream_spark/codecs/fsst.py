@@ -105,6 +105,10 @@ def fsst_encode(a: np.ndarray, table: np.ndarray | None = None, passes: int = 2)
     if table is None:
         table = train_pair_table(a)
     table = np.asarray(table, dtype=np.uint64)
+    if table.size > MAX_TABLE:
+        # the header stores table size as u16 — fail before doing the work,
+        # not in struct.pack at the end
+        raise ValueError(f"fsst table size {table.size} exceeds {MAX_TABLE}")
     if n < 2 or table.size == 0:
         body = bytes([DICT]) + intcodecs.dict_encode(a)
         return struct.pack("<IIH", n, 0, 0) + body
@@ -156,6 +160,12 @@ def fsst_decode(buf: bytes) -> np.ndarray:
     table = np.frombuffer(mv[10:off], dtype="<u8")
     is_pair = body >= base
     m = body.size
+    if m + int(is_pair.sum()) != n:
+        # corrupt header count must raise, not return np.empty() garbage
+        raise ValueError(
+            f"fsst count mismatch: header n={n},"
+            f" reconstructed {m + int(is_pair.sum())}"
+        )
     out_pos = np.arange(m) + np.concatenate(([0], np.cumsum(is_pair[:-1])))
     out = np.empty(n, dtype=_I64)
     keys = np.empty(m, dtype=np.uint64)

@@ -235,7 +235,10 @@ def cmd_neardup(args) -> int:
     n_in = None
     if args.dedup_first:
         n_in = df.count()
-        df = dedup_exact(df, content_col=args.text_col, id_col=args.id_col)
+        # cache: the deduped lineage feeds BOTH the near-dup pipeline and
+        # the rows_after_dedup metric — without it the corpus-wide dedup
+        # shuffle executes twice
+        df = dedup_exact(df, content_col=args.text_col, id_col=args.id_col).cache()
     pairs = neardup_pairs(
         df, text_col=args.text_col, id_col=args.id_col, threshold_pct=args.threshold,
         verify=args.verify_mode,
@@ -260,6 +263,13 @@ def cmd_encode_multi(args) -> int:
     cols = [c.strip() for c in args.columns.split(",") if c.strip()]
     df = spark.read.parquet(args.input)
     if args.checkpoint:
+        if args.id_col != "doc_id":
+            # the checkpoint protocol's lineage/resume exprs key on doc_id;
+            # silently ignoring --id-col would fingerprint the wrong column
+            raise SystemExit(
+                "--id-col is not supported with --checkpoint; rename the id"
+                " column to doc_id upstream"
+            )
         from gorilla_stream_spark.checkpoint import encode_with_checkpoint
 
         m = encode_with_checkpoint(

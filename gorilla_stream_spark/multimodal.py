@@ -161,6 +161,14 @@ def image_features(
             payloads = rb.column(1)
             if kernel is None:
                 w_arr, h_arr, mean_arr = fake_batch(payloads)
+                if (
+                    (w_arr < 0).any() or (w_arr >= 1 << 31).any()
+                    or (h_arr < 0).any() or (h_arr >= 1 << 31).any()
+                ):
+                    # match the kernel path's fail-loud behavior: a header
+                    # declaring dims >= 2^31 is corrupt media, and int32
+                    # truncation would emit silently negative sizes
+                    raise ValueError("image header width/height outside int32 range")
                 w_out = w_arr.astype(np.int32)
                 h_out = h_arr.astype(np.int32)
                 mean_out = mean_arr

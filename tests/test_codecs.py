@@ -417,3 +417,61 @@ def test_openzl_container_guarded():
         np.testing.assert_array_equal(
             _codecs.decode_array(wrapped), np.arange(64, dtype=np.int64)
         )
+
+
+def test_fsst_decode_rejects_inflated_count():
+    import struct
+
+    import numpy as np
+
+    from gorilla_stream_spark.codecs.fsst import fsst_decode, fsst_encode
+
+    rng = np.random.default_rng(3)
+    a = np.repeat(rng.integers(0, 50, 100), 16).astype(np.int64)
+    buf = fsst_encode(a)
+    n, tsize = struct.unpack_from("<II", buf, 0)
+    assert n == a.size
+    forged = struct.pack("<I", n + 100) + buf[4:]
+    with pytest.raises((ValueError, IndexError)):
+        fsst_decode(forged)
+
+
+def test_fsst_encode_rejects_oversized_table():
+    import numpy as np
+
+    from gorilla_stream_spark.codecs.fsst import MAX_TABLE, fsst_encode
+
+    a = np.arange(100, dtype=np.int64)
+    big = np.arange(MAX_TABLE + 1, dtype=np.uint64)
+    with pytest.raises(ValueError, match="table size"):
+        fsst_encode(a, table=big)
+
+
+def test_bitio_unpack_truncated_ndarray_raises():
+    import numpy as np
+
+    from gorilla_stream_spark.codecs import bitio
+
+    packed = np.frombuffer(bitio.pack(np.arange(16, dtype=np.uint64), 5), np.uint8)
+    with pytest.raises(ValueError, match="need"):
+        bitio.unpack(packed[:4], 5, 16)
+    # intact ndarray still round-trips
+    out = bitio.unpack(packed, 5, 16)
+    assert list(out) == list(range(16))
+
+
+def test_encode_paged_majority_tiebreak_deterministic():
+    import numpy as np
+
+    from gorilla_stream_spark.codecs import encode_paged
+
+    # two pages: one constant (rle), one random (raw/for family) — the
+    # majority name on a 1-1 tie must be stable across hash seeds
+    # (alphabetical winner)
+    page = 1 << 16
+    a = np.concatenate([
+        np.zeros(page, dtype=np.int64),
+        np.random.default_rng(1).integers(0, 1 << 40, page),
+    ])
+    names = {encode_paged(a, page_tokens=page)[1] for _ in range(5)}
+    assert len(names) == 1
