@@ -303,6 +303,19 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
         queries["q8c_simhash_hof_10k"] / n_sample
     ) / (queries["q8b_simhash_kernel"] / n_corpus)
 
+    # q8d: benchmark decontamination — every 20th doc plays the eval set;
+    # eval-side bands/shingles broadcast, the train side never shuffles
+    from gorilla_stream_spark.textops import decontaminate
+
+    t0 = time.time()
+    leaks = decontaminate(
+        corpus.filter(F.col("doc_id") % 20 != 0),
+        corpus.filter(F.col("doc_id") % 20 == 0),
+    ).count()
+    queries["q8d_decontaminate"] = time.time() - t0
+    extras["decontaminate_docs_per_sec"] = n_corpus / queries["q8d_decontaminate"]
+    extras["decontaminate_pairs"] = leaks
+
     # vectors: mixture-of-Gaussians embeddings (256 unit-norm cluster
     # centers, ~86% clustered members + ~14% background noise, all rows
     # L2-normalized) — the realistic shape for ANN pruning and quantized
@@ -488,6 +501,11 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     queries["q12b_wire_decode_5m"] = time.time() - t0
     assert nwd == n5m, (nwd, n5m)
     extras["wire_decode_points_per_sec"] = n5m / queries["q12b_wire_decode_5m"]
+
+    # release every cached intermediate the pass accumulated (operator
+    # persists, sample caches) so pass 2 starts from the same storage
+    # baseline and the shared local-mode heap never creeps toward OOM
+    spark.catalog.clearCache()
 
     return queries, extras
 

@@ -773,6 +773,20 @@ def _verify_pairs(sh_df: DataFrame, cand: DataFrame, threshold_pct: int) -> Data
     )
 
 
+def _finalize_unpersist(res: DataFrame, caches: list[DataFrame]) -> DataFrame:
+    """Materialize ``res`` (small by construction: flagged pairs), then
+    release the corpus-sized cached intermediates feeding it.  Without this
+    every call leaks persisted storage for the session lifetime — in a
+    long-lived driver (or a bench loop) that accumulates until executor
+    heap OOM.
+    """
+    res = res.persist()
+    res.count()
+    for c in caches:
+        c.unpersist()
+    return res
+
+
 def decontaminate(
     train_df: DataFrame,
     eval_df: DataFrame,
@@ -837,11 +851,12 @@ def decontaminate(
             .groupBy("train_id", "eval_id")
             .agg(F.count("*").cast("long").alias("__i"))
         )
-        return (
+        res = (
             inter.join(F.broadcast(e_cnt), "eval_id")
             .filter((100 * F.col("__i")) >= (threshold_pct * F.col("__ne")))
             .select("train_id", "eval_id")
         )
+        return _finalize_unpersist(res, [shm_t, shm_e])
     bt = _sig_bands(shm_t.select("doc_id", "sig"), rows_per_band, num_hashes)
     be = _sig_bands(shm_e.select("doc_id", "sig"), rows_per_band, num_hashes).withColumnRenamed(
         "doc_id", "eval_id"
@@ -861,7 +876,7 @@ def decontaminate(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
     ok = (100 * inter) >= (threshold_pct * union)
-    return joined.filter(ok).select("train_id", "eval_id")
+    return _finalize_unpersist(joined.filter(ok).select("train_id", "eval_id"), [shm_t, shm_e, cand])
 
 
 def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
