@@ -725,7 +725,10 @@ def neardup_pairs(
             num_hashes=num_hashes,
         ).persist()
         cand.count()  # materialize before the broadcast subtrees build
-        return _verify_pairs(shmin.select("doc_id", "sh"), cand, threshold_pct)
+        return _finalize_unpersist(
+            _verify_pairs(shmin.select("doc_id", "sh"), cand, threshold_pct),
+            [shmin, cand],
+        )
     sig = shingle_minhash(
         slim, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
         with_sh=False,
@@ -747,7 +750,7 @@ def neardup_pairs(
         docs_c, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
         with_sh=True,
     ).select("doc_id", "sh").persist()
-    return _verify_pairs(shc, cand, threshold_pct)
+    return _finalize_unpersist(_verify_pairs(shc, cand, threshold_pct), [sig, cand, shc])
 
 
 def _verify_pairs(sh_df: DataFrame, cand: DataFrame, threshold_pct: int) -> DataFrame:
@@ -1013,7 +1016,9 @@ def neardup_pairs_tokens(
         shmin.select("doc_id", "sig"), rows_per_band=rows_per_band, num_hashes=num_hashes
     ).persist()
     cand.count()  # materialize before the broadcast subtrees build
-    return _verify_pairs(shmin.select("doc_id", "sh"), cand, threshold_pct)
+    return _finalize_unpersist(
+        _verify_pairs(shmin.select("doc_id", "sh"), cand, threshold_pct), [shmin, cand]
+    )
 
 
 def token_stats(

@@ -378,3 +378,18 @@ def test_decontaminate_train_side_never_shuffles(spark, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_neardup_pairs_releases_caches(spark):
+    # operator persists must not outlive the call: a long-lived driver
+    # calling near-dup repeatedly would otherwise leak storage to OOM
+    from gorilla_stream_spark.textops import neardup_pairs
+
+    rows = [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(80)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    res = neardup_pairs(df)
+    res.count()
+    after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    # only the (small) materialized result may remain cached
+    assert len(after) <= before + 1, [str(x) for x in after]
