@@ -78,11 +78,18 @@ class CheckpointedEncode:
         try:
             cp = spark.read.parquet(self.checkpoint_path)
         except AnalysisException as e:
-            # ONLY a first run's missing checkpoint dir means "nothing
-            # committed"; any other failure (permissions, corrupt footer,
-            # transient FS outage) must raise — treating it as empty would
-            # silently re-encode and re-commit the entire job
-            if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            # ONLY "no checkpoint yet" means "nothing committed": a missing
+            # dir, or a dir holding nothing but _temporary/ debris from a
+            # run that crashed before its first task commit (Spark then
+            # cannot infer a schema).  Any other failure (permissions,
+            # corrupt footer, transient FS outage) must raise — treating it
+            # as empty would silently re-encode and re-commit the whole job
+            msg = str(e)
+            if (
+                "PATH_NOT_FOUND" in msg
+                or "Path does not exist" in msg
+                or "UNABLE_TO_INFER_SCHEMA" in msg
+            ):
                 return []
             raise
         fp = self._config_fingerprint()
@@ -157,7 +164,26 @@ class CheckpointedEncode:
         # only scans the partitions this run just wrote; committed partitions'
         # buffers are never re-read (at 100 TB a resume that rescanned the
         # whole encoded table to write a few manifest rows would dominate).
-        out = spark.read.parquet(self.output_path)
+        # pin the schema: the (config_fp, part_id) layout lets configs with
+        # DIFFERENT block schemas (single-column vs token_cols) share one
+        # output table, so inference from a random file could pick the
+        # other config's schema and break the aggregation below.  The
+        # config_fp filter is partition pruning — only this config's files
+        # are ever scanned.
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        if self.token_cols:
+            from gorilla_stream_spark.engine import MULTI_ENCODED_DDL
+
+            base_schema = StructType.fromDDL(MULTI_ENCODED_DDL)
+        else:
+            from gorilla_stream_spark.engine import ENCODED_SCHEMA
+
+            base_schema = ENCODED_SCHEMA
+        read_schema = StructType(
+            list(base_schema.fields) + [StructField("config_fp", StringType(), True)]
+        )
+        out = spark.read.schema(read_schema).parquet(self.output_path)
         if done:
             new_parts = sorted(set(range(self.num_partitions)) - done)
             # fully-committed job: nothing new to aggregate or commit

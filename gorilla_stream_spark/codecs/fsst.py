@@ -156,6 +156,10 @@ def fsst_decode(buf: bytes) -> np.ndarray:
     off = 10 + tsize * 8
     body = decode_array(mv[off:])
     if tsize == 0:
+        # the no-table fallback stores the stream verbatim: its own count
+        # must still match the header (a forged n would otherwise pass)
+        if body.size != n:
+            raise ValueError(f"fsst count mismatch: header n={n}, body {body.size}")
         return body
     table = np.frombuffer(mv[10:off], dtype="<u8")
     is_pair = body >= base

@@ -80,6 +80,14 @@ ENCODED_SCHEMA = StructType(
     ]
 )
 
+MULTI_ENCODED_DDL = (
+    "block_id long, part_id int, n_docs int, doc_ids array<string>,"
+    " id_min string, id_max string,"
+    " col_names array<string>, codecs array<string>,"
+    " col_lens array<array<int>>, raw_bytes long, enc_bytes long,"
+    " crc32_bufs array<long>, buffers array<binary>"
+)
+
 DECODED_SCHEMA = StructType(
     [
         StructField("doc_id", StringType(), False),
@@ -359,7 +367,11 @@ def encode(
     table must pass a base above the table's current max ``part_id``, or
     both runs number partitions from 0 and their block ids collide.
     (Streaming ingest gets this from ``encode_stream``'s replay markers;
-    compaction computes it automatically.)
+    compaction computes it automatically.)  Id allocation is
+    snapshot-based, so CONCURRENT writers to one table — two appends, or
+    an append racing a compaction — can still both read the same max and
+    collide; serialize table maintenance, or reserve disjoint base ranges
+    per writer up front.
     """
     if source_col and source_col not in df.columns:
         source_col = None
@@ -1031,14 +1043,7 @@ def encode_multi(
                     schema=out_schema,
                 )
 
-    ddl = (
-        "block_id long, part_id int, n_docs int, doc_ids array<string>,"
-        " id_min string, id_max string,"
-        " col_names array<string>, codecs array<string>,"
-        " col_lens array<array<int>>, raw_bytes long, enc_bytes long,"
-        " crc32_bufs array<long>, buffers array<binary>"
-    )
-    return slim.mapInArrow(fn, ddl)
+    return slim.mapInArrow(fn, MULTI_ENCODED_DDL)
 
 
 def decode_multi(enc_df: DataFrame, token_cols: list[str], strict: bool = True) -> DataFrame:

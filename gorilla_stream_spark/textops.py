@@ -753,7 +753,15 @@ def neardup_pairs(
     return _finalize_unpersist(_verify_pairs(shc, cand, threshold_pct), [sig, cand, shc])
 
 
-def _verify_pairs(sh_df: DataFrame, cand: DataFrame, threshold_pct: int) -> DataFrame:
+def _verify_pairs(
+    sh_df: DataFrame,
+    cand: DataFrame,
+    threshold_pct: int,
+    sh_df_b: DataFrame | None = None,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    broadcast_b: bool = False,
+) -> DataFrame:
     """Exact integer-jaccard verification of candidate pairs.
 
     ``sh_df`` is a (doc_id, sh) table covering at least every candidate id;
@@ -762,17 +770,27 @@ def _verify_pairs(sh_df: DataFrame, cand: DataFrame, threshold_pct: int) -> Data
     shuffle — the verify stage's cost is proportional to the candidate set,
     not the corpus.  Callers persist/materialize ``sh_df`` and ``cand``
     (both feed multiple plan branches).
+
+    ``sh_df_b`` serves the CROSS-corpus case (decontaminate): the b side
+    reads a different shingle table, and ``broadcast_b=True`` ships it
+    whole (small eval corpora) instead of semi-pruning.  The integer
+    jaccard threshold formula lives only here — both the symmetric and
+    the cross-corpus operators share it.
     """
-    sa = sh_df.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh_df.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    sa = sa.join(F.broadcast(cand.select("doc_a").distinct()), "doc_a", "left_semi")
-    sb = sb.join(F.broadcast(cand.select("doc_b").distinct()), "doc_b", "left_semi")
-    joined = cand.join(sa, "doc_a").join(sb, "doc_b")
+    sa = sh_df.select(F.col("doc_id").alias(a_col), F.col("sh").alias("sh_a"))
+    sb_src = sh_df if sh_df_b is None else sh_df_b
+    sb = sb_src.select(F.col("doc_id").alias(b_col), F.col("sh").alias("sh_b"))
+    sa = sa.join(F.broadcast(cand.select(a_col).distinct()), a_col, "left_semi")
+    if broadcast_b:
+        joined = cand.join(sa, a_col).join(F.broadcast(sb), b_col)
+    else:
+        sb = sb.join(F.broadcast(cand.select(b_col).distinct()), b_col, "left_semi")
+        joined = cand.join(sa, a_col).join(sb, b_col)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
     union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
     return (
         joined.filter((100 * inter) >= (threshold_pct * union))
-        .select("doc_a", "doc_b")
+        .select(a_col, b_col)
     )
 
 
@@ -781,7 +799,9 @@ def _finalize_unpersist(res: DataFrame, caches: list[DataFrame]) -> DataFrame:
     release the corpus-sized cached intermediates feeding it.  Without this
     every call leaks persisted storage for the session lifetime — in a
     long-lived driver (or a bench loop) that accumulates until executor
-    heap OOM.
+    heap OOM.  The returned result itself stays cached (it must — its
+    lineage now points at unpersisted frames); callers looping over many
+    corpora should ``res.unpersist()`` when done with each result.
     """
     res = res.persist()
     res.count()
@@ -815,15 +835,18 @@ def decontaminate(
 
     Scale shape: eval corpora are small (benchmarks), so every eval-side
     artifact is BROADCAST and the train corpus never shuffles documents.
-    Jaccard mode generates candidates with a broadcast hash join on
-    MinHash band keys, then integer-verifies shingle sets (the verify join
-    broadcast-semi-pruned to candidate train ids).  Containment mode skips
-    MinHash ENTIRELY — symmetric LSH provably misses a small eval doc
-    embedded in a long train doc (the pair's jaccard is tiny, so bands
-    never collide); instead train shingles stream through a broadcast
-    inner join against the eval shingle table, so only MATCHING shingles
-    survive to the (train_id, eval_id) count — exact containment, shuffle
-    volume proportional to actual overlap, not the corpus.
+    Jaccard mode runs the signatures-only corpus pass (~1 KB/doc cached),
+    generates candidates with a broadcast hash join on MinHash band keys,
+    then RECOMPUTES shingle sets for candidate train docs only before the
+    integer verify — the heavy per-doc sets are never materialized for
+    the non-candidate bulk (the ``neardup_pairs`` verify="recompute"
+    strategy).  Containment mode skips MinHash ENTIRELY — symmetric LSH
+    provably misses a small eval doc embedded in a long train doc (the
+    pair's jaccard is tiny, so bands never collide); instead train
+    shingles stream uncached through a broadcast inner join against the
+    eval shingle table, so only MATCHING shingles survive to the
+    (train_id, eval_id) count — exact containment, shuffle volume
+    proportional to actual overlap, not the corpus.
     """
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -833,17 +856,18 @@ def decontaminate(
     ev = eval_df.select(
         F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_text")
     )
-    shm_t = shingle_minhash(
-        tr, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes, with_sh=True
-    ).persist()
     shm_e = shingle_minhash(
         ev, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes, with_sh=True
     ).persist()
-    # materialize before the broadcast subtrees build (cache-race note in
-    # neardup_pairs)
-    shm_t.count()
-    shm_e.count()
+    shm_e.count()  # materialize before the broadcast subtrees build
     if metric == "containment":
+        # single streaming pass over train shingles (never cached): only
+        # shingles MATCHING the broadcast eval table survive the inner
+        # join, so shuffle volume tracks actual overlap, not the corpus
+        shm_t = shingle_minhash(
+            tr, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
+            with_sh=True,
+        )
         t_sh = shm_t.select(F.col("doc_id").alias("train_id"), F.explode("sh").alias("__s"))
         e_sh = shm_e.select(F.col("doc_id").alias("eval_id"), F.explode("sh").alias("__s"))
         e_cnt = shm_e.select(
@@ -859,8 +883,18 @@ def decontaminate(
             .filter((100 * F.col("__i")) >= (threshold_pct * F.col("__ne")))
             .select("train_id", "eval_id")
         )
-        return _finalize_unpersist(res, [shm_t, shm_e])
-    bt = _sig_bands(shm_t.select("doc_id", "sig"), rows_per_band, num_hashes)
+        return _finalize_unpersist(res, [shm_e])
+    # jaccard: the 10^12-doc shape — corpus-wide pass computes SIGNATURES
+    # only (~1 KB/doc cached); the heavy per-doc shingle sets are
+    # recomputed for CANDIDATE train docs only (broadcast-semi-pruned),
+    # so they are never materialized for the non-candidate bulk
+    # (the neardup_pairs verify="recompute" strategy)
+    sig_t = shingle_minhash(
+        tr, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
+        with_sh=False,
+    ).persist()
+    sig_t.count()
+    bt = _sig_bands(sig_t.select("doc_id", "sig"), rows_per_band, num_hashes)
     be = _sig_bands(shm_e.select("doc_id", "sig"), rows_per_band, num_hashes).withColumnRenamed(
         "doc_id", "eval_id"
     )
@@ -871,15 +905,18 @@ def decontaminate(
         .persist()
     )
     cand.count()
-    sa = shm_t.select(F.col("doc_id").alias("train_id"), F.col("sh").alias("sh_a")).join(
-        F.broadcast(cand.select("train_id").distinct()), "train_id", "left_semi"
+    cand_ids = cand.select(F.col("train_id").alias("__nd_id")).distinct()
+    docs_c = tr.join(F.broadcast(cand_ids), "__nd_id", "left_semi")
+    shc = shingle_minhash(
+        docs_c, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
+        with_sh=True,
+    ).select("doc_id", "sh").persist()
+    res = _verify_pairs(
+        shc, cand, threshold_pct,
+        sh_df_b=shm_e.select("doc_id", "sh"),
+        a_col="train_id", b_col="eval_id", broadcast_b=True,
     )
-    sb = shm_e.select(F.col("doc_id").alias("eval_id"), F.col("sh").alias("sh_b"))
-    joined = cand.join(sa, "train_id").join(F.broadcast(sb), "eval_id")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("long") - inter
-    ok = (100 * inter) >= (threshold_pct * union)
-    return _finalize_unpersist(joined.filter(ok).select("train_id", "eval_id"), [shm_t, shm_e, cand])
+    return _finalize_unpersist(res, [sig_t, shm_e, cand, shc])
 
 
 def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

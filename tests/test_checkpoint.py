@@ -241,3 +241,36 @@ def test_committed_parts_raises_on_unreadable_checkpoint(spark, tmp_path):
 
     with _pt.raises(Exception):
         job.committed_parts(spark)
+
+
+def test_committed_parts_empty_checkpoint_dir_is_first_run(spark, tmp_path):
+    # a crash before the first task commit leaves only _temporary/ debris;
+    # that must read as "first run", not a permanent resume blocker
+    from gorilla_stream_spark.checkpoint import CheckpointedEncode
+
+    ck = tmp_path / "ck"
+    (ck / "_temporary").mkdir(parents=True)
+    job = CheckpointedEncode(
+        output_path=str(tmp_path / "out"), checkpoint_path=str(ck),
+        run_id="r1", num_partitions=2,
+    )
+    assert job.committed_parts(spark) == []
+
+
+def test_mixed_schema_output_table_single_and_multi(spark, tmp_path):
+    # a single-column config and a token_cols config sharing one output
+    # table must not poison each other's schema inference
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark.checkpoint import CheckpointedEncode
+    from gorilla_stream_spark.generator import tokens_df
+
+    src = tokens_df(spark, 80, seed=21).cache()
+    multi_src = src.withColumn("mask", F.expr("transform(tokens, t -> 1)")).cache()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    CheckpointedEncode(out, ck, "r1", 2, codec="auto").run(spark, src)
+    job2 = CheckpointedEncode(out, ck, "r1", 2, token_cols=["tokens", "mask"])
+    job2.run(spark, multi_src)
+    assert sorted(job2.committed_parts(spark)) == [0, 1]
+    m = job2.metrics(spark)
+    assert m["parts_committed"] == 2 and m["docs"] == 80

@@ -475,3 +475,19 @@ def test_encode_paged_majority_tiebreak_deterministic():
     ])
     names = {encode_paged(a, page_tokens=page)[1] for _ in range(5)}
     assert len(names) == 1
+
+
+def test_fsst_decode_rejects_forged_count_on_dict_fallback():
+    import struct
+
+    import numpy as np
+
+    from gorilla_stream_spark.codecs.fsst import fsst_decode, fsst_encode
+
+    a = np.array([5], dtype=np.int64)  # n < 2 -> tsize == 0 fallback path
+    buf = fsst_encode(a)
+    n, tsize = struct.unpack_from("<II", buf, 0)
+    assert tsize == 0
+    forged = struct.pack("<I", n + 3) + buf[4:]
+    with pytest.raises(ValueError, match="count mismatch"):
+        fsst_decode(forged)
