@@ -356,6 +356,34 @@ def cmd_ann(args) -> int:
     return 0
 
 
+def cmd_sample(args) -> int:
+    """Deterministic stratified sampling (data mixing) as a scan predicate."""
+    from gorilla_stream_spark.textops import sample_corpus
+
+    spark = _spark("gss-sample")
+    df = spark.read.parquet(args.input)
+    if args.rates:
+        fractions = {}
+        for part in args.rates.split(","):
+            k, _, v = part.partition("=")
+            fractions[k.strip()] = float(v)
+    else:
+        fractions = float(args.fraction)
+    out = sample_corpus(
+        df, fractions, seed=args.seed, source_col=args.source_col, hash_fn=args.hash_fn
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    print(json.dumps({
+        "rows_in": df.count(), "rows_out": res.count(),
+        "by_source": {
+            r[args.source_col]: r["n"]
+            for r in res.groupBy(args.source_col).agg(F.count("*").alias("n")).collect()
+        } if args.source_col in res.columns else None,
+    }))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack documents into fixed-length training sequences."""
     from gorilla_stream_spark.packing import pack_sequences
@@ -552,6 +580,16 @@ def main(argv: list[str] | None = None) -> int:
     dv.add_argument("--output", required=True)
     dv.add_argument("--tolerant", action="store_true")
     dv.set_defaults(fn=cmd_decode_vectors)
+
+    sm = sub.add_parser("sample", help="deterministic stratified sampling (data mixing)")
+    sm.add_argument("--input", required=True)
+    sm.add_argument("--output", required=True)
+    sm.add_argument("--fraction", type=float, default=1.0, help="global keep rate")
+    sm.add_argument("--rates", default=None, help="per-source rates: src1=0.5,src2=0.1")
+    sm.add_argument("--seed", type=int, default=1337)
+    sm.add_argument("--source-col", default="source")
+    sm.add_argument("--hash-fn", default="xxhash64", choices=["xxhash64", "md5"])
+    sm.set_defaults(fn=cmd_sample)
 
     pk = sub.add_parser("pack", help="pack docs into fixed-length training sequences")
     pk.add_argument("--input", required=True)
