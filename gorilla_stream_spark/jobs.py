@@ -50,7 +50,10 @@ def cmd_decode(args) -> int:
 
     spark = _spark("gss-decode")
     enc = spark.read.parquet(args.input)
-    decode(enc, strict=not args.tolerant).write.mode("overwrite").parquet(args.output)
+    cdict = open(args.dict_path, "rb").read() if args.dict_path else None
+    decode(enc, strict=not args.tolerant, container_dict=cdict).write.mode(
+        "overwrite"
+    ).parquet(args.output)
     print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
     return 0
 
@@ -118,7 +121,8 @@ def cmd_fsck(args) -> int:
     from gorilla_stream_spark.validate import fsck
 
     spark = _spark("gss-fsck")
-    rep = fsck(spark.read.parquet(args.input)).cache()
+    cdict = open(args.dict_path, "rb").read() if args.dict_path else None
+    rep = fsck(spark.read.parquet(args.input), container_dict=cdict).cache()
     bad = rep.filter(~F2.col("ok"))
     n_bad = bad.count()
     if args.report:
@@ -472,6 +476,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--input", required=True)
     d.add_argument("--output", required=True)
     d.add_argument("--tolerant", action="store_true", help="don't fail on crc mismatch")
+    d.add_argument("--dict-path", default=None,
+                   help="container dictionary file (zlib-dict tables)")
     d.set_defaults(fn=cmd_decode)
 
     cp = sub.add_parser("compact", help="merge under-filled blocks into full ones")
@@ -501,6 +507,8 @@ def main(argv: list[str] | None = None) -> int:
     fs = sub.add_parser("fsck", help="source-free integrity check, any block-table kind")
     fs.add_argument("--input", required=True)
     fs.add_argument("--report", default=None, help="write bad-block rows here")
+    fs.add_argument("--dict-path", default=None,
+                    help="container dictionary file (zlib-dict tables)")
     fs.set_defaults(fn=cmd_fsck)
 
     v = sub.add_parser("verify", help="bit-identity round-trip check")

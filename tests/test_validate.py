@@ -79,3 +79,24 @@ def test_fsck_timeseries_flags_manifest_lie(spark):
     lie = enc.withColumn("ts_min", F.col("ts_min") + 1)
     bad = fsck(lie).filter(~F.col("ok")).collect()
     assert bad and "pruning manifest" in bad[0].error
+
+
+def test_fsck_dict_container_table(spark):
+    import pyspark.sql.functions as F
+
+    from gorilla_stream_spark import encode
+    from gorilla_stream_spark.codecs import train_container_dict
+    from gorilla_stream_spark.validate import fsck
+
+    docs = spark.range(60).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.expr("transform(sequence(1, 30), i -> cast((id + i) % 64 as int))").alias("tokens"),
+        F.lit("s").alias("source"),
+    )
+    sample = [bytes(r.buffer) for r in encode(docs.limit(8), num_partitions=1).collect()]
+    d = train_container_dict(sample)
+    enc = encode(docs, num_partitions=1, container="zlib-dict", container_dict=d).cache()
+    # without the dict every block reads undecodable; with it all green
+    bad_without = fsck(enc).filter(~F.col("ok")).count()
+    assert bad_without == enc.count()
+    assert fsck(enc, container_dict=d).filter(~F.col("ok")).count() == 0
