@@ -183,7 +183,7 @@ def _sign_extend(v: np.ndarray, width: int) -> np.ndarray:
 def _dod_fields(d: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Fused (prefix | payload) field per delta-of-delta -> (vals, widths)."""
     d = d.astype(np.int64, copy=False)
-    u = d.view(np.uint64) if d.dtype == np.int64 else d.astype(np.int64).view(np.uint64)
+    u = d.view(np.uint64)
     c0 = d == 0
     c1 = (~c0) & (d >= -63) & (d <= 64)
     c2 = (~c0) & (~c1) & (d >= -255) & (d <= 256)
@@ -243,7 +243,9 @@ def _decode_dod_stream(
     ``bits`` is the unpacked region (drives the jump table); payloads are
     gathered from ``packed`` bytes at absolute offset ``base`` + position.
     """
-    if count == 0:
+    if count <= 0:
+        # a forged/corrupt inner count can drive this negative via
+        # count-1 arithmetic upstream — empty result, not IndexError
         return np.empty(0, dtype=np.int64), start
     n = bits.size
     J = _ts_jump_table(bits)
@@ -288,8 +290,7 @@ def _detect_scale(vals: np.ndarray) -> int:
     return best
 
 
-def _round_half_away(v: np.ndarray) -> np.ndarray:
-    return np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5))
+from gorilla_stream_spark.codecs.floatcodecs import _round_half_away  # noqa: E402
 
 
 def _vm_preprocess(
@@ -647,7 +648,10 @@ def decode_points(
     )
     # the reference decodes from the inner header (bit_packing.ex:136-199)
     count, ts_bit_len, val_bit_len = i_count, i_ts_len, i_val_len
-    if count > (1 << 28):
+    if count > (1 << 28) or count < 1:
+        # an empty series encodes to an empty buffer (handled above), so a
+        # zero/negative inner count on a non-empty payload is corruption —
+        # downstream first-value reads would IndexError instead
         raise ValueError(f"gorilla wire: implausible count {count}")
     data = payload[32:]
     need_bytes = (ts_bit_len + val_bit_len + 7) >> 3

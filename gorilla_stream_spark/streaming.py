@@ -84,8 +84,15 @@ def encode_stream(
             codec=codec,
             num_partitions=num_partitions,
             block_tokens=block_tokens,
-        ).withColumn("batch_id", F.lit(batch_id))
-        enc.write.mode("append").option("compression", "zstd").parquet(output_path)
+        )
+        # idempotent replay: each batch owns a batch_id=N directory written
+        # with overwrite — a crash BETWEEN this write and the marker used to
+        # duplicate the whole batch on replay (append mode); now the replay
+        # just rewrites the same directory.  Readers discover batch_id as a
+        # partition column.
+        enc.write.mode("overwrite").option("compression", "zstd").parquet(
+            output_path.rstrip("/") + f"/batch_id={batch_id}"
+        )
         write_marker(spark, marker)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(
@@ -136,39 +143,41 @@ def _dedup_kernel(blob: bytes, pdfs):
         a, b = hu[:-1], hu[1:]
         if ((a[:, 0] > b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] > b[:, 1]))).any():
             hist = np.sort(hist)
-    outs = []
+    frames = [pdf for pdf in pdfs if len(pdf)]
+    if not frames:
+        return None, None
+    # concatenate ALL Arrow chunks before deduping: the lowest-id-wins rule
+    # is a whole-batch property, and applyInPandasWithState splits large
+    # groups into multiple chunks — per-chunk processing would keep
+    # whichever chunk arrived first, diverging from batch dedup_exact
+    pdf = pd.concat(frames) if len(frames) > 1 else frames[0]
+    pdf = pdf.sort_values("__oid", kind="stable")
+    m = len(pdf)
+    dig = np.frombuffer(b"".join(pdf["__h"]), dtype=V16)
+    # first occurrence in __oid order: stable argsort groups equal digests
+    # with original order preserved, so each group's first sorted element
+    # is its earliest row
+    order = np.argsort(dig, kind="stable")
+    sv = dig[order]
+    starts = np.ones(m, dtype=bool)
+    if m > 1:
+        starts[1:] = sv[1:] != sv[:-1]
+    keep = np.zeros(m, dtype=bool)
+    keep[order[starts]] = True
+    # drop digests already committed to state (vectorized probe)
+    if hist.size:
+        pos = np.minimum(np.searchsorted(hist, dig), hist.size - 1)
+        keep &= hist[pos] != dig
+    out = None
     grew = False
-    for pdf in pdfs:
-        m = len(pdf)
-        if not m:
-            continue
-        pdf = pdf.sort_values("__oid", kind="stable")
-        dig = np.frombuffer(b"".join(pdf["__h"]), dtype=V16)
-        # within-chunk first occurrence in __oid order: stable argsort
-        # groups equal digests with original order preserved, so each
-        # group's first sorted element is its earliest row
-        order = np.argsort(dig, kind="stable")
-        sv = dig[order]
-        starts = np.ones(m, dtype=bool)
-        if m > 1:
-            starts[1:] = sv[1:] != sv[:-1]
-        keep = np.zeros(m, dtype=bool)
-        keep[order[starts]] = True
-        # drop digests already committed to state (vectorized probe)
-        if hist.size:
-            pos = np.minimum(np.searchsorted(hist, dig), hist.size - 1)
-            keep &= hist[pos] != dig
-        if keep.any():
-            outs.append(pdf.iloc[np.flatnonzero(keep)][["doc_id", "text"]])
-            # O(U + m) sorted merge (a full re-sort would be O(U log U)
-            # per batch once state holds millions of digests)
-            newdig = np.sort(dig[keep])
-            hist = np.insert(hist, np.searchsorted(hist, newdig), newdig)
-            grew = True
-    return (
-        pd.concat(outs) if outs else None,
-        hist.tobytes() if grew else None,
-    )
+    if keep.any():
+        out = pdf.iloc[np.flatnonzero(keep)][["doc_id", "text"]]
+        # O(U + m) sorted merge (a full re-sort would be O(U log U)
+        # per batch once state holds millions of digests)
+        newdig = np.sort(dig[keep])
+        hist = np.insert(hist, np.searchsorted(hist, newdig), newdig)
+        grew = True
+    return out, hist.tobytes() if grew else None
 
 
 def dedup_stream(

@@ -180,6 +180,10 @@ def encode_vectors(
 
     if quantize not in (None, "int8", "fp16"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
+    if layout not in ("hash", "lsh"):
+        # a typo here would silently build a table ann_search cannot use,
+        # surfacing only after the (possibly enormous) encode job finished
+        raise ValueError(f"unknown layout {layout!r} (expected 'hash' or 'lsh')")
     slim = df.select(
         F.col(id_col).cast("long").alias("vec_id"),
         # cast once at the plan (no-op for array<float> inputs): the lsh
@@ -436,10 +440,16 @@ def topk_dot(
         raise ValueError("topk_dot requires at least one query vector")
     if quantize not in ("jvm", "numpy"):
         raise ValueError(f"unknown quantize mode {quantize!r}")
+    from gorilla_stream_spark.codecs.floatcodecs import _round_half_away
+
     qids = [int(q) for q, _ in queries]
-    Q = np.array(
-        [[round(float(x) * QUANT) for x in v] for _, v in queries], dtype=np.int64
-    )
+    # half-AWAY rounding, matching SQL round() and the numpy corpus kernel:
+    # Python's round() is half-even, so a component landing exactly on a .5
+    # boundary would quantize differently on the two sides and break the
+    # integer-exact score/oracle parity
+    Q = _round_half_away(
+        np.array([[float(x) for x in v] for _, v in queries], dtype=np.float64) * QUANT
+    ).astype(np.int64)
     _q_max = _np_maxabs_i64(Q)
 
     if quantize == "jvm":
@@ -456,8 +466,7 @@ def topk_dot(
             ids = rb.column(0).to_numpy(zero_copy_only=False)
             if quantize == "numpy":
                 fl, lens = _flatten_arrow(rb.column(1), dtype=None)
-                v = fl.astype(np.float64) * QUANT
-                flat = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(np.int64)
+                flat = _round_half_away(fl.astype(np.float64) * QUANT).astype(np.int64)
             else:
                 flat, lens = _flatten_arrow(rb.column(1))
             if flat.size == 0:
@@ -607,12 +616,13 @@ def cosine_neardup_pairs(
             .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
             .distinct()
         )
-        # materialize pairs once (the cache entry lives until session
-        # cleanup — bounded: id pairs only), then broadcast-semi-prune BOTH
-        # vector sides to candidate ids (8 B/id) before the wide joins — the
+        # materialize pairs once, then broadcast-semi-prune BOTH vector
+        # sides to candidate ids (8 B/id) before the wide joins — the
         # dim-length qv arrays of non-candidate vectors never shuffle
         # (same two-pass shape as textops._verify_pairs), so verify cost
-        # tracks the candidate set, not the corpus
+        # tracks the candidate set, not the corpus.  The cache is released
+        # after the result materializes (below) — operator persists must
+        # not outlive the call (textops._finalize_unpersist rationale)
         pairs = pairs.persist()
         pairs.count()
         a = a.join(F.broadcast(pairs.select("id_a").distinct()), "id_a", "left_semi")
@@ -627,7 +637,12 @@ def cosine_neardup_pairs(
         F.col("dot").cast("double") * F.col("dot").cast("double")
         >= F.lit(t2) * F.col("na").cast("double") * F.col("nb").cast("double")
     )
-    return cand.withColumn("dot", dot).filter(cond).select("id_a", "id_b", "dot")
+    res = cand.withColumn("dot", dot).filter(cond).select("id_a", "id_b", "dot")
+    if not exact:
+        from gorilla_stream_spark.textops import _finalize_unpersist
+
+        return _finalize_unpersist(res, [pairs])
+    return res
 
 
 def ann_search(
@@ -663,9 +678,15 @@ def ann_search(
     """
     if not queries:
         raise ValueError("ann_search requires at least one query vector")
-    if "lsh_keys" not in enc_df.columns or not enc_df.filter(
-        F.col("lsh_keys").isNotNull()
-    ).limit(1).count():
+    head = (
+        enc_df.select("lsh_keys").head(1)
+        if "lsh_keys" in enc_df.columns
+        else None
+    )
+    # layout is table-wide, so ONE row decides — the previous
+    # filter(isNotNull).count() probe scanned the whole table in the
+    # worst case (hash layout: every row null) just to raise
+    if head is None or (head and head[0]["lsh_keys"] is None):
         raise ValueError(
             "ann_search requires an lsh-layout table (encode_vectors(layout='lsh'))"
             " — this table has no lsh_keys manifest"

@@ -581,3 +581,28 @@ def test_vm_mode_byte_for_byte():
         victoria_metrics=True, is_counter=True, creation_time=55,
     )
     assert got == exp
+
+
+def test_decode_points_zeroed_inner_count_raises_cleanly():
+    # a corrupt buffer whose inner count is zeroed (outer count nonzero)
+    # must fail with the decoder's ValueError contract, never IndexError
+    import struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from gorilla_stream_spark.gorilla_wire import decode_points, encode_points
+
+    buf = bytearray(encode_points(np.array([1000, 2000, 3000]), np.array([1.0, 2.0, 3.0])))
+    # inner header starts at the outer header end (offset 80); count is its
+    # first u32 field
+    inner_off = 80
+    struct.pack_into("<I", buf, inner_off, 0)
+    try:
+        ts, vals, info = decode_points(bytes(buf), strict=False)
+        assert ts.size == 0 or ts.size == 3  # tolerated decode is fine
+    except ValueError:
+        pass  # ValueError is the contract
+    except IndexError as e:  # pragma: no cover
+        raise AssertionError(f"IndexError leaked: {e}")
