@@ -164,3 +164,44 @@ def test_cli_pack(spark, tmp_path):
     assert packed.agg(F.sum("n_tok")).first()[0] == 100 * 37
     full = packed.filter(F.col("n_tok") == 64).count()
     assert full == (100 * 37) // 64
+
+
+def test_cli_compact_and_fsck(spark, tmp_path, capsys):
+    from gorilla_stream_spark import encode
+    from gorilla_stream_spark.generator import tokens_df
+
+    enc_path, out = str(tmp_path / "enc"), str(tmp_path / "comp")
+    encode(tokens_df(spark, 150, seed=31), num_partitions=2, block_tokens=600).write.parquet(
+        enc_path
+    )
+    assert jobs.main([
+        "compact", "--input", enc_path, "--output", out, "--block-tokens", "8000",
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["blocks_after"] < m["blocks_before"] and m["blocks_merged_into"] > 0
+    assert jobs.main(["fsck", "--input", out]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["bad"] == 0 and m["blocks"] > 0
+
+
+def test_cli_decontaminate_and_sample(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs")
+    spark.read.parquet(f"{SF}/documents.parquet").write.parquet(src)
+    tr, ev = str(tmp_path / "tr"), str(tmp_path / "ev")
+    docs = spark.read.parquet(src)
+    docs.filter(F.col("doc_id") % 5 != 0).write.parquet(tr)
+    docs.filter(F.col("doc_id") % 5 == 0).write.parquet(ev)
+    pairs, clean = str(tmp_path / "pairs"), str(tmp_path / "clean")
+    assert jobs.main([
+        "decontaminate", "--train", tr, "--eval", ev,
+        "--output", pairs, "--cleaned", clean,
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["pairs"] > 0
+    assert m["train_docs_kept"] + m["train_docs_flagged"] == spark.read.parquet(tr).count()
+    sout = str(tmp_path / "sampled")
+    assert jobs.main([
+        "sample", "--input", src, "--output", sout, "--fraction", "0.3",
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < m["rows_out"] < m["rows_in"]
