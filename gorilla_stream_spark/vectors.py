@@ -115,6 +115,23 @@ def _bucket_keys(M: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return keys
 
 
+def _hamming_ball(keys: np.ndarray, n_bits: int, flips: int) -> set[int]:
+    """Every bucket key within ``flips`` bit flips of any input key —
+    bounded by sum of C(n_bits, f), never by the corpus."""
+    from itertools import combinations
+
+    probes: set[int] = set()
+    for key in keys.tolist():
+        probes.add(int(key))
+        for f in range(1, max(0, int(flips)) + 1):
+            for bits in combinations(range(n_bits), f):
+                flip = 0
+                for i in bits:
+                    flip |= 1 << i
+                probes.add(int(key) ^ flip)
+    return probes
+
+
 def _with_bucket(slim: DataFrame, n_bits: int = INDEX_BITS) -> DataFrame:
     """Append the coarse LSH bucket key (vectorized numpy, one Arrow pass)."""
     import pyarrow as pa
@@ -695,20 +712,7 @@ def ann_search(
     planes = _index_planes(dim)
     Q = np.array([v for _, v in queries], dtype=np.float64)
     keys = _bucket_keys(Q, planes)
-    from itertools import combinations
-
-    n_bits = planes.shape[0]
-    probes: set[int] = set()
-    for key in keys.tolist():
-        probes.add(key)
-        # every key within `probe_flips` bit flips (sum of C(n_bits, f) —
-        # bounded by the small index width, never by the corpus)
-        for f in range(1, max(0, int(probe_flips)) + 1):
-            for bits in combinations(range(n_bits), f):
-                flip = 0
-                for i in bits:
-                    flip |= 1 << i
-                probes.add(key ^ flip)
+    probes = _hamming_ball(keys, planes.shape[0], probe_flips)
     wanted = F.array(*[F.lit(int(p)).cast("long") for p in sorted(probes)])
     overlap = F.arrays_overlap(F.col("lsh_keys"), wanted)
     if "bucket_pfx" in enc_df.columns:
@@ -817,8 +821,18 @@ def pq_encode(
     codebooks: np.ndarray,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    with_bucket: bool = False,
 ) -> DataFrame:
-    """(vec_id, codes:binary) — one byte per subspace (m B/vector)."""
+    """(vec_id, codes:binary) — one byte per subspace (m B/vector).
+
+    ``with_bucket=True`` is the IVF-PQ layout: each row additionally
+    carries its coarse random-hyperplane ``bucket`` key (the SAME planes
+    :func:`ann_search` probes with) and a ``bucket_pfx`` column; write the
+    table ``partitionBy("bucket_pfx")`` and :func:`pq_topk` with
+    ``probe_flips`` prunes whole directories before any code is scored —
+    the billion-vector shape where scanning every 8 B code row per query
+    is itself too much I/O.
+    """
     import pyarrow as pa
 
     m, k, dsub = codebooks.shape
@@ -827,6 +841,7 @@ def pq_encode(
     books = codebooks.astype(np.float32)
 
     def fn(batches: Iterator) -> Iterator:
+        planes = None
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -847,13 +862,24 @@ def pq_encode(
             codes_arr = pa.FixedSizeBinaryArray.from_buffers(
                 pa.binary(m), n_rows, [None, pa.py_buffer(codes.tobytes())]
             ).cast(pa.binary())
-            yield pa.RecordBatch.from_arrays(
-                [pa.array(ids, pa.int64()), codes_arr],
-                names=["vec_id", "codes"],
-            )
+            arrays = [pa.array(ids, pa.int64()), codes_arr]
+            names = ["vec_id", "codes"]
+            if with_bucket:
+                if planes is None:
+                    planes = _index_planes(d)
+                keys = _bucket_keys(X.astype(np.float64), planes)
+                arrays += [
+                    pa.array(keys, pa.int64()),
+                    pa.array((keys >> _PFX_SHIFT).astype(np.int32), pa.int32()),
+                ]
+                names += ["bucket", "bucket_pfx"]
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     slim = df.select(F.col(id_col).cast("long").alias("vec_id"), F.col(vec_col))
-    return slim.mapInArrow(fn, "vec_id long, codes binary")
+    ddl = "vec_id long, codes binary"
+    if with_bucket:
+        ddl += ", bucket long, bucket_pfx int"
+    return slim.mapInArrow(fn, ddl)
 
 
 def pq_topk(
@@ -861,6 +887,7 @@ def pq_topk(
     codebooks: np.ndarray,
     queries: list[tuple[int, list[float]]],
     k: int = 10,
+    probe_flips: int | None = None,
 ) -> DataFrame:
     """Approximate top-k inner product over PQ codes (asymmetric distance).
 
@@ -869,6 +896,13 @@ def pq_topk(
     8 B/vector of state.  Same shuffle shape as :func:`topk_dot`: local
     top-k per partition, global top-k over k*q survivors.  Ranking is
     approximate (codebook quantization error); see the recall pytest.
+
+    ``probe_flips`` (requires a ``pq_encode(with_bucket=True)`` table)
+    turns this into IVF-PQ: codes are pre-filtered to the queries'
+    hamming-ball probe buckets — a plain int predicate pushed to the scan,
+    and directory pruning when the table is partitioned by ``bucket_pfx``
+    — so per-query cost tracks the probed cells, not the corpus.  Probing
+    unions all queries' cells; extra candidates only widen recall.
     """
     import pyarrow as pa
 
@@ -879,6 +913,19 @@ def pq_topk(
     Q = np.asarray([v for _, v in queries], dtype=np.float64)
     if Q.shape[1] != m * dsub:
         raise ValueError(f"query dim {Q.shape[1]} != codebook dim {m * dsub}")
+    if probe_flips is not None:
+        if "bucket" not in codes_df.columns:
+            raise ValueError(
+                "probe_flips requires an IVF-PQ codes table"
+                " (pq_encode(with_bucket=True)) — no bucket column here"
+            )
+        planes = _index_planes(m * dsub)
+        probes = sorted(_hamming_ball(_bucket_keys(Q, planes), planes.shape[0], probe_flips))
+        cond = F.col("bucket").isin([int(p) for p in probes])
+        if "bucket_pfx" in codes_df.columns:
+            pfxs = sorted({int(p) >> _PFX_SHIFT for p in probes})
+            cond = F.col("bucket_pfx").isin(pfxs) & cond
+        codes_df = codes_df.filter(cond)
     # LUT[q][j][c] = dot(q_sub_j, centroid_c of subspace j)
     luts = np.stack(
         [
