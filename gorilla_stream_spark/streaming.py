@@ -55,6 +55,54 @@ def write_marker(spark, marker: str) -> None:
     out.close()
 
 
+def _get_or_create_stream_id(spark, checkpoint_dir: str) -> str:
+    """Stable per-checkpoint ingest id, persisted beside the markers.
+
+    Namespaces this stream's output directories: a NEW checkpoint dir
+    (fresh stream, or a recreated one) gets a fresh id, so its batch
+    numbering can never overwrite another run's ``batch_id=N`` data.
+    """
+    path = _ckpt_join(checkpoint_dir, "stream_id")
+    fs, jpath = _hadoop_path(spark, path)
+    if fs.exists(jpath):
+        stream = fs.open(jpath)
+        try:
+            data = bytearray()
+            b = stream.read()
+            while b != -1 and len(data) < 64:
+                data.append(b)
+                b = stream.read()
+        finally:
+            stream.close()
+        sid = bytes(data).decode().strip()
+        if sid:
+            return sid
+    import uuid
+
+    sid = uuid.uuid4().hex[:12]
+    fs.mkdirs(jpath.getParent())
+    out = fs.create(jpath, True)
+    try:
+        out.write(bytearray(sid.encode()))
+    finally:
+        out.close()
+    return sid
+
+
+def _legacy_flat_layout(spark, output_path: str) -> bool:
+    """True when ``output_path`` holds root-level parquet files — a table
+    written by the pre-ingest-directory sink (batch_id as a data column).
+    Mixing that with ``ingest=.../batch_id=N`` directories would break
+    partition discovery, so such tables keep the legacy append sink."""
+    fs, jpath = _hadoop_path(spark, output_path)
+    if not fs.exists(jpath):
+        return False
+    for st in fs.listStatus(jpath):
+        if st.isFile() and st.getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def encode_stream(
     stream_df: DataFrame,
     output_path: str,
@@ -71,6 +119,9 @@ def encode_stream(
     """
     spark = stream_df.sparkSession
     committed_marker = _ckpt_join(checkpoint_dir, "committed_batches")
+    P = num_partitions or spark.sparkContext.defaultParallelism
+    stream_id = _get_or_create_stream_id(spark, checkpoint_dir)
+    legacy = _legacy_flat_layout(spark, output_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = _ckpt_join(committed_marker, str(batch_id))
@@ -79,20 +130,40 @@ def encode_stream(
         # HDFS/S3 checkpoint dirs, not just the driver's local disk
         if marker_exists(spark, marker):
             return
+        # block ids are unique across the stream's micro-batches:
+        # part_id = batch_id * P + task partition (int32-guarded).  Across
+        # DIFFERENT ingest runs into one table, (ingest, block_id) is the
+        # unique pair — the ingest partition column disambiguates.
+        part_base = 0 if legacy else int(batch_id) * P
+        if part_base + P >= (1 << 31):
+            raise ValueError(
+                f"batch {batch_id} x {P} partitions exceeds int32 part_id space —"
+                " compact the table and restart the stream with a fresh checkpoint"
+            )
         enc = encode(
             batch_df,
             codec=codec,
             num_partitions=num_partitions,
             block_tokens=block_tokens,
+            part_base=part_base,
         )
-        # idempotent replay: each batch owns a batch_id=N directory written
-        # with overwrite — a crash BETWEEN this write and the marker used to
-        # duplicate the whole batch on replay (append mode); now the replay
-        # just rewrites the same directory.  Readers discover batch_id as a
-        # partition column.
-        enc.write.mode("overwrite").option("compression", "zstd").parquet(
-            output_path.rstrip("/") + f"/batch_id={batch_id}"
-        )
+        if legacy:
+            # pre-directory-layout table: keep appending flat files with the
+            # batch_id data column (the replay crash-window caveat applies —
+            # compact + migrate to a fresh output dir to upgrade)
+            enc.withColumn("batch_id", F.lit(batch_id)).write.mode("append").option(
+                "compression", "zstd"
+            ).parquet(output_path)
+        else:
+            # idempotent replay: each batch owns an ingest=<id>/batch_id=N
+            # directory written with overwrite — a crash BETWEEN this write
+            # and the marker used to duplicate the whole batch on replay
+            # (append mode); the replay now just rewrites the directory, and
+            # the per-checkpoint ingest id keeps restarted-from-zero batch
+            # numbering of OTHER runs out of this run's directories.
+            enc.write.mode("overwrite").option("compression", "zstd").parquet(
+                _ckpt_join(output_path, f"ingest={stream_id}", f"batch_id={batch_id}")
+            )
         write_marker(spark, marker)
 
     writer = stream_df.writeStream.foreachBatch(process_batch).option(

@@ -459,9 +459,15 @@ def shingle_minhash(
     k: int = 3,
     num_hashes: int = 128,
     with_sh: bool = True,
+    with_sig: bool = True,
 ) -> DataFrame:
     """(doc_id, sh: distinct k-shingle hashes, sig: MinHash signature) in ONE
     vectorized Arrow pass — no interpreted per-element Spark expressions.
+
+    ``with_sig=False`` skips the MinHash reduction entirely (column pruning
+    cannot reach inside the kernel): consumers that only need the shingle
+    sets — containment-mode decontamination — should not pay for 128
+    affine reductions per doc.
 
     Per batch: all texts split at once, every word hashed with ONE
     ``pandas.util.hash_array`` call (SipHash, fixed key — deterministic
@@ -484,12 +490,19 @@ def shingle_minhash(
     mix_rng = np.random.default_rng(_SH_MIX[0] & 0xFFFFFFFF)
     MIX = (mix_rng.integers(1, 2**63 - 1, k).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
 
+    if not with_sh and not with_sig:
+        raise ValueError("shingle_minhash: at least one of with_sh/with_sig required")
     fields = [("doc_id", pa.int64())]
     if with_sh:
         fields.append(("sh", pa.list_(pa.int64())))
-    fields.append(("sig", pa.list_(pa.int64())))
+    if with_sig:
+        fields.append(("sig", pa.list_(pa.int64())))
     out_schema = pa.schema(fields)
-    out_ddl = "doc_id long, " + ("sh array<long>, " if with_sh else "") + "sig array<long>"
+    out_ddl = (
+        "doc_id long"
+        + (", sh array<long>" if with_sh else "")
+        + (", sig array<long>" if with_sig else "")
+    )
 
     def fn(batches):
         import pyarrow.compute as pc
@@ -541,7 +554,6 @@ def shingle_minhash(
             slens = np.bincount(dh, minlength=len(ids))
             keep = slens > 0
             offs_all = np.concatenate(([0], np.cumsum(slens[keep])))
-            sig = _affine_min_sig(h, offs_all[:-1].astype(np.intp), A, B)
             arrays = [pa.array(ids[keep], pa.int64())]
             if with_sh:
                 arrays.append(
@@ -550,11 +562,13 @@ def shingle_minhash(
                         pa.array(h.view(np.int64), pa.int64()),
                     )
                 )
-            arrays.append(
-                pa.FixedSizeListArray.from_arrays(
-                    pa.array(sig.view(np.int64).ravel(), type=pa.int64()), num_hashes
-                ).cast(pa.list_(pa.int64()))
-            )
+            if with_sig:
+                sig = _affine_min_sig(h, offs_all[:-1].astype(np.intp), A, B)
+                arrays.append(
+                    pa.FixedSizeListArray.from_arrays(
+                        pa.array(sig.view(np.int64).ravel(), type=pa.int64()), num_hashes
+                    ).cast(pa.list_(pa.int64()))
+                )
             yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     slim = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("__text"))
@@ -866,7 +880,7 @@ def decontaminate(
         # join, so shuffle volume tracks actual overlap, not the corpus
         shm_t = shingle_minhash(
             tr, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
-            with_sh=True,
+            with_sh=True, with_sig=False,
         )
         t_sh = shm_t.select(F.col("doc_id").alias("train_id"), F.explode("sh").alias("__s"))
         e_sh = shm_e.select(F.col("doc_id").alias("eval_id"), F.explode("sh").alias("__s"))

@@ -702,11 +702,13 @@ def ann_search(
     )
     # layout is table-wide, so ONE row decides — the previous
     # filter(isNotNull).count() probe scanned the whole table in the
-    # worst case (hash layout: every row null) just to raise
-    if head is None or (head and head[0]["lsh_keys"] is None):
+    # worst case (hash layout: every row null) just to raise.  An EMPTY
+    # table also raises: a broken/mis-filtered index must not be
+    # indistinguishable from "no neighbors found"
+    if head is None or not head or head[0]["lsh_keys"] is None:
         raise ValueError(
-            "ann_search requires an lsh-layout table (encode_vectors(layout='lsh'))"
-            " — this table has no lsh_keys manifest"
+            "ann_search requires a non-empty lsh-layout table"
+            " (encode_vectors(layout='lsh')) — no lsh_keys manifest here"
         )
     dim = len(queries[0][1])
     planes = _index_planes(dim)

@@ -416,3 +416,62 @@ def test_dedup_kernel_migrates_unsorted_legacy_state():
     )
     assert list(out["doc_id"]) == ["51"]  # content 1 is a legacy duplicate
     assert len(blob) == 5 * 16
+
+
+def test_stream_block_ids_unique_and_restart_does_not_clobber(spark, tmp_path):
+    from gorilla_stream_spark.streaming import encode_stream
+
+    src1, src2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    out = str(tmp_path / "out")
+    tokens_df(spark, 120, seed=41).write.parquet(src1)
+    tokens_df(spark, 90, seed=43).selectExpr(
+        "concat('x', doc_id) AS doc_id", "tokens", "n_tok", "source"
+    ).write.parquet(src2)
+    schema = spark.read.parquet(src1).schema
+    # run 1
+    q = encode_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src1),
+        out, str(tmp_path / "ck1"), num_partitions=2,
+    )
+    q.awaitTermination(240)
+    n1 = decode(spark.read.parquet(out)).count()
+    assert n1 == 120
+    # run 2: NEW checkpoint, batch numbering restarts at 0 — must not
+    # overwrite run 1's batch directories
+    q = encode_stream(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src2),
+        out, str(tmp_path / "ck2"), num_partitions=2,
+    )
+    q.awaitTermination(240)
+    tab = spark.read.parquet(out)
+    assert decode(tab).count() == 210
+    # two distinct ingest namespaces; (ingest, block_id) unique table-wide,
+    # and block_id unique WITHIN each ingest run (part_base = batch * P)
+    assert tab.select("ingest").distinct().count() == 2
+    assert (
+        tab.groupBy("ingest", "block_id").count().filter(F.col("count") > 1).count() == 0
+    )
+
+
+def test_stream_legacy_flat_table_keeps_appending(spark, tmp_path):
+    from gorilla_stream_spark import encode
+    from gorilla_stream_spark.streaming import encode_stream
+
+    out = str(tmp_path / "legacy_out")
+    # a pre-directory-layout table: flat parquet with batch_id data column
+    encode(tokens_df(spark, 50, seed=5), num_partitions=1).withColumn(
+        "batch_id", F.lit(0)
+    ).write.parquet(out)
+    src = str(tmp_path / "src")
+    tokens_df(spark, 60, seed=6).selectExpr(
+        "concat('y', doc_id) AS doc_id", "tokens", "n_tok", "source"
+    ).write.parquet(src)
+    q = encode_stream(
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 2).parquet(src),
+        out, str(tmp_path / "ckl"), num_partitions=1,
+    )
+    q.awaitTermination(240)
+    tab = spark.read.parquet(out)
+    assert "batch_id" in tab.columns and "ingest" not in tab.columns
+    assert decode(tab).count() == 110
