@@ -667,6 +667,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(train, ev)
 
 
+def q_decontaminate_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # containment mode: |train ∩ eval| / |eval| — the embedded-eval test;
+    # a distinct code path from q55 (no MinHash: exploded-shingle
+    # broadcast join), cross-checked exactly against DuckDB
+    from gorilla_stream_spark.textops import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 5 != 0)
+    ev = docs.filter(F.col("doc_id") % 5 == 0)
+    return decontaminate(train, ev, metric="containment", threshold_pct=80)
+
+
 def q_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stratified deterministic sampling (O61), md5 mode — the subset is a
     # pure function of (doc_id, seed) reproducible in ANY engine, which is
@@ -773,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q53_sample_corpus": q_sample_corpus,
         "q54_compact_roundtrip": q_compact_roundtrip,
         "q55_decontaminate": q_decontaminate,
+        "q56_decontaminate_containment": q_decontaminate_containment,
     }
 
 
@@ -1168,6 +1181,21 @@ inter AS (SELECT t.doc_id AS ti, e.doc_id AS ei, count(*) AS ii
 SELECT CAST(ti AS BIGINT) AS train_id, CAST(ei AS BIGINT) AS eval_id
 FROM inter JOIN cnt ct ON ct.doc_id=ti JOIN cnt ce ON ce.doc_id=ei
 WHERE 100*ii >= 70*(ct.n + ce.n - ii)
+""",
+        "q56_decontaminate_containment": """
+WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS word,
+                  generate_subscripts(string_split(text,' '),1) AS i
+           FROM documents WHERE len(string_split(text,' ')) >= 3),
+sh AS (SELECT DISTINCT a.doc_id, a.word||' '||b.word||' '||c.word AS sh
+       FROM w a JOIN w b ON a.doc_id=b.doc_id AND b.i=a.i+1
+                JOIN w c ON a.doc_id=c.doc_id AND c.i=a.i+2),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT t.doc_id AS ti, e.doc_id AS ei, count(*) AS ii
+          FROM sh t JOIN sh e ON t.sh=e.sh
+          WHERE t.doc_id % 5 <> 0 AND e.doc_id % 5 = 0 GROUP BY 1,2)
+SELECT CAST(ti AS BIGINT) AS train_id, CAST(ei AS BIGINT) AS eval_id
+FROM inter JOIN cnt ce ON ce.doc_id=ei
+WHERE 100*ii >= 80*ce.n
 """,
         "q53_sample_corpus": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
