@@ -89,18 +89,28 @@ def _get_or_create_stream_id(spark, checkpoint_dir: str) -> str:
     return sid
 
 
-def _legacy_flat_layout(spark, output_path: str) -> bool:
-    """True when ``output_path`` holds root-level parquet files — a table
-    written by the pre-ingest-directory sink (batch_id as a data column).
-    Mixing that with ``ingest=.../batch_id=N`` directories would break
-    partition discovery, so such tables keep the legacy append sink."""
+def _detect_layout(spark, output_path: str) -> str | None:
+    """Classify an existing output table's directory layout.
+
+    ``"flat"`` — root-level parquet files (the original append sink,
+    batch_id as a data column): keep appending in that shape, since mixing
+    it with partition directories breaks discovery.  ``"batchdirs"`` — bare
+    root-level ``batch_id=N`` directories (a short-lived interim sink):
+    cannot be safely continued (that layout is what allowed restarted
+    batch numbering to clobber data) NOR mixed with ``ingest=`` dirs, so
+    the caller fails fast with migration instructions.  ``None`` — empty
+    or ingest-namespaced: the current layout.
+    """
     fs, jpath = _hadoop_path(spark, output_path)
     if not fs.exists(jpath):
-        return False
+        return None
     for st in fs.listStatus(jpath):
-        if st.isFile() and st.getPath().getName().endswith(".parquet"):
-            return True
-    return False
+        name = st.getPath().getName()
+        if st.isFile() and name.endswith(".parquet"):
+            return "flat"
+        if st.isDirectory() and name.startswith("batch_id="):
+            return "batchdirs"
+    return None
 
 
 def encode_stream(
@@ -119,9 +129,19 @@ def encode_stream(
     """
     spark = stream_df.sparkSession
     committed_marker = _ckpt_join(checkpoint_dir, "committed_batches")
+    # pin P once and pass it to every encode below: letting encode
+    # re-resolve defaultParallelism per batch would shift part_base math
+    # under dynamic allocation and overlap batches' part_id ranges
     P = num_partitions or spark.sparkContext.defaultParallelism
     stream_id = _get_or_create_stream_id(spark, checkpoint_dir)
-    legacy = _legacy_flat_layout(spark, output_path)
+    layout = _detect_layout(spark, output_path)
+    if layout == "batchdirs":
+        raise ValueError(
+            f"{output_path} holds bare batch_id=N directories (an interim"
+            " sink layout that cannot be continued safely): compact the"
+            " table into a fresh path, then restart the stream against it"
+        )
+    legacy = layout == "flat"
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         marker = _ckpt_join(committed_marker, str(batch_id))
@@ -135,15 +155,23 @@ def encode_stream(
         # DIFFERENT ingest runs into one table, (ingest, block_id) is the
         # unique pair — the ingest partition column disambiguates.
         part_base = 0 if legacy else int(batch_id) * P
-        if part_base + P >= (1 << 31):
+        from gorilla_stream_spark.engine import _COMPACT_PART_BASE
+
+        if part_base + P >= _COMPACT_PART_BASE:
+            # streams stay below the compaction-reserved part_id namespace
+            # (engine._COMPACT_PART_BASE) so maintenance compaction can
+            # never hand out ids a continuing stream will also reach.  The
+            # restart is safe: a fresh checkpoint gets a new ingest
+            # namespace, and (ingest, block_id) is the table-wide key.
             raise ValueError(
-                f"batch {batch_id} x {P} partitions exceeds int32 part_id space —"
-                " compact the table and restart the stream with a fresh checkpoint"
+                f"batch {batch_id} x {P} partitions reaches the reserved"
+                f" part_id namespace ({_COMPACT_PART_BASE}): compact the"
+                " table, then restart the stream with a fresh checkpoint"
             )
         enc = encode(
             batch_df,
             codec=codec,
-            num_partitions=num_partitions,
+            num_partitions=P,
             block_tokens=block_tokens,
             part_base=part_base,
         )

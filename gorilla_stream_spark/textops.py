@@ -762,8 +762,8 @@ def neardup_pairs(
     docs_c = slim.join(F.broadcast(cand_ids), "__nd_id", "left_semi")
     shc = shingle_minhash(
         docs_c, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
-        with_sh=True,
-    ).select("doc_id", "sh").persist()
+        with_sh=True, with_sig=False,  # verify reads only the shingle sets
+    ).persist()
     return _finalize_unpersist(_verify_pairs(shc, cand, threshold_pct), [sig, cand, shc])
 
 
@@ -871,7 +871,8 @@ def decontaminate(
         F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_text")
     )
     shm_e = shingle_minhash(
-        ev, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes, with_sh=True
+        ev, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
+        with_sh=True, with_sig=(metric == "jaccard"),  # containment never reads sigs
     ).persist()
     shm_e.count()  # materialize before the broadcast subtrees build
     if metric == "containment":
@@ -923,8 +924,8 @@ def decontaminate(
     docs_c = tr.join(F.broadcast(cand_ids), "__nd_id", "left_semi")
     shc = shingle_minhash(
         docs_c, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
-        with_sh=True,
-    ).select("doc_id", "sh").persist()
+        with_sh=True, with_sig=False,  # verify reads only the shingle sets
+    ).persist()
     res = _verify_pairs(
         shc, cand, threshold_pct,
         sh_df_b=shm_e.select("doc_id", "sh"),

@@ -475,3 +475,21 @@ def test_stream_legacy_flat_table_keeps_appending(spark, tmp_path):
     tab = spark.read.parquet(out)
     assert "batch_id" in tab.columns and "ingest" not in tab.columns
     assert decode(tab).count() == 110
+
+
+def test_stream_rejects_interim_batchdir_layout(spark, tmp_path):
+    from gorilla_stream_spark import encode
+    from gorilla_stream_spark.streaming import encode_stream
+
+    out = str(tmp_path / "interim_out")
+    # bare batch_id=N dirs at the root: the short-lived interim sink shape
+    encode(tokens_df(spark, 30, seed=8), num_partitions=1).write.parquet(
+        out + "/batch_id=0"
+    )
+    src = str(tmp_path / "src")
+    tokens_df(spark, 20, seed=9).write.parquet(src)
+    with pytest.raises(ValueError, match="interim"):
+        encode_stream(
+            spark.readStream.schema(spark.read.parquet(src).schema).parquet(src),
+            out, str(tmp_path / "cki"),
+        )
