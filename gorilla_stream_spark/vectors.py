@@ -611,28 +611,19 @@ def cosine_neardup_pairs(
     if exact:
         cand = a.join(b, F.col("id_a") < F.col("id_b"))
     else:
-        from gorilla_stream_spark.textops import cap_hot_buckets
+        from gorilla_stream_spark.textops import _grouped_bucket_pairs
 
         bands = hyperplane_bands(
             quant.select("vec_id", "qv"), n_bands=n_bands, rows_per_band=rows_per_band
         )
-        # hot-bucket cap (shared gate): a degenerate band key (near-constant
-        # embeddings) would otherwise self-join quadratically.  Recall note:
-        # a pair is missed only if EVERY band it shares is over-cap —
-        # exact-duplicate embedding groups, which belong in dedup, not
-        # near-dup.  None disables.
-        bands = cap_hot_buckets(bands, ["band_idx", "band_key"], max_bucket)
-        x, y = bands.alias("x"), bands.alias("y")
-        pairs = (
-            x.join(
-                y,
-                (F.col("x.band_idx") == F.col("y.band_idx"))
-                & (F.col("x.band_key") == F.col("y.band_key"))
-                & (F.col("x.vec_id") < F.col("y.vec_id")),
-            )
-            .select(F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b"))
-            .distinct()
-        )
+        # grouped pair generation (shared with the text LSH path): one
+        # 12-byte-key shuffle, i<j combinations from the grouped id list,
+        # hot-bucket cap as a free size filter.  Recall note: a pair is
+        # missed only if EVERY band it shares is over-cap — exact-duplicate
+        # embedding groups, which belong in dedup, not near-dup.
+        pairs = _grouped_bucket_pairs(
+            bands, ["band_idx", "band_key"], "vec_id", max_bucket
+        ).select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
         # materialize pairs once, then broadcast-semi-prune BOTH vector
         # sides to candidate ids (8 B/id) before the wide joins — the
         # dim-length qv arrays of non-candidate vectors never shuffle

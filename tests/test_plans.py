@@ -84,8 +84,9 @@ def test_cosine_neardup_plan_caps_buckets_and_prunes_vectors(spark):
     rows = [(i, [float(x) for x in rng.normal(0, 1, 16)]) for i in range(50)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     p = _plan(cosine_neardup_pairs(df, threshold_pct=90))
-    # hot-bucket cap runs as a count window over (band_idx, band_key)
-    assert "Window" in p, p
+    # grouped pair generation on (band_idx, band_key): no window sort,
+    # hot-bucket cap is the size filter on the aggregated id list
+    assert "collect_list" in p and "Window" not in p, p
     # both vector sides are broadcast-semi-pruned to candidate ids, so
     # non-candidate qv arrays never shuffle into the verify join
     assert "BroadcastExchange" in p, p
@@ -103,11 +104,10 @@ def test_lsh_candidate_plan_has_bucket_cap_window(spark, toks_path):
     )
     sig = shingle_minhash(docs, text_col="__nd_text", id_col="__nd_id", num_hashes=32)
     p = _plan(lsh_candidate_pairs(sig.select("doc_id", "sig"), num_hashes=32))
-    assert "Window" in p, p  # per-(band, hash) count gate before the self-join
-    p_uncapped = _plan(
-        lsh_candidate_pairs(sig.select("doc_id", "sig"), num_hashes=32, max_bucket=None)
-    )
-    assert "Window" not in p_uncapped, p_uncapped
+    # grouped pair generation: one aggregate on the band keys, no window
+    # sort and no self-join hash build over the exploded band table
+    assert "collect_list" in p, p
+    assert "Window" not in p and "SortMergeJoin" not in p, p
 
 
 def test_train_pq_sample_uses_take_ordered(spark):
