@@ -543,13 +543,21 @@ def shingle_minhash(
             doc_v = doc_of[:m][in_doc]
             if sh_v.size == 0:
                 continue
-            order = np.lexsort((sh_v, doc_v))
-            ds, ss = doc_v[order], sh_v[order]
-            uniq = np.empty(ds.size, dtype=bool)
-            uniq[0] = True
-            uniq[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
-            h = ss[uniq]
-            dh = ds[uniq]
+            if with_sh:
+                order = np.lexsort((sh_v, doc_v))
+                ds, ss = doc_v[order], sh_v[order]
+                uniq = np.empty(ds.size, dtype=bool)
+                uniq[0] = True
+                uniq[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+                h = ss[uniq]
+                dh = ds[uniq]
+            else:
+                # signature-only mode: per-doc MINIMA are invariant under
+                # duplicate shingles, and doc segments are already
+                # contiguous — the lexsort+dedup (the kernel's single most
+                # expensive step) is pure overhead here
+                h = sh_v
+                dh = doc_v
             slens = np.bincount(dh, minlength=len(ids))
             keep = slens > 0
             offs_all = np.concatenate(([0], np.cumsum(slens[keep])))

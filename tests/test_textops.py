@@ -393,3 +393,17 @@ def test_neardup_pairs_releases_caches(spark):
     after = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     # only the (small) materialized result may remain cached
     assert len(after) <= before + 1, [str(x) for x in after]
+
+
+def test_sig_only_mode_matches_full_kernel(spark):
+    # with_sh=False skips the dedup sort; signatures must be IDENTICAL
+    # (per-doc minima are invariant under duplicate shingles)
+    from gorilla_stream_spark.textops import shingle_minhash
+
+    rows = [(i, "alpha beta gamma " * 10 + f"tail {i} words here") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {r.doc_id: list(r.sig) for r in shingle_minhash(df).collect()}
+    sig_only = {
+        r.doc_id: list(r.sig) for r in shingle_minhash(df, with_sh=False).collect()
+    }
+    assert full == sig_only
