@@ -654,6 +654,10 @@ def _grouped_bucket_pairs(
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
+        # duplicate ids inside one bucket (a doc appearing twice in the
+        # input) would emit a least==greatest self-pair; the old `<` join
+        # excluded those, so keep that contract
+        .filter(F.col("doc_a") < F.col("doc_b"))
         .distinct()
     )
 

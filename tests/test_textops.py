@@ -407,3 +407,14 @@ def test_sig_only_mode_matches_full_kernel(spark):
         r.doc_id: list(r.sig) for r in shingle_minhash(df, with_sh=False).collect()
     }
     assert full == sig_only
+
+
+def test_lsh_candidate_pairs_no_self_pairs_on_duplicate_ids(spark):
+    from gorilla_stream_spark.textops import lsh_candidate_pairs, shingle_minhash
+
+    rows = [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")]
+    df = spark.createDataFrame(rows + rows, "doc_id long, text string")  # dup rows
+    sig = shingle_minhash(df, with_sh=False)
+    pairs = lsh_candidate_pairs(sig.select("doc_id", "sig")).collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
