@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "decontaminate",
+    "decontaminate_tokens",
     "sample_corpus",
     "dedup_exact",
     "text_stats",
@@ -1066,6 +1067,48 @@ def token_shingle_minhash(
 
     slim = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(tokens_col))
     return slim.mapInArrow(fn, "doc_id long, sh array<long>, sig array<long>")
+
+
+def decontaminate_tokens(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    threshold_pct: int = 70,
+    k: int = 3,
+    num_hashes: int = 128,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """:func:`decontaminate` over TOKEN-ARRAY corpora — the engine's native
+    data model; a tokenized training set cannot ride the text path without
+    detokenizing.  k-gram jaccard of token sequences, broadcast eval-side
+    bands, exact integer verify: returns (train_id, eval_id) leak pairs.
+    """
+    shm_t = token_shingle_minhash(
+        train_df, tokens_col=tokens_col, id_col=id_col, k=k, num_hashes=num_hashes
+    ).persist()
+    shm_e = token_shingle_minhash(
+        eval_df, tokens_col=tokens_col, id_col=id_col, k=k, num_hashes=num_hashes
+    ).persist()
+    shm_t.count()
+    shm_e.count()
+    bt = _sig_bands(shm_t.select("doc_id", "sig"), rows_per_band, num_hashes)
+    be = _sig_bands(shm_e.select("doc_id", "sig"), rows_per_band, num_hashes).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    cand = (
+        bt.join(F.broadcast(be), ["band_idx", "band_hash"])
+        .select(F.col("doc_id").alias("train_id"), "eval_id")
+        .distinct()
+        .persist()
+    )
+    cand.count()
+    res = _verify_pairs(
+        shm_t.select("doc_id", "sh"), cand, threshold_pct,
+        sh_df_b=shm_e.select("doc_id", "sh"),
+        a_col="train_id", b_col="eval_id", broadcast_b=True,
+    )
+    return _finalize_unpersist(res, [shm_t, shm_e, cand])
 
 
 def neardup_pairs_tokens(

@@ -418,3 +418,21 @@ def test_lsh_candidate_pairs_no_self_pairs_on_duplicate_ids(spark):
     pairs = lsh_candidate_pairs(sig.select("doc_id", "sig")).collect()
     assert all(r.doc_a < r.doc_b for r in pairs)
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(1, 2)}
+
+
+def test_decontaminate_tokens_finds_planted_leak(spark):
+    import random
+
+    from gorilla_stream_spark.textops import decontaminate_tokens
+
+    rng = random.Random(17)
+    mk = lambda n: [rng.randrange(1000) for _ in range(n)]
+    evals = [(900 + i, mk(25)) for i in range(6)]
+    train = [(i, mk(30)) for i in range(40)]
+    leak = list(evals[2][1])
+    leak[4] = 9999  # one token changed
+    train[5] = (5, leak)
+    tdf = spark.createDataFrame(train, "doc_id long, tokens array<int>")
+    edf = spark.createDataFrame(evals, "doc_id long, tokens array<int>")
+    got = {(r.train_id, r.eval_id) for r in decontaminate_tokens(tdf, edf).collect()}
+    assert got == {(5, 902)}
