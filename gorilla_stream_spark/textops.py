@@ -643,18 +643,23 @@ def _grouped_bucket_pairs(
     cond = F.size("ids") >= 2
     if max_bucket:
         cond = cond & (F.size("ids") <= max_bucket)
+    # two-stage explode so no single array ever holds a bucket's s^2/2
+    # pairs (flattening them into ONE value would cost ~0.8 GB in one row
+    # at the default cap, and >2^31 elements for uncapped megabuckets):
+    # stage 1 emits one row per anchor id (carrying the <=64 KB id list),
+    # stage 2 streams that anchor's partners — peak per-row memory is one
+    # bucket list, and the quadratic row count flows through codegen the
+    # same way the old self-join streamed it
     return (
         grouped.filter(cond)
+        .select(F.col("ids"), F.posexplode("ids").alias("i", "x"))
         .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) ->"
-                    " transform(slice(ids, i + 2, size(ids) - i - 1),"
-                    " y -> struct(least(x, y) AS doc_a, greatest(x, y) AS doc_b))))"
-                )
-            ).alias("p")
+            F.col("x"),
+            F.explode(F.expr("slice(ids, i + 2, size(ids) - i - 1)")).alias("y"),
         )
-        .select("p.doc_a", "p.doc_b")
+        .select(
+            F.least("x", "y").alias("doc_a"), F.greatest("x", "y").alias("doc_b")
+        )
         # duplicate ids inside one bucket (a doc appearing twice in the
         # input) would emit a least==greatest self-pair; the old `<` join
         # excluded those, so keep that contract
@@ -883,25 +888,46 @@ def decontaminate(
     """
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
+
+    def shingler(frame: DataFrame, with_sh: bool, with_sig: bool) -> DataFrame:
+        return shingle_minhash(
+            frame, text_col="__nd_payload", id_col="__nd_id", k=k,
+            num_hashes=num_hashes, with_sh=with_sh, with_sig=with_sig,
+        )
+
     tr = train_df.select(
-        F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_text")
+        F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_payload")
     )
     ev = eval_df.select(
-        F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_text")
+        F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_payload")
     )
-    shm_e = shingle_minhash(
-        ev, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
-        with_sh=True, with_sig=(metric == "jaccard"),  # containment never reads sigs
-    ).persist()
+    return _decontaminate_impl(tr, ev, shingler, threshold_pct, rows_per_band, num_hashes, metric)
+
+
+def _decontaminate_impl(
+    tr: DataFrame,
+    ev: DataFrame,
+    shingler,
+    threshold_pct: int,
+    rows_per_band: int,
+    num_hashes: int,
+    metric: str,
+) -> DataFrame:
+    """Shared cross-corpus leak-detection pipeline (text and token paths).
+
+    ``shingler(frame, with_sh, with_sig)`` produces the (doc_id[, sh][,
+    sig]) table for either corpus; everything downstream — broadcast
+    eval-side artifacts, signatures-only train pass with candidate-pruned
+    shingle recompute (jaccard), exploded-shingle broadcast join
+    (containment), shared integer verify — is payload-agnostic.
+    """
+    shm_e = shingler(ev, True, metric == "jaccard").persist()
     shm_e.count()  # materialize before the broadcast subtrees build
     if metric == "containment":
         # single streaming pass over train shingles (never cached): only
         # shingles MATCHING the broadcast eval table survive the inner
         # join, so shuffle volume tracks actual overlap, not the corpus
-        shm_t = shingle_minhash(
-            tr, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
-            with_sh=True, with_sig=False,
-        )
+        shm_t = shingler(tr, True, False)
         t_sh = shm_t.select(F.col("doc_id").alias("train_id"), F.explode("sh").alias("__s"))
         e_sh = shm_e.select(F.col("doc_id").alias("eval_id"), F.explode("sh").alias("__s"))
         e_cnt = shm_e.select(
@@ -923,10 +949,7 @@ def decontaminate(
     # recomputed for CANDIDATE train docs only (broadcast-semi-pruned),
     # so they are never materialized for the non-candidate bulk
     # (the neardup_pairs verify="recompute" strategy)
-    sig_t = shingle_minhash(
-        tr, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
-        with_sh=False,
-    ).persist()
+    sig_t = shingler(tr, False, True).persist()
     sig_t.count()
     bt = _sig_bands(sig_t.select("doc_id", "sig"), rows_per_band, num_hashes)
     be = _sig_bands(shm_e.select("doc_id", "sig"), rows_per_band, num_hashes).withColumnRenamed(
@@ -941,10 +964,7 @@ def decontaminate(
     cand.count()
     cand_ids = cand.select(F.col("train_id").alias("__nd_id")).distinct()
     docs_c = tr.join(F.broadcast(cand_ids), "__nd_id", "left_semi")
-    shc = shingle_minhash(
-        docs_c, text_col="__nd_text", id_col="__nd_id", k=k, num_hashes=num_hashes,
-        with_sh=True, with_sig=False,  # verify reads only the shingle sets
-    ).persist()
+    shc = shingler(docs_c, True, False).persist()
     res = _verify_pairs(
         shc, cand, threshold_pct,
         sh_df_b=shm_e.select("doc_id", "sh"),
@@ -1000,6 +1020,8 @@ def token_shingle_minhash(
     id_col: str = "doc_id",
     k: int = 3,
     num_hashes: int = 128,
+    with_sh: bool = True,
+    with_sig: bool = True,
 ) -> DataFrame:
     """(doc_id, sh, sig) for TOKEN-ARRAY documents — the engine's native
     data model.  Identical pipeline to :func:`shingle_minhash` but the
@@ -1017,8 +1039,18 @@ def token_shingle_minhash(
     mix_rng = np.random.default_rng(_SH_MIX[0] & 0xFFFFFFFF)
     MIX = (mix_rng.integers(1, 2**63 - 1, k).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
 
-    out_schema = pa.schema(
-        [("doc_id", pa.int64()), ("sh", pa.list_(pa.int64())), ("sig", pa.list_(pa.int64()))]
+    if not with_sh and not with_sig:
+        raise ValueError("token_shingle_minhash: at least one of with_sh/with_sig required")
+    fields = [("doc_id", pa.int64())]
+    if with_sh:
+        fields.append(("sh", pa.list_(pa.int64())))
+    if with_sig:
+        fields.append(("sig", pa.list_(pa.int64())))
+    out_schema = pa.schema(fields)
+    out_ddl = (
+        "doc_id long"
+        + (", sh array<long>" if with_sh else "")
+        + (", sig array<long>" if with_sig else "")
     )
 
     def fn(batches):
@@ -1040,33 +1072,41 @@ def token_shingle_minhash(
             doc_v = doc_of[:m][in_doc]
             if sh_v.size == 0:
                 continue
-            order = np.lexsort((sh_v, doc_v))
-            ds, ss = doc_v[order], sh_v[order]
-            uniq = np.empty(ds.size, dtype=bool)
-            uniq[0] = True
-            uniq[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
-            h = ss[uniq]
-            dh = ds[uniq]
+            if with_sh:
+                order = np.lexsort((sh_v, doc_v))
+                ds, ss = doc_v[order], sh_v[order]
+                uniq = np.empty(ds.size, dtype=bool)
+                uniq[0] = True
+                uniq[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+                h = ss[uniq]
+                dh = ds[uniq]
+            else:
+                # sig-only: minima are duplicate-invariant (see
+                # shingle_minhash) — skip the dedup sort
+                h = sh_v
+                dh = doc_v
             slens = np.bincount(dh, minlength=len(ids))
             keep = slens > 0
             offs_all = np.concatenate(([0], np.cumsum(slens[keep])))
-            sig = _affine_min_sig(h, offs_all[:-1].astype(np.intp), A, B)
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ids[keep], pa.int64()),
+            arrays = [pa.array(ids[keep], pa.int64())]
+            if with_sh:
+                arrays.append(
                     pa.ListArray.from_arrays(
                         pa.array(offs_all.astype(np.int32), pa.int32()),
                         pa.array(h.view(np.int64), pa.int64()),
-                    ),
+                    )
+                )
+            if with_sig:
+                sig = _affine_min_sig(h, offs_all[:-1].astype(np.intp), A, B)
+                arrays.append(
                     pa.FixedSizeListArray.from_arrays(
                         pa.array(sig.view(np.int64).ravel(), type=pa.int64()), num_hashes
-                    ).cast(pa.list_(pa.int64())),
-                ],
-                schema=out_schema,
-            )
+                    ).cast(pa.list_(pa.int64()))
+                )
+            yield pa.RecordBatch.from_arrays(arrays, schema=out_schema)
 
     slim = df.select(F.col(id_col).cast("long").alias("doc_id"), F.col(tokens_col))
-    return slim.mapInArrow(fn, "doc_id long, sh array<long>, sig array<long>")
+    return slim.mapInArrow(fn, out_ddl)
 
 
 def decontaminate_tokens(
@@ -1078,37 +1118,31 @@ def decontaminate_tokens(
     k: int = 3,
     num_hashes: int = 128,
     rows_per_band: int = 2,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """:func:`decontaminate` over TOKEN-ARRAY corpora — the engine's native
     data model; a tokenized training set cannot ride the text path without
-    detokenizing.  k-gram jaccard of token sequences, broadcast eval-side
-    bands, exact integer verify: returns (train_id, eval_id) leak pairs.
+    detokenizing.  Same scale shape (broadcast eval side, signatures-only
+    train pass with candidate recompute, exact containment via exploded
+    token k-grams) through the shared pipeline; k-gram jaccard /
+    containment of token sequences.
     """
-    shm_t = token_shingle_minhash(
-        train_df, tokens_col=tokens_col, id_col=id_col, k=k, num_hashes=num_hashes
-    ).persist()
-    shm_e = token_shingle_minhash(
-        eval_df, tokens_col=tokens_col, id_col=id_col, k=k, num_hashes=num_hashes
-    ).persist()
-    shm_t.count()
-    shm_e.count()
-    bt = _sig_bands(shm_t.select("doc_id", "sig"), rows_per_band, num_hashes)
-    be = _sig_bands(shm_e.select("doc_id", "sig"), rows_per_band, num_hashes).withColumnRenamed(
-        "doc_id", "eval_id"
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+
+    def shingler(frame: DataFrame, with_sh: bool, with_sig: bool) -> DataFrame:
+        return token_shingle_minhash(
+            frame, tokens_col="__nd_payload", id_col="__nd_id", k=k,
+            num_hashes=num_hashes, with_sh=with_sh, with_sig=with_sig,
+        )
+
+    tr = train_df.select(
+        F.col(id_col).cast("long").alias("__nd_id"), F.col(tokens_col).alias("__nd_payload")
     )
-    cand = (
-        bt.join(F.broadcast(be), ["band_idx", "band_hash"])
-        .select(F.col("doc_id").alias("train_id"), "eval_id")
-        .distinct()
-        .persist()
+    ev = eval_df.select(
+        F.col(id_col).cast("long").alias("__nd_id"), F.col(tokens_col).alias("__nd_payload")
     )
-    cand.count()
-    res = _verify_pairs(
-        shm_t.select("doc_id", "sh"), cand, threshold_pct,
-        sh_df_b=shm_e.select("doc_id", "sh"),
-        a_col="train_id", b_col="eval_id", broadcast_b=True,
-    )
-    return _finalize_unpersist(res, [shm_t, shm_e, cand])
+    return _decontaminate_impl(tr, ev, shingler, threshold_pct, rows_per_band, num_hashes, metric)
 
 
 def neardup_pairs_tokens(

@@ -108,6 +108,13 @@ def test_lsh_candidate_plan_has_bucket_cap_window(spark, toks_path):
     # sort and no self-join hash build over the exploded band table
     assert "collect_list" in p, p
     assert "Window" not in p and "SortMergeJoin" not in p, p
+    # uncapped path shares the same grouped shape (None only drops the
+    # size filter) — the configuration where a megabucket would have
+    # overflowed a single flattened pair array before the 2-stage explode
+    p_uncapped = _plan(
+        lsh_candidate_pairs(sig.select("doc_id", "sig"), num_hashes=32, max_bucket=None)
+    )
+    assert "collect_list" in p_uncapped and "Generate" in p_uncapped, p_uncapped
 
 
 def test_train_pq_sample_uses_take_ordered(spark):

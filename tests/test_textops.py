@@ -436,3 +436,27 @@ def test_decontaminate_tokens_finds_planted_leak(spark):
     edf = spark.createDataFrame(evals, "doc_id long, tokens array<int>")
     got = {(r.train_id, r.eval_id) for r in decontaminate_tokens(tdf, edf).collect()}
     assert got == {(5, 902)}
+
+
+def test_decontaminate_tokens_containment_catches_embedded_eval(spark):
+    import random
+
+    from gorilla_stream_spark.textops import decontaminate_tokens
+
+    rng = random.Random(23)
+    mk = lambda n: [rng.randrange(500) for _ in range(n)]
+    ev_seq = mk(12)
+    evals = [(700, ev_seq), (701, mk(12))]
+    train = [(0, mk(200) + ev_seq + mk(200)), (1, mk(150))]
+    tdf = spark.createDataFrame(train, "doc_id long, tokens array<int>")
+    edf = spark.createDataFrame(evals, "doc_id long, tokens array<int>")
+    jac = {
+        (r.train_id, r.eval_id)
+        for r in decontaminate_tokens(tdf, edf, metric="jaccard").collect()
+    }
+    con = {
+        (r.train_id, r.eval_id)
+        for r in decontaminate_tokens(tdf, edf, metric="containment", threshold_pct=90).collect()
+    }
+    assert (0, 700) not in jac  # diluted jaccard
+    assert (0, 700) in con and (1, 701) not in con
