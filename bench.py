@@ -1,10 +1,15 @@
 """Benchmark harness: encode/decode throughput + compression ratio.
 
-Prints ONE JSON line:
+Prints TWO JSON lines: first a full-detail record (every extra, incl. the
+multi-KB stage_metrics rollup — also written to BENCH_DETAIL.json next to
+this file), then ONE compact final line the driver parses:
   {"metric": "total_bench_sec", "value": <sum of query secs>, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": <sf>,
    "encode_tokens_per_sec": ..., "decode_tokens_per_sec": ...,
-   "compression_ratio": ..., "codec_mix": {...}}
+   "compression_ratio": ...}
+The final line is kept under _FINAL_LINE_LIMIT bytes (the driver records
+only a bounded tail of stdout; r4's inline stage_metrics blob overflowed it
+and the recorded artifact became unparseable — never again).
 
 Inputs:
   * deterministic synthetic tokens table (FIXTURES.md strata), scale tied to
@@ -32,6 +37,56 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = os.environ.get("GSS_BENCH_CACHE", "/tmp/gss_bench_cache")
 DOCS_PER_SF_UNIT = 2_000_000  # sf0.1 -> 200k docs (FIXTURES.md bench scale)
+
+
+_FINAL_LINE_LIMIT = 1900  # driver tail capture is 2000 chars; keep margin
+
+# dropped from the compact final line first (in order) when it would
+# overflow the driver's tail capture — all of these survive in the detail
+# line / BENCH_DETAIL.json
+_DROP_ORDER = [
+    "stage_metrics",
+    "pass_total_sec",
+    "codec_mix",
+    "bench_passes",
+    "compact_blocks_before",
+    "compact_blocks_after",
+    "pack_seqs",
+    "stream_neardup_pairs",
+    "decontaminate_pairs",
+    "neardup_pairs",
+    "dedup_removed",
+    "corpus_docs",
+    "total_tokens",
+    "simhash_speedup_vs_hof",
+    "q8c_simhash_hof_10k",
+    "q10_topk_bruteforce",
+    "documents_ratio",
+    "q3_estimate",
+    "q6_encode_for",
+    "q6_encode_forc",
+    "q6_encode_rle",
+    "q6_encode_dict",
+    "q6_encode_delta",
+    "q6_encode_dod",
+    "q6_encode_fsst",
+]
+
+
+def compact_final_line(out: dict, limit: int = _FINAL_LINE_LIMIT) -> str:
+    """Serialize ``out``, dropping _DROP_ORDER keys (top-level or inside
+    "queries") until the line fits ``limit`` — deterministic, never fails
+    to fit headline rows because the droppable tail is ~40% of the line."""
+    out = {k: v for k, v in out.items()}
+    out["queries"] = dict(out.get("queries", {}))
+    line = json.dumps(out)
+    for k in _DROP_ORDER:
+        if len(line) <= limit:
+            break
+        out.pop(k, None)
+        out["queries"].pop(k, None)
+        line = json.dumps(out)
+    return line
 
 
 def sf_of(path: str) -> float:
@@ -567,9 +622,30 @@ def main() -> int:
         "queries": {k: round(v, 3) for k, v in queries.items()},
         "sf": sf,
         "total_tokens": int(total_tokens),
-        **{k: (round(v, 4) if isinstance(v, float) else v) for k, v in extras.items()},
+        **{
+            k: (round(v, 4) if isinstance(v, float) else v)
+            for k, v in extras.items()
+            if k != "stage_metrics"
+        },
     }
-    print(json.dumps(out))
+    # per-sec rows as ints: same information, ~5 chars/row less on the
+    # length-limited final line
+    for k, v in out.items():
+        if isinstance(v, float) and k.endswith("_per_sec"):
+            out[k] = int(round(v))
+    detail = dict(out)
+    detail["stage_metrics"] = extras.get("stage_metrics")
+    detail_line = json.dumps({"metric": "bench_detail", **detail})
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+            "w",
+        ) as f:
+            f.write(detail_line + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout detail line still carries it
+    print(detail_line)
+    print(compact_final_line(out))
     return 0
 
 
