@@ -98,6 +98,33 @@ class CheckpointedEncode:
             for r in cp.filter(F.col("config_fp") == fp).select("part_id").distinct().collect()
         ]
 
+    def _reject_legacy_layout(self, spark: SparkSession) -> None:
+        """Fail fast on a pre-(config_fp, part_id) output table.
+
+        Tables written before the layout change are partitioned by part_id
+        only; dynamic-overwriting config_fp=<fp>/part_id=N directories next
+        to legacy part_id=N ones makes Spark's partition discovery fail
+        with conflicting directory structures AFTER data was written.
+        Detect up front (streaming's _detect_layout pattern) and refuse
+        with migration instructions instead.
+        """
+        from gorilla_stream_spark.streaming import _hadoop_path
+
+        fs, jpath = _hadoop_path(spark, self.output_path)
+        if not fs.exists(jpath):
+            return
+        for st in fs.listStatus(jpath):
+            if st.isDirectory() and st.getPath().getName().startswith("part_id="):
+                raise ValueError(
+                    f"{self.output_path} uses the legacy part_id=N layout; "
+                    "resuming would interleave config_fp=<fp>/part_id=N dirs "
+                    "and break partition discovery. Migrate first: read the "
+                    "legacy table, write it under a fresh output path via "
+                    "CheckpointedEncode (or spark.read.parquet(legacy)"
+                    ".withColumn('config_fp', lit(<fp>)).write.partitionBy("
+                    "'config_fp', 'part_id')), then point output_path there."
+                )
+
     def run(self, spark: SparkSession, df: DataFrame) -> DataFrame:
         """Encode ``df``; skip partitions already committed; return manifest.
 
@@ -106,6 +133,7 @@ class CheckpointedEncode:
         is exactly ``pmod(hash(xxhash64(id)), P)`` (Spark HashPartitioning),
         so committed partitions become a pushed-down filter on the scan.
         """
+        self._reject_legacy_layout(spark)
         done = set(self.committed_parts(spark))
         P = self.num_partitions
         pruned = df

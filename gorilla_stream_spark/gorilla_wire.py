@@ -306,7 +306,10 @@ def _vm_preprocess(
         # first absolute, then diffs (enhancements.ex:57-63)
         v = np.concatenate([v[:1], np.diff(v)])
     n = _detect_scale(v) if scale_decimals == "auto" else int(scale_decimals)
-    scaled = _round_half_away(v * (10.0**n))
+    # + 0.0 normalizes -0.0: the reference goes through integers
+    # (trunc(Float.round(v)) then * 1.0, enhancements.ex:26) and so always
+    # emits +0.0 bits — negatives that round to zero must match byte-for-byte
+    scaled = _round_half_away(v * (10.0**n)) + 0.0
     return scaled, n
 
 

@@ -60,14 +60,25 @@ def pack_sequences(
     The final partial chunk is kept unless ``drop_last``.
 
     Deterministic: a pure function of (table contents, seq_len) —
-    independent of input partitioning (pinned by test).
+    independent of input partitioning (pinned by test).  Duplicate
+    ``id_col`` values are ordered by a content-hash tiebreaker
+    (``xxhash64(tokens)``), so the packed stream is stable run-to-run even
+    for non-unique ids; rows that tie on BOTH id and token content are
+    interchangeable, which is the same packed stream either way.
     """
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
     spark = df.sparkSession
     slim = df.select(F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks"))
     n_part = num_partitions or slim.rdd.getNumPartitions() or 1
-    parted = slim.repartitionByRange(n_part, "__id").sortWithinPartitions("__id")
+    # range partitioning keys only on __id (equal ids co-locate); the
+    # in-partition sort adds the content tiebreaker, then projects it away
+    parted = (
+        slim.withColumn("__tb", F.xxhash64("__toks"))
+        .repartitionByRange(n_part, "__id")
+        .sortWithinPartitions("__id", "__tb")
+        .select("__id", "__toks")
+    )
     # persisted across the two passes (counts, then emission); the cache
     # entry outlives this call because the returned DataFrame still reads
     # it lazily — long-lived sessions doing many pack runs should

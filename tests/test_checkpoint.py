@@ -57,6 +57,22 @@ def test_full_run_and_noop_rerun(spark, toks, paths):
     _roundtrip_ok(spark, toks, out)
 
 
+def test_legacy_layout_fails_fast_before_writing(spark, toks, paths):
+    # a table written by the pre-(config_fp, part_id) version (partitioned
+    # by part_id only) must be rejected BEFORE any data lands — mixing
+    # config_fp=<fp>/part_id=N dirs next to legacy part_id=N dirs breaks
+    # partition discovery after data was already written
+    out, ckpt = paths
+    os.makedirs(os.path.join(out, "part_id=0"))
+    with open(os.path.join(out, "part_id=0", "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1")
+    job = _job(out, ckpt)
+    with pytest.raises(ValueError, match="legacy part_id=N layout"):
+        job.run(spark, toks)
+    # nothing was written next to the legacy dirs
+    assert sorted(os.listdir(out)) == ["part_id=0"]
+
+
 def test_crash_resume(spark, toks, paths):
     out, ckpt = paths
     job = _job(out, ckpt)

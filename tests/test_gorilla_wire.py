@@ -583,6 +583,36 @@ def test_vm_mode_byte_for_byte():
     assert got == exp
 
 
+def test_vm_negative_zero_byte_for_byte():
+    # a negative value scaling into (-0.5, 0] must round to +0.0 bits, not
+    # -0.0: the reference goes through integers (enhancements.ex:26) and
+    # never emits 0x8000000000000000.  Counter mode with a slight dip is
+    # the real-world producer of this input class.
+    # scale detection caps at 6 decimals, so a delta of -4e-8 scales to
+    # -0.04 -> rounds to zero (the only way a finite input reaches this
+    # class, since uncapped inputs always scale to >= 1 in magnitude)
+    ts = list(range(1_600_000_000, 1_600_000_000 + 90, 15))
+    vals = [10.0, 10.5, 10.49999996, 10.49999996, 11.2, 11.2]
+    exp = spec_encode_vm(ts, vals, is_counter=True, creation_time=9)
+    got = gw.encode_points(
+        np.array(ts, np.int64), np.array(vals, np.float64),
+        victoria_metrics=True, is_counter=True, creation_time=9,
+    )
+    assert got == exp
+    # and in plain VM mode with a directly-negative tiny value
+    vals2 = [1.04, -4e-8, 0.3, 0.0, -0.2, 0.44]
+    exp2 = spec_encode_vm(ts, vals2, creation_time=9)
+    got2 = gw.encode_points(
+        np.array(ts, np.int64), np.array(vals2, np.float64),
+        victoria_metrics=True, creation_time=9,
+    )
+    assert got2 == exp2
+    t2, v2, _ = gw.decode_points(got2)
+    # cap-6 scaling quantizes -4e-8 to exactly 0 (lossy, matches reference)
+    assert np.allclose(v2, vals2, atol=5e-7)
+    assert not np.signbit(v2[1])
+
+
 def test_decode_points_zeroed_inner_count_raises_cleanly():
     # a corrupt buffer whose inner count is zeroed (outer count nonzero)
     # must fail with the decoder's ValueError contract, never IndexError

@@ -62,6 +62,21 @@ def test_pack_invariant_to_partitioning(spark):
     assert a == b
 
 
+def test_pack_duplicate_ids_deterministic(spark):
+    # duplicate doc_ids with DIFFERENT token content: the content-hash
+    # tiebreaker must pin one packed stream across input partitionings /
+    # row orders (before it, equal-key order after the range shuffle was
+    # arbitrary and chunk hashes could differ run-to-run)
+    rng = np.random.default_rng(9)
+    docs = [list(map(int, rng.integers(0, 99, rng.integers(1, 20)))) for _ in range(30)]
+    rows = [(i % 7, list(t)) for i, t in enumerate(docs)]  # ids collide 4-5x
+    df_a = spark.createDataFrame(rows, "doc_id long, tokens array<int>").repartition(1)
+    df_b = spark.createDataFrame(rows[::-1], "doc_id long, tokens array<int>").repartition(5)
+    a = _collect(pack_sequences(df_a, 32, num_partitions=2))
+    b = _collect(pack_sequences(df_b, 32, num_partitions=4))
+    assert a == b
+
+
 def test_pack_long_doc_spans_chunks(spark):
     # one 300-token doc at L=64 -> split across 5 chunks, single span each
     docs = [[7] * 300]
