@@ -82,6 +82,10 @@ assert _INNER.size == 32
 
 _FLAG_VM = 0x1
 _FLAG_COUNTER = 0x2
+# value-stream algorithm flags (NIF wire extension, gorilla_nif.cpp:1073-1080;
+# decoder dispatch :1417-1424 checks 0x8 before 0x4, mirrored here)
+_FLAG_CHIMP = 0x4
+_FLAG_CHIMP128 = 0x8
 
 
 # ---------------------------------------------------------------------------
@@ -273,6 +277,284 @@ def _decode_dod_stream(
 
 
 # ---------------------------------------------------------------------------
+# Chimp / Chimp128 value streams (VLDB 2022; NIF wire extension).
+# Format provenance: encoders ``gorilla_nif.cpp:450-519`` (Chimp) and
+# ``:590-713`` (Chimp128), flag tables ``:424-448``, decoders ``:522-575``
+# and ``:716-777``.  Both ride the same block substrate (inner/outer
+# headers, ts stream) with outer-header flags 0x4 / 0x8 selecting the
+# value decoder.
+# ---------------------------------------------------------------------------
+
+# leading/trailing zero count per byte value (0 -> 8)
+_LZ8 = np.array([8] + [7 - int(b).bit_length() + 1 for b in range(1, 256)], np.int64)
+_TZ8 = np.array(
+    [8] + [(int(b) & -int(b)).bit_length() - 1 for b in range(1, 256)], np.int64
+)
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Leading-zero count of uint64 values (0 -> 64). Byte-table based —
+    float-conversion tricks mis-round near 2^k boundaries."""
+    B = np.ascontiguousarray(x, dtype=">u8").view(np.uint8).reshape(-1, 8)
+    nz = B != 0
+    first = np.argmax(nz, axis=1)
+    out = first * 8 + _LZ8[B[np.arange(B.shape[0]), first]]
+    out[~nz.any(axis=1)] = 64
+    return out
+
+
+def _ctz64(x: np.ndarray) -> np.ndarray:
+    """Trailing-zero count of uint64 values (0 -> 64)."""
+    B = np.ascontiguousarray(x, dtype="<u8").view(np.uint8).reshape(-1, 8)
+    nz = B != 0
+    first = np.argmax(nz, axis=1)
+    out = first * 8 + _TZ8[B[np.arange(B.shape[0]), first]]
+    out[~nz.any(axis=1)] = 64
+    return out
+
+
+# leading-zero-count -> 3-bit bucket code / rounded-down boundary
+# (gorilla_nif.cpp:424-448); decode table is _CHIMP_DECODE[code]
+_CHIMP_REPR = np.array(
+    [0] * 8 + [1] * 4 + [2] * 4 + [3] * 2 + [4] * 2 + [5] * 2 + [6] * 2 + [7] * 41,
+    np.int64,
+)
+_CHIMP_ROUND = np.array(
+    [0] * 8 + [8] * 4 + [12] * 4 + [16] * 2 + [18] * 2 + [20] * 2 + [22] * 2 + [24] * 41,
+    np.int64,
+)
+_CHIMP_DECODE = np.array([0, 8, 12, 16, 18, 20, 22, 24], np.int64)
+_CHIMP128_N = 128
+_CHIMP128_LOG2N = 7
+_CHIMP128_THRESHOLD = 13  # 6 + log2(128)
+_CHIMP128_HASH_MASK = np.uint64((1 << (_CHIMP128_THRESHOLD + 1)) - 1)
+
+
+def _interleave_fields(
+    hdr_v: np.ndarray, hdr_w: np.ndarray, pay_v: np.ndarray, pay_w: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """(header, payload) per element -> flat field arrays for _pack_fields
+    (zero-width payloads are dropped there)."""
+    n = hdr_v.size
+    fv = np.empty(2 * n, dtype=np.uint64)
+    fw = np.empty(2 * n, dtype=np.int64)
+    fv[0::2], fv[1::2] = hdr_v, pay_v
+    fw[0::2], fw[1::2] = hdr_w, pay_w
+    return fv, fw
+
+
+def _stored_leading_prev(reset: np.ndarray, rnd: np.ndarray) -> np.ndarray:
+    """stored_leading visible to each element, vectorized.
+
+    The C++ state machine (gorilla_nif.cpp:468-512) is a scan, but its
+    fixpoint is closed-form: after a non-reset element the stored leading
+    is ALWAYS round(leading) — flag 11 sets it to round(leading) directly,
+    and flag 10 requires leading == stored, where stored is a bucket
+    boundary and round() is idempotent on boundaries, so keeping it equals
+    round(leading) too.  Hence element i sees 65 if i-1 reset (or i is
+    first), else round(leading[i-1]).
+    """
+    prev_reset = np.concatenate(([True], reset[:-1]))
+    prev_rnd = np.concatenate(([0], rnd[:-1]))
+    return np.where(prev_reset, 65, prev_rnd)
+
+
+def _chimp_fields(vb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Chimp value fields for values[1:] -> (vals, widths)
+    (gorilla_nif.cpp:450-519).  First value's 64 bits are the caller's."""
+    x = vb[1:] ^ vb[:-1]
+    lead = _clz64(x)
+    trail = _ctz64(x)
+    zero = x == 0
+    f01 = (~zero) & (trail > 6)
+    rep = _CHIMP_REPR[np.minimum(lead, 64)]
+    rnd = _CHIMP_ROUND[np.minimum(lead, 64)]
+    prev_stored = _stored_leading_prev(zero | f01, rnd)
+    f10 = (~zero) & (~f01) & (lead == prev_stored)
+    # DELIBERATE encode-side deviation: the NIF encoder writes
+    # ``significant = 64 - leading - trailing`` with the UNROUNDED leading
+    # (gorilla_nif.cpp:483-486) while its decoder recovers ``trailing`` from
+    # the bucket-ROUNDED leading (:544-548) — any flag-01 XOR whose leading
+    # count is off a bucket boundary mis-decodes in the reference itself
+    # (dead code there: lib/ never wires ``algorithm: :chimp`` to the NIF).
+    # We compute significant from the rounded leading (the Chimp paper's
+    # convention), so our blocks reconstruct exactly under BOTH decoders;
+    # bytes match the NIF encoder whenever leading == round(leading).
+    sig = 64 - rnd - trail  # 1..57 under f01 (trail>6)
+    hdr_w = np.select([zero, f01, f10], [2, 11, 2], default=5)
+    hdr_v = np.select(
+        [zero, f01, f10],
+        [0, (1 << 9) | (rep << 6) | sig, 2],
+        default=(0b11 << 3) | rep,
+    ).astype(np.uint64)
+    pay_w = np.select([zero, f01, f10], [0, sig, 64 - prev_stored], default=64 - rnd)
+    # shift counts clamped to 63: trail==64 only where x==0, never selected
+    pay_v = np.where(f01, x >> np.minimum(trail, 63).astype(np.uint64), x)
+    pay_v = np.where(zero, np.uint64(0), pay_v)
+    return _interleave_fields(hdr_v, hdr_w, pay_v, pay_w)
+
+
+def _chimp128_candidates(vb: np.ndarray) -> np.ndarray:
+    """Per element: index of the last previous value sharing its low-14-bit
+    hash key, or -1 — exactly the NIF's single-slot hash table semantics
+    (most recent insertion wins, gorilla_nif.cpp:607-643,705-709)."""
+    n = vb.size
+    key = (vb & _CHIMP128_HASH_MASK).astype(np.uint64)
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    prev = np.full(n, -1, dtype=np.int64)
+    same = ks[1:] == ks[:-1]
+    prev[order[1:][same]] = order[:-1][same]
+    return prev
+
+
+def _chimp128_fields(vb: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Chimp128 value fields for values[1:] (gorilla_nif.cpp:590-713)."""
+    n = vb.size
+    ji = _chimp128_candidates(vb)[1:]
+    ii = np.arange(1, n, dtype=np.int64)
+    in_window = (ji >= 0) & (ii - ji <= _CHIMP128_N)
+    xr = np.where(in_window, vb[1:] ^ vb[np.maximum(ji, 0)], np.uint64(0))
+    xp = vb[1:] ^ vb[:-1]
+    tr_ring = _ctz64(xr)  # 64 when xr == 0, matching the NIF's convention
+    tr_prev = _ctz64(xp)
+    use_ring = in_window & (tr_ring >= tr_prev)
+    ring_f00 = use_ring & (xr == 0)
+    ring_f01 = use_ring & (xr != 0) & (tr_ring > _CHIMP128_THRESHOLD)
+    # ring candidate that doesn't strip enough falls back to the previous
+    # value (the NIF's goto use_prev)
+    prev_path = ~(ring_f00 | ring_f01)
+    p_f00 = prev_path & (xp == 0)
+    lead_p = _clz64(xp)
+    rep_p = _CHIMP_REPR[np.minimum(lead_p, 64)]
+    rnd_p = _CHIMP_ROUND[np.minimum(lead_p, 64)]
+    prev_stored = _stored_leading_prev(ring_f00 | ring_f01 | p_f00, rnd_p)
+    f10 = prev_path & (xp != 0) & (lead_p == prev_stored)
+    f11 = prev_path & (xp != 0) & (~f10)
+    lead_r = _clz64(xr)
+    rnd_r = _CHIMP_ROUND[np.minimum(lead_r, 64)]
+    # rounded-leading significant count — same deliberate deviation as
+    # _chimp_fields (the NIF's unrounded count mis-decodes off-boundary
+    # leads, gorilla_nif.cpp:658-666 vs :745-749)
+    sig_r = 64 - rnd_r - tr_ring  # 1..50 under ring_f01 (trail > 13)
+    rep_r = _CHIMP_REPR[np.minimum(lead_r, 64)]
+    idx00 = np.where(ring_f00, ji % _CHIMP128_N, (ii - 1) % _CHIMP128_N)
+    f00 = ring_f00 | p_f00
+    hdr_w = np.select([f00, ring_f01, f10], [9, 18, 2], default=5)
+    hdr_v = np.select(
+        [f00, ring_f01, f10],
+        [
+            idx00,  # (0b00 << 7) | idx
+            ((((1 << 7) | (ji % _CHIMP128_N)) << 3 | rep_r) << 6) | sig_r,
+            2,
+        ],
+        default=(0b11 << 3) | rep_p,
+    ).astype(np.uint64)
+    pay_w = np.select([f00, ring_f01, f10], [0, sig_r, 64 - prev_stored], default=64 - rnd_p)
+    # shift counts clamped to 63: tr_ring==64 only where xr==0, never selected
+    pay_v = np.select(
+        [f00, ring_f01],
+        [np.uint64(0), xr >> np.minimum(tr_ring, 63).astype(np.uint64)],
+        default=xp,
+    )
+    return _interleave_fields(hdr_v, hdr_w, pay_v, pay_w)
+
+
+def _decode_values_chimp(bits: np.ndarray, count: int, first_bits: int) -> np.ndarray:
+    """Faithful Chimp value decoder (gorilla_nif.cpp:522-575)."""
+    out = np.empty(count, dtype=np.uint64)
+    out[0] = first_bits
+    prev = int(first_bits)
+    stored_leading = 65
+    pos = 64
+    bl = bits.tolist()
+    npos = len(bl)
+
+    def read(w: int) -> int:
+        nonlocal pos
+        if pos + w > npos:
+            raise ValueError("gorilla wire: chimp value bitstream truncated")
+        v = 0
+        for b in bl[pos : pos + w]:
+            v = (v << 1) | b
+        pos += w
+        return v
+
+    for i in range(1, count):
+        flag = read(2)
+        if flag == 0b00:
+            stored_leading = 65
+        elif flag == 0b01:
+            leading = int(_CHIMP_DECODE[read(3)])
+            significant = read(6) or 64
+            trailing = max(64 - leading - significant, 0)
+            prev ^= read(significant) << trailing
+            stored_leading = 65
+        elif flag == 0b10:
+            if stored_leading > 64:
+                raise ValueError("gorilla wire: chimp flag 10 without context")
+            prev ^= read(64 - stored_leading)
+        else:
+            leading = int(_CHIMP_DECODE[read(3)])
+            prev ^= read(64 - leading)
+            stored_leading = leading
+        out[i] = prev
+    return out
+
+
+def _decode_values_chimp128(
+    bits: np.ndarray, count: int, first_bits: int
+) -> np.ndarray:
+    """Faithful Chimp128 value decoder (gorilla_nif.cpp:716-777)."""
+    out = np.empty(count, dtype=np.uint64)
+    out[0] = first_bits
+    ring = [0] * _CHIMP128_N
+    ring[0] = int(first_bits)
+    ring_pos = 1
+    stored_val = int(first_bits)
+    stored_leading = 65
+    pos = 64
+    bl = bits.tolist()
+    npos = len(bl)
+
+    def read(w: int) -> int:
+        nonlocal pos
+        if pos + w > npos:
+            raise ValueError("gorilla wire: chimp128 value bitstream truncated")
+        v = 0
+        for b in bl[pos : pos + w]:
+            v = (v << 1) | b
+        pos += w
+        return v
+
+    for i in range(1, count):
+        flag = read(2)
+        if flag == 0b00:
+            new_bits = ring[read(_CHIMP128_LOG2N)]
+            stored_leading = 65
+        elif flag == 0b01:
+            idx = read(_CHIMP128_LOG2N)
+            leading = int(_CHIMP_DECODE[read(3)])
+            significant = read(6) or 64
+            trailing = max(64 - leading - significant, 0)
+            new_bits = ring[idx] ^ (read(significant) << trailing)
+            stored_leading = 65
+        elif flag == 0b10:
+            if stored_leading > 64:
+                raise ValueError("gorilla wire: chimp128 flag 10 without context")
+            new_bits = stored_val ^ read(64 - stored_leading)
+        else:
+            leading = int(_CHIMP_DECODE[read(3)])
+            new_bits = stored_val ^ read(64 - leading)
+            stored_leading = leading
+        out[i] = new_bits
+        ring[ring_pos % _CHIMP128_N] = new_bits
+        ring_pos += 1
+        stored_val = new_bits
+    return out
+
+
+# ---------------------------------------------------------------------------
 # VictoriaMetrics-style preprocessing (enhancements.ex)
 # ---------------------------------------------------------------------------
 
@@ -336,6 +618,7 @@ def encode_points(
     is_counter: bool = False,
     scale_decimals="auto",
     creation_time: int = 0,
+    algorithm: str = "gorilla",
 ) -> bytes:
     """Encode one (timestamps, values) stream as a reference wire block.
 
@@ -344,6 +627,9 @@ def encode_points(
     reproducible bytes).  Empty input -> empty binary (gorilla.ex:74-75).
     ``is_counter`` only applies under ``victoria_metrics=True``, exactly
     like the reference pipeline (gorilla/encoder.ex:92-103).
+    ``algorithm`` selects the value stream: ``"gorilla"`` (default,
+    byte-for-byte vs the pure-Elixir path), ``"chimp"`` or ``"chimp128"``
+    (the NIF wire extension, flags 0x4/0x8, gorilla_nif.cpp:1073-1080).
     """
     ts = np.ascontiguousarray(timestamps, dtype=np.int64)
     vals = np.ascontiguousarray(values, dtype=np.float64)
@@ -352,6 +638,8 @@ def encode_points(
         raise ValueError("timestamp/value counts must match")  # bit_packing.ex:30
     if n == 0:
         return b""
+    if algorithm not in ("gorilla", "chimp", "chimp128"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
 
     if victoria_metrics:
         pre, scale_n = _vm_preprocess(vals, is_counter, scale_decimals)
@@ -359,6 +647,10 @@ def encode_points(
         emit_v2 = True
     else:
         pre, scale_n, flags, emit_v2 = vals, 0, 0, False
+    if algorithm == "chimp":
+        flags |= _FLAG_CHIMP
+    elif algorithm == "chimp128":
+        flags |= _FLAG_CHIMP128
 
     # --- timestamp fields: first::64, first_delta code, DoD codes ---
     tsu = ts.view(np.uint64)
@@ -377,25 +669,32 @@ def encode_points(
             f_wid.append(dodw)
     ts_bit_len = int(np.concatenate(f_wid).sum())
 
-    # --- value fields: first::64 then '0' / '10'+xor64 (see module doc) ---
+    # --- value fields: first::64 then the per-algorithm stream ---
+    # gorilla: '0' / '10'+xor64 (see module doc); chimp/chimp128: 2-bit
+    # flags per the NIF tables
     vb = pre.view(np.uint64)
     f_vals.append(vb[:1].copy())
     f_wid.append(np.array([64], dtype=np.int64))
     val_bit_len = 64
     if n >= 2:
-        xors = vb[1:] ^ vb[:-1]
-        nz = xors != np.uint64(0)
-        n1 = n - 1
-        nnz = int(nz.sum())
-        off = np.concatenate(([0], np.cumsum(nz[:-1]))) if n1 else np.empty(0, np.int64)
-        ctrl_idx = np.arange(n1, dtype=np.int64) + off.astype(np.int64)
-        fv = np.zeros(n1 + nnz, dtype=np.uint64)
-        fw = np.zeros(n1 + nnz, dtype=np.int64)
-        fw[ctrl_idx] = np.where(nz, 2, 1)
-        fv[ctrl_idx] = np.where(nz, np.uint64(0b10), np.uint64(0))
-        pay_idx = ctrl_idx[nz] + 1
-        fv[pay_idx] = xors[nz]
-        fw[pay_idx] = 64
+        if algorithm == "chimp":
+            fv, fw = _chimp_fields(vb)
+        elif algorithm == "chimp128":
+            fv, fw = _chimp128_fields(vb)
+        else:
+            xors = vb[1:] ^ vb[:-1]
+            nz = xors != np.uint64(0)
+            n1 = n - 1
+            nnz = int(nz.sum())
+            off = np.concatenate(([0], np.cumsum(nz[:-1]))) if n1 else np.empty(0, np.int64)
+            ctrl_idx = np.arange(n1, dtype=np.int64) + off.astype(np.int64)
+            fv = np.zeros(n1 + nnz, dtype=np.uint64)
+            fw = np.zeros(n1 + nnz, dtype=np.int64)
+            fw[ctrl_idx] = np.where(nz, 2, 1)
+            fv[ctrl_idx] = np.where(nz, np.uint64(0b10), np.uint64(0))
+            pay_idx = ctrl_idx[nz] + 1
+            fv[pay_idx] = xors[nz]
+            fw[pay_idx] = 64
         f_vals.append(fv)
         f_wid.append(fw)
         val_bit_len += int(fw.sum())
@@ -637,6 +936,7 @@ def decode_points(
         "creation_time": creation_time,
         "flags": flags,
         "scale_decimals": scale_decimals,
+        "algorithm": _algo_of(flags),
     }
     if zlib.crc32(payload) & 0xFFFFFFFF != checksum:
         if strict:
@@ -685,6 +985,11 @@ def decode_points(
     first_vb = int(_gather_bits_packed(datab, np.array([ts_bit_len]), 64)[0])
     if count == 1:
         vbits = np.array([first_vb], dtype=np.uint64)
+    elif flags & _FLAG_CHIMP128:
+        # NIF decoder checks 0x8 before 0x4 (gorilla_nif.cpp:1417-1424)
+        vbits = _decode_values_chimp128(vb, count, first_vb)
+    elif flags & _FLAG_CHIMP:
+        vbits = _decode_values_chimp(vb, count, first_vb)
     else:
         # fast path: reference-canonical '0'/'10' stream (see module doc)
         P10 = _scan_value_positions(vb, val_bit_len, count)
@@ -709,13 +1014,24 @@ def decode_points(
     return ts, np.ascontiguousarray(vals, dtype=np.float64), info
 
 
+def _algo_of(flags: int) -> str:
+    """Value-stream algorithm from outer-header flags, NIF dispatch order
+    (0x8 checked before 0x4, gorilla_nif.cpp:1417-1424)."""
+    if flags & _FLAG_CHIMP128:
+        return "chimp128"
+    if flags & _FLAG_CHIMP:
+        return "chimp"
+    return "gorilla"
+
+
 def wire_info(buf: bytes) -> dict:
     """Header-only inspection (decoder/metadata.ex get_header_info analog)."""
     if len(buf) < 80:
         raise ValueError("gorilla wire: buffer smaller than outer header")
-    magic, version, header_size, count, compressed_size, original_size, checksum, first_ts = struct.unpack_from(
-        ">QHHIIIIQ", buf, 0
-    )
+    (
+        magic, version, header_size, count, compressed_size, original_size,
+        checksum, first_ts, _fd, _fvb, _tl, _vl, _tb, _ratio, _ct, flags,
+    ) = _OUTER.unpack_from(buf, 0)
     if magic != MAGIC:
         raise ValueError("gorilla wire: bad magic")
     return {
@@ -727,6 +1043,8 @@ def wire_info(buf: bytes) -> dict:
         "checksum": checksum,
         "first_timestamp": first_ts,
         "compression_ratio": compressed_size / original_size if original_size else 0.0,
+        "flags": flags,
+        "algorithm": _algo_of(flags),
     }
 
 
@@ -956,14 +1274,22 @@ def encode_timeseries_wire(
     assume_sorted: bool = False,
     victoria_metrics: bool = False,
     is_counter: bool = False,
+    algorithm: str = "gorilla",
 ):
     """Encode (ts, value) rows into reference wire blocks (~5000 points per
-    block, matching the reference's chunking default, stream.ex:42)."""
+    block, matching the reference's chunking default, stream.ex:42).
+
+    ``algorithm`` selects the per-block value stream ("gorilla", "chimp",
+    "chimp128" — see :func:`encode_points`); the decode side dispatches on
+    the block's own header flags, so mixed-algorithm tables read fine.
+    """
     from pyspark import TaskContext
     from pyspark.sql import functions as F
 
     from gorilla_stream_spark.engine import _check_seq
 
+    if algorithm not in ("gorilla", "chimp", "chimp128"):
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     slim = df.select(
         F.col(ts_col).cast("long").alias("__ts"),
         F.col(val_col).cast("double").alias("__val"),
@@ -986,7 +1312,11 @@ def encode_timeseries_wire(
         def emit(ts: np.ndarray, vals: np.ndarray):
             nonlocal seq
             buf = encode_points(
-                ts, vals, victoria_metrics=victoria_metrics, is_counter=is_counter
+                ts,
+                vals,
+                victoria_metrics=victoria_metrics,
+                is_counter=is_counter,
+                algorithm=algorithm,
             )
             out = pa.RecordBatch.from_pydict(
                 {

@@ -636,3 +636,369 @@ def test_decode_points_zeroed_inner_count_raises_cleanly():
         pass  # ValueError is the contract
     except IndexError as e:  # pragma: no cover
         raise AssertionError(f"IndexError leaked: {e}")
+
+
+# ---------------------------------------------------------------------------
+# Chimp / Chimp128 value streams (NIF wire extension, flags 0x4 / 0x8)
+#
+# Oracles below are straight-line transcriptions of the C++ state machines
+# (``c_src/gorilla_nif.cpp``): encoders :450-519 (Chimp) and :590-713
+# (Chimp128), decoders :522-575 and :716-777, flag tables :424-448.
+# ``faithful=True`` reproduces the NIF encoder bit-for-bit INCLUDING its
+# flag-01 bug (significant computed from the unrounded leading count, which
+# its own decoder cannot reconstruct); ``faithful=False`` is the engine's
+# convention (rounded leading — the Chimp paper's, decodable by both).
+# ---------------------------------------------------------------------------
+
+_REPR = [0] * 8 + [1] * 4 + [2] * 4 + [3] * 2 + [4] * 2 + [5] * 2 + [6] * 2 + [7] * 41
+_ROUND = (
+    [0] * 8 + [8] * 4 + [12] * 4 + [16] * 2 + [18] * 2 + [20] * 2 + [22] * 2 + [24] * 41
+)
+_DEC = [0, 8, 12, 16, 18, 20, 22, 24]
+
+
+def _clz(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def _ctz(x: int) -> int:
+    return (x & -x).bit_length() - 1 if x else 64
+
+
+def spec_chimp_stream(vals, faithful: bool) -> _BW:
+    """NIF Chimp value-stream encoder transcription (gorilla_nif.cpp:450-519)."""
+    bits = [_f2b(v) for v in vals]
+    vw = _BW()
+    vw.w(bits[0], 64)
+    prev, stored = bits[0], 65
+    for cur in bits[1:]:
+        x = cur ^ prev
+        if x == 0:
+            vw.w(0b00, 2)
+            stored = 65
+        else:
+            lead, trail = _clz(x), _ctz(x)
+            if trail > 6:
+                sig = 64 - (lead if faithful else _ROUND[lead]) - trail
+                vw.w(0b01, 2)
+                vw.w(_REPR[lead], 3)
+                vw.w(sig, 6)
+                vw.w(x >> trail, sig)
+                stored = 65
+            elif lead == stored:
+                vw.w(0b10, 2)
+                vw.w(x, 64 - stored)
+            else:
+                vw.w(0b11, 2)
+                vw.w(_REPR[lead], 3)
+                vw.w(x, 64 - _ROUND[lead])
+                stored = _ROUND[lead]
+        prev = cur
+    return vw
+
+
+def spec_chimp128_stream(vals, faithful: bool) -> _BW:
+    """NIF Chimp128 value-stream encoder transcription (gorilla_nif.cpp:590-713)."""
+    bits = [_f2b(v) for v in vals]
+    vw = _BW()
+    vw.w(bits[0], 64)
+    N, MASK = 128, (1 << 14) - 1
+    ring = [0] * N
+    ring[0] = bits[0]
+    idxs = {bits[0] & MASK: 0}
+    ring_pos, stored_val, stored = 1, bits[0], 65
+    for cur in bits[1:]:
+        cand = idxs.get(cur & MASK, -1)
+        xp = cur ^ stored_val
+        best, xr = -1, 0
+        if cand >= 0 and 0 < ring_pos - cand <= N:
+            xr = cur ^ ring[cand % N]
+            if _ctz(xr) >= _ctz(xp):
+                best = cand
+        handled = False
+        if best >= 0:
+            if xr == 0:
+                vw.w(0b00, 2)
+                vw.w(best % N, 7)
+                stored = 65
+                handled = True
+            elif _ctz(xr) > 13:
+                lead, trail = _clz(xr), _ctz(xr)
+                sig = 64 - (lead if faithful else _ROUND[lead]) - trail
+                vw.w(0b01, 2)
+                vw.w(best % N, 7)
+                vw.w(_REPR[lead], 3)
+                vw.w(sig, 6)
+                vw.w(xr >> trail, sig)
+                stored = 65
+                handled = True
+        if not handled:  # the NIF's goto use_prev
+            if xp == 0:
+                vw.w(0b00, 2)
+                vw.w((ring_pos - 1) % N, 7)
+                stored = 65
+            else:
+                lead = _clz(xp)
+                if lead == stored:
+                    vw.w(0b10, 2)
+                    vw.w(xp, 64 - stored)
+                else:
+                    vw.w(0b11, 2)
+                    vw.w(_REPR[lead], 3)
+                    vw.w(xp, 64 - _ROUND[lead])
+                    stored = _ROUND[lead]
+        ring[ring_pos % N] = cur
+        idxs[cur & MASK] = ring_pos
+        ring_pos += 1
+        stored_val = cur
+    return vw
+
+
+class _BR:
+    def __init__(self, bits, pos=0):
+        self.bits, self.pos = bits, pos
+
+    def r(self, w):
+        v = 0
+        for b in self.bits[self.pos : self.pos + w]:
+            v = (v << 1) | b
+        self.pos += w
+        return v
+
+
+def spec_chimp_decode(bits, count):
+    """NIF Chimp decoder transcription (gorilla_nif.cpp:522-575)."""
+    r = _BR(bits)
+    prev = r.r(64)
+    out, stored = [prev], 65
+    for _ in range(count - 1):
+        flag = r.r(2)
+        if flag == 0b00:
+            stored = 65
+        elif flag == 0b01:
+            leading = _DEC[r.r(3)]
+            sig = r.r(6) or 64
+            trailing = max(64 - leading - sig, 0)
+            prev ^= r.r(sig) << trailing
+            stored = 65
+        elif flag == 0b10:
+            prev ^= r.r(64 - stored)
+        else:
+            leading = _DEC[r.r(3)]
+            prev ^= r.r(64 - leading)
+            stored = leading
+        out.append(prev)
+    return out
+
+
+def spec_chimp128_decode(bits, count):
+    """NIF Chimp128 decoder transcription (gorilla_nif.cpp:716-777)."""
+    r = _BR(bits)
+    first = r.r(64)
+    out = [first]
+    N = 128
+    ring = [0] * N
+    ring[0] = first
+    ring_pos, stored_val, stored = 1, first, 65
+    for _ in range(count - 1):
+        flag = r.r(2)
+        if flag == 0b00:
+            new = ring[r.r(7)]
+            stored = 65
+        elif flag == 0b01:
+            idx = r.r(7)
+            leading = _DEC[r.r(3)]
+            sig = r.r(6) or 64
+            trailing = max(64 - leading - sig, 0)
+            new = ring[idx] ^ (r.r(sig) << trailing)
+            stored = 65
+        elif flag == 0b10:
+            new = stored_val ^ r.r(64 - stored)
+        else:
+            leading = _DEC[r.r(3)]
+            new = stored_val ^ r.r(64 - leading)
+            stored = leading
+        out.append(new)
+        ring[ring_pos % N] = new
+        ring_pos += 1
+        stored_val = new
+    return out
+
+
+def _value_stream_bits(buf: bytes) -> tuple[list, int]:
+    """Extract (value-stream bit list incl. leading 64, count) from a block."""
+    hs = struct.unpack_from(">QHH", buf, 0)[2]
+    count, _ft, _fv, _fd, ts_len, val_len = struct.unpack_from(">IQQiII", buf, hs)
+    payload = buf[hs + 32 :]
+    allbits = []
+    for byte in payload:
+        for j in range(7, -1, -1):
+            allbits.append((byte >> j) & 1)
+    return allbits[ts_len : ts_len + val_len], count
+
+
+_CHIMP_VALSETS = [
+    # constant run -> drifting gauge (flag 00 + 01/11 mix)
+    [3.75] * 20 + [23.5 + 0.01 * i for i in range(40)],
+    # sin-gauge (the reference's own chimp_test.exs:7 shape)
+    [round(45.0 + __import__("math").sin(i / 10) * 15, 2) for i in range(100)],
+    # counter (integers as doubles -> trailing-zero-rich XORs, flag 01 heavy)
+    [float(i) for i in range(80)],
+    # period-5 cycle: chimp128 ring hits where chimp sees full XORs
+    [1.0, 2.0, 4.5, 8.25, 16.125] * 30,
+    # extremes incl. subnormals and signed zero (chimp_test.exs:65-72)
+    [1.7976931348623157e308, -1.7976931348623157e308, 5e-324, 0.0, -0.0, 0.1],
+    # noisy low mantissa bits (trail <= 6: flag 10/11 exercise)
+    [100.0 + i * 1e-13 for i in range(60)],
+    # two points / single point degenerate shapes
+    [42.5, 43.1],
+    [42.5],
+]
+
+
+@pytest.mark.parametrize("algorithm", ["chimp", "chimp128"])
+@pytest.mark.parametrize("case", range(len(_CHIMP_VALSETS)))
+def test_chimp_value_stream_vs_spec(algorithm, case):
+    # the vectorized field builder must reproduce the straight-line state
+    # machine (engine convention: rounded-leading significant counts)
+    vals = _CHIMP_VALSETS[case]
+    ts = [1_700_000_000 + 15 * i for i in range(len(vals))]
+    buf = gw.encode_points(
+        np.array(ts, np.int64), np.array(vals, np.float64), algorithm=algorithm
+    )
+    got_bits, count = _value_stream_bits(buf)
+    spec = (spec_chimp_stream if algorithm == "chimp" else spec_chimp128_stream)(
+        vals, faithful=False
+    )
+    assert got_bits == spec.bits
+    # and the NIF-transcribed decoder reconstructs our stream exactly
+    dec = (spec_chimp_decode if algorithm == "chimp" else spec_chimp128_decode)(
+        got_bits, count
+    )
+    assert dec == [_f2b(v) for v in vals]
+    # full-block decode: bit-identical floats, algorithm reported
+    t2, v2, info = gw.decode_points(buf)
+    assert info["algorithm"] == algorithm
+    assert list(t2) == ts
+    assert [struct.pack(">d", v) for v in v2] == [struct.pack(">d", v) for v in vals]
+    assert gw.wire_info(buf)["algorithm"] == algorithm
+
+
+@pytest.mark.parametrize("algorithm", ["chimp", "chimp128"])
+def test_chimp_byte_for_byte_vs_faithful_nif_on_boundary_leads(algorithm):
+    # values whose every flag-01 XOR has a bucket-boundary leading count ->
+    # the engine's bytes equal the faithful NIF encoder's bytes exactly
+    vals = [1.0]
+    b = _f2b(1.0)
+    for lead in (0, 8, 12, 16, 18, 20, 22, 24):
+        b ^= 1 << (63 - lead)  # XOR with exactly `lead` leading zeros, trail 63-lead > 6
+        vals.append(struct.unpack(">d", struct.pack(">Q", b))[0])
+    spec = (spec_chimp_stream if algorithm == "chimp" else spec_chimp128_stream)(
+        vals, faithful=True
+    )
+    ts = [1_700_000_000 + 15 * i for i in range(len(vals))]
+    buf = gw.encode_points(
+        np.array(ts, np.int64), np.array(vals, np.float64), algorithm=algorithm
+    )
+    got_bits, _ = _value_stream_bits(buf)
+    assert got_bits == spec.bits
+
+
+def test_reference_chimp_flag01_quirk_documented():
+    # the NIF encoder's own decoder mis-reconstructs an off-boundary flag-01
+    # XOR (lead 10 rounds to 8); the engine's stream decodes exactly.  This
+    # is the documented deviation in _chimp_fields.
+    vals = [3.75, 23.5]  # xor lead 10, trail 47 -> flag 01, off-boundary
+    faithful = spec_chimp_stream(vals, faithful=True)
+    dec_faithful = spec_chimp_decode(faithful.bits, 2)
+    assert dec_faithful[1] != _f2b(23.5)  # reference round-trip bug, shown
+    ours = spec_chimp_stream(vals, faithful=False)
+    assert spec_chimp_decode(ours.bits, 2)[1] == _f2b(23.5)
+    # vectorized encoder emits the fixed-convention stream
+    buf = gw.encode_points(np.array([0, 60]), np.array(vals), algorithm="chimp")
+    got_bits, _ = _value_stream_bits(buf)
+    assert got_bits == ours.bits
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        min_size=1,
+        max_size=120,
+    ),
+    st.sampled_from(["chimp", "chimp128"]),
+)
+def test_chimp_roundtrip_property(vals, algorithm):
+    ts = np.arange(len(vals), dtype=np.int64) * 60
+    arr = np.array(vals, np.float64)
+    buf = gw.encode_points(ts, arr, algorithm=algorithm)
+    t2, v2, info = gw.decode_points(buf)
+    assert info["algorithm"] == algorithm
+    np.testing.assert_array_equal(t2, ts)
+    np.testing.assert_array_equal(v2.view(np.uint64), arr.view(np.uint64))
+    # parity with the straight-line spec encoder on every example
+    got_bits, count = _value_stream_bits(buf)
+    spec = (spec_chimp_stream if algorithm == "chimp" else spec_chimp128_stream)(
+        list(arr), faithful=False
+    )
+    assert got_bits == spec.bits
+
+
+def test_chimp_vm_mode_roundtrip_and_flags():
+    # VM preprocessing (0x1|0x2) composes with the algorithm flags (0x4/0x8)
+    ts = np.arange(50, dtype=np.int64) * 60
+    vals = np.round(np.cumsum(np.abs(np.sin(np.arange(50)))) * 1.5, 2)
+    for algorithm, aflag in (("chimp", 0x4), ("chimp128", 0x8)):
+        buf = gw.encode_points(
+            ts, vals, victoria_metrics=True, is_counter=True, algorithm=algorithm
+        )
+        info = gw.wire_info(buf)
+        assert info["flags"] & aflag
+        assert info["algorithm"] == algorithm
+        t2, v2, dinfo = gw.decode_points(buf)
+        assert dinfo["algorithm"] == algorithm
+        np.testing.assert_allclose(v2, vals, atol=1e-9)
+
+
+def test_chimp128_dispatch_order_and_unknown_algorithm():
+    # NIF decoder checks 0x8 before 0x4 (gorilla_nif.cpp:1417-1424): a block
+    # carrying both flags decodes as chimp128
+    ts = np.arange(30, dtype=np.int64) * 60
+    vals = np.tile(np.array([7.5, 8.25, 9.125]), 10)
+    buf = bytearray(gw.encode_points(ts, vals, algorithm="chimp128"))
+    flags = struct.unpack_from(">I", buf, 76)[0]
+    struct.pack_into(">I", buf, 76, flags | 0x4)
+    t2, v2, info = gw.decode_points(bytes(buf))
+    assert info["algorithm"] == "chimp128"
+    np.testing.assert_array_equal(v2, vals)
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        gw.encode_points(ts, vals, algorithm="zalgo")
+
+
+def test_spark_wire_chimp_roundtrip(spark):
+    # DataFrame-level chimp128 export + mixed-algorithm table read
+    import pyspark.sql.functions as F
+
+    n = 12_000
+    df = spark.range(n).select(
+        (F.lit(1_600_000_000) + F.col("id") * 60).alias("ts"),
+        (F.col("id") % 13).cast("double").alias("value"),
+    )
+    enc_c = gw.encode_timeseries_wire(df, num_partitions=2, algorithm="chimp128")
+    rows = enc_c.collect()
+    assert sum(r["n_points"] for r in rows) == n
+    for r in rows:
+        assert gw.wire_info(bytes(r["buffer"]))["algorithm"] == "chimp128"
+    # mixed table: gorilla + chimp blocks decode side-by-side (per-block flags)
+    enc_g = gw.encode_timeseries_wire(
+        df.withColumn("ts", F.col("ts") + F.lit(n * 60)), num_partitions=2
+    )
+    dec = gw.decode_timeseries_wire(enc_c.unionAll(enc_g))
+    agg = dec.agg(
+        F.count("*").alias("cnt"), F.sum("value").alias("s")
+    ).collect()[0]
+    assert agg["cnt"] == 2 * n
+    assert abs(agg["s"] - 2 * sum(float(i % 13) for i in range(n))) < 1e-6
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        gw.encode_timeseries_wire(df, algorithm="nope")
