@@ -1002,3 +1002,160 @@ def test_spark_wire_chimp_roundtrip(spark):
     assert abs(agg["s"] - 2 * sum(float(i % 13) for i in range(n))) < 1e-6
     with pytest.raises(ValueError, match="unknown algorithm"):
         gw.encode_timeseries_wire(df, algorithm="nope")
+
+
+# ---------------------------------------------------------------------------
+# General ('11'-window) XOR value decoder — batched vs sequential oracle
+# ---------------------------------------------------------------------------
+
+
+def _mk_value_stream(first_bits, tokens):
+    """Build a raw value bitstream from token specs and compute the
+    expected value bit patterns with plain Python state.
+
+    tokens: ('0',) | ('10', payload_int) | ('11', lead, mlen, payload_int)
+    """
+    bw = _BW()
+    bw.w(first_bits, 64)
+    prev = first_bits
+    lead, trail = 0, 0
+    expect = [first_bits]
+    for t in tokens:
+        if t[0] == "0":
+            bw.w(0, 1)
+            xor = 0
+        elif t[0] == "10":
+            mlen = 64 - lead - trail
+            assert mlen > 0
+            bw.w(0b10, 2)
+            pay = t[1] & ((1 << mlen) - 1)
+            bw.w(pay, mlen)
+            xor = pay << trail
+        else:
+            _, lead, mlen, pay = t
+            trail = 64 - lead - mlen
+            assert trail >= 0
+            bw.w(0b11, 2)
+            bw.w(lead, 5)
+            assert 1 <= mlen <= 64
+            bw.w(mlen - 1, 6)  # field stores mlen-1 (gorilla_nif.cpp:397)
+            pay &= (1 << mlen) - 1
+            bw.w(pay, mlen)
+            xor = pay << trail
+        prev ^= xor
+        expect.append(prev)
+    return bw, expect
+
+
+def _run_general(bw, count):
+    payload = bw.to_bytes()
+    datab = np.frombuffer(payload, dtype=np.uint8)
+    bits = np.unpackbits(datab)
+    V = len(bw.bits)
+    first = int(
+        gw._gather_bits_packed(datab, np.array([0]), 64)[0]
+    )
+    got = gw._decode_values_general(bits[:V], V, count, first, datab, 0)
+    oracle = gw._decode_values_sequential(bits[:V], count, first)
+    return got, oracle
+
+
+def _random_tokens(rng, n, p0=0.3, p10=0.4, mlen_pool=None):
+    lead, trail = 0, 0
+    toks = []
+    for _ in range(n):
+        r = rng.random()
+        if r < p0:
+            toks.append(("0",))
+        elif r < p0 + p10 and 64 - lead - trail > 0:
+            toks.append(("10", int(rng.integers(0, 1 << 30))))
+        else:
+            if mlen_pool is not None:
+                mlen = int(mlen_pool[rng.integers(len(mlen_pool))])
+            else:
+                mlen = int(rng.integers(1, 64))
+            lead = int(rng.integers(0, min(32, 64 - mlen + 1)))
+            trail = 64 - lead - mlen
+            toks.append(("11", lead, mlen, int(rng.integers(0, 1 << 62))))
+    return toks
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_general_decoder_fuzz_parity(seed):
+    rng = np.random.default_rng(seed)
+    shapes = [
+        dict(p0=0.3, p10=0.4),  # mixed
+        dict(p0=0.05, p10=0.05),  # '11'-heavy (alternating windows)
+        dict(p0=0.8, p10=0.15),  # long '0' runs
+        dict(p0=0.02, p10=0.9),  # long '10' runs
+        dict(p0=0.0, p10=0.0, mlen_pool=[20, 21]),  # near-alternating mlens
+    ]
+    sh = shapes[seed % len(shapes)]
+    n = int(rng.integers(1, 400))
+    toks = _random_tokens(rng, n, **sh)
+    first = int(rng.integers(0, 1 << 63))
+    bw, expect = _mk_value_stream(first, toks)
+    got, oracle = _run_general(bw, n + 1)
+    np.testing.assert_array_equal(oracle, np.array(expect, dtype=np.uint64))
+    np.testing.assert_array_equal(got, oracle)
+
+
+def test_general_decoder_scalar_floor_parity():
+    # strict ['11' toggling mlen, '10'] alternation: every phase consumes
+    # 1-2 tokens -> the weak-phase counter trips the byte-windowed scalar
+    # floor, which must stay bit-exact
+    toks = []
+    for k in range(600):
+        mlen = 20 if k % 2 == 0 else 21
+        toks.append(("11", 5, mlen, (0x5A5A5A + k) & ((1 << mlen) - 1)))
+        toks.append(("10", 0x33CC33 + k))
+    bw, expect = _mk_value_stream(0x3FF0000000000000, toks)
+    got, oracle = _run_general(bw, len(toks) + 1)
+    np.testing.assert_array_equal(got, oracle)
+    np.testing.assert_array_equal(got, np.array(expect, dtype=np.uint64))
+
+
+def test_general_decoder_truncation_raises():
+    toks = [("11", 4, 30, 12345), ("10", 999), ("0",)]
+    bw, _ = _mk_value_stream(0x4045000000000000, toks)
+    # chop the stream mid-token: drop the last 20 bits
+    bw.bits = bw.bits[:-20]
+    payload = bw.to_bytes()
+    datab = np.frombuffer(payload, dtype=np.uint8)
+    bits = np.unpackbits(datab)
+    V = len(bw.bits)
+    with pytest.raises(ValueError, match="truncated"):
+        gw._decode_values_general(bits[:V], V, 4, 0x4045000000000000, datab, 0)
+    with pytest.raises(ValueError):
+        gw._decode_values_sequential(bits[:V], 4, 0x4045000000000000)
+
+
+def test_general_decoder_full_block_foreign_stream():
+    # foreign writer: NIF-style windowed XOR encoder transcription
+    # (gorilla_nif.cpp:370-400 semantics: reuse window when the XOR fits,
+    # else emit a '11' with the value's own lead/mlen)
+    rng = np.random.default_rng(99)
+    n = 3000
+    vals = np.round(np.cumsum(rng.normal(0, 0.25, n)) + 100.0, 3)
+    bits_v = vals.view(np.uint64)
+    toks = []
+    lead, trail = 0, 0
+    prev = int(bits_v[0])
+    for v in bits_v[1:]:
+        x = int(v) ^ prev
+        prev = int(v)
+        if x == 0:
+            toks.append(("0",))
+            continue
+        xl, xt = _clz(x), _ctz(x)
+        mlen = 64 - lead - trail
+        if xl >= lead and xt >= trail and mlen > 0:
+            toks.append(("10", x >> trail))
+        else:
+            xl = min(xl, 31)
+            ml = 64 - xl - xt
+            toks.append(("11", xl, ml, x >> xt))
+            lead, trail = xl, xt
+    bw, expect = _mk_value_stream(int(bits_v[0]), toks)
+    got, oracle = _run_general(bw, len(toks) + 1)
+    np.testing.assert_array_equal(got, oracle)
