@@ -858,6 +858,7 @@ def decontaminate(
     num_hashes: int = 128,
     rows_per_band: int = 2,
     metric: str = "jaccard",
+    eval_broadcast_max_shingles: int = 8_000_000,
 ) -> DataFrame:
     """Training docs that leak evaluation content (cross-corpus near-dup).
 
@@ -885,6 +886,12 @@ def decontaminate(
     eval shingle table, so only MATCHING shingles survive to the
     (train_id, eval_id) count — exact containment, shuffle volume
     proportional to actual overlap, not the corpus.
+
+    ``eval_broadcast_max_shingles`` bounds the containment-mode broadcast:
+    the exploded eval shingle table costs ~16 B/shingle on every executor,
+    so the default 8 M (~128 MB) covers any realistic benchmark suite.  An
+    oversized "eval" corpus falls back to a shuffled shingle join — same
+    exact result, shuffle volume ~ both exploded sides.
     """
     if metric not in ("jaccard", "containment"):
         raise ValueError(f"unknown metric {metric!r}")
@@ -901,7 +908,10 @@ def decontaminate(
     ev = eval_df.select(
         F.col(id_col).cast("long").alias("__nd_id"), F.col(text_col).alias("__nd_payload")
     )
-    return _decontaminate_impl(tr, ev, shingler, threshold_pct, rows_per_band, num_hashes, metric)
+    return _decontaminate_impl(
+        tr, ev, shingler, threshold_pct, rows_per_band, num_hashes, metric,
+        eval_broadcast_max_shingles=eval_broadcast_max_shingles,
+    )
 
 
 def _decontaminate_impl(
@@ -912,6 +922,7 @@ def _decontaminate_impl(
     rows_per_band: int,
     num_hashes: int,
     metric: str,
+    eval_broadcast_max_shingles: int = 8_000_000,
 ) -> DataFrame:
     """Shared cross-corpus leak-detection pipeline (text and token paths).
 
@@ -933,8 +944,14 @@ def _decontaminate_impl(
         e_cnt = shm_e.select(
             F.col("doc_id").alias("eval_id"), F.size("sh").cast("long").alias("__ne")
         )
+        # broadcast-size guard: shm_e is already persisted, so the shingle
+        # count is one cheap agg.  Above the bound the exploded eval table
+        # would blow every executor's broadcast memory -> plain shuffle
+        # join (same exact result, shuffle ~ both exploded sides).
+        n_ev_sh = shm_e.agg(F.sum(F.size("sh"))).collect()[0][0] or 0
+        e_side = F.broadcast(e_sh) if n_ev_sh <= eval_broadcast_max_shingles else e_sh
         inter = (
-            t_sh.join(F.broadcast(e_sh), "__s")
+            t_sh.join(e_side, "__s")
             .groupBy("train_id", "eval_id")
             .agg(F.count("*").cast("long").alias("__i"))
         )
@@ -1119,6 +1136,7 @@ def decontaminate_tokens(
     num_hashes: int = 128,
     rows_per_band: int = 2,
     metric: str = "jaccard",
+    eval_broadcast_max_shingles: int = 8_000_000,
 ) -> DataFrame:
     """:func:`decontaminate` over TOKEN-ARRAY corpora — the engine's native
     data model; a tokenized training set cannot ride the text path without
@@ -1142,7 +1160,10 @@ def decontaminate_tokens(
     ev = eval_df.select(
         F.col(id_col).cast("long").alias("__nd_id"), F.col(tokens_col).alias("__nd_payload")
     )
-    return _decontaminate_impl(tr, ev, shingler, threshold_pct, rows_per_band, num_hashes, metric)
+    return _decontaminate_impl(
+        tr, ev, shingler, threshold_pct, rows_per_band, num_hashes, metric,
+        eval_broadcast_max_shingles=eval_broadcast_max_shingles,
+    )
 
 
 def neardup_pairs_tokens(
