@@ -61,6 +61,7 @@ _DROP_ORDER = [
     "simhash_speedup_vs_hof",
     "q8c_simhash_hof_10k",
     "q10_topk_bruteforce",
+    "q10c_ivfpq_search",
     "documents_ratio",
     "q3_estimate",
     "q6_encode_for",
@@ -449,6 +450,36 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     pq_topk(pq_codes, books, qvec, k=10).count()
     queries["q10b_pq_train_encode_search"] = time.time() - t0
     extras["pq_vecs_per_sec"] = n_vecs / queries["q10b_pq_train_encode_search"]
+
+    # IVF-PQ: bucketed codes + hamming-ball probe — artifact-backed prune
+    # fraction (rows actually scored / corpus) and recall@50 vs brute force
+    ivf_codes = pq_encode(vecs, books, with_bucket=True).persist()
+    n_codes = ivf_codes.count()
+    t0 = time.time()
+    ivf_hits = pq_topk(ivf_codes, books, qvec, k=10, probe_flips=2)
+    ivf_set = {(r.query_id, r.vec_id) for r in ivf_hits.collect()}
+    queries["q10c_ivfpq_search"] = time.time() - t0
+    import numpy as _np3
+
+    from gorilla_stream_spark.vectors import _bucket_keys as _bk
+    from gorilla_stream_spark.vectors import _hamming_ball as _hb
+    from gorilla_stream_spark.vectors import _index_planes as _ip
+
+    _planes = _ip(dim)
+    _probes = sorted(
+        _hb(_bk(_np3.array([v for _, v in qvec], dtype=_np3.float64), _planes),
+            _planes.shape[0], 2)
+    )
+    probed = ivf_codes.filter(
+        F.col("bucket").isin([int(p) for p in _probes])
+    ).count()
+    extras["ivfpq_prune_frac"] = probed / max(n_codes, 1)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in topk_dot(vecs, qvec, k=10, quantize="numpy").collect()
+    }
+    extras["ivfpq_recall_at10"] = len(ivf_set & exact) / max(len(exact), 1)
+    ivf_codes.unpersist()
     venc_df = spark.read.parquet(venc_path)
     t0 = time.time()
     ann_search(venc_df, qvec, k=10).count()
