@@ -90,6 +90,30 @@ def test_requires_dict_bytes():
         wrap_container(b"\x00" * 100, method="zlib-dict")
 
 
+def test_zstd_dict_path_present_or_gracefully_absent():
+    """The reference's ACTUAL cdict path (container.ex:312-340) needs the
+    python `zstandard` binding — probed at import.  Where it ships, the
+    container must roundtrip and beat plain zstd on small blocks; where it
+    doesn't (this environment — recorded constraint), the error must name
+    the missing binding and point at the zlib-dict equivalent."""
+    from gorilla_stream_spark.codecs import _ZSTANDARD
+
+    samples = _sample_buffers(100)
+    d = train_container_dict(samples)
+    block = samples[0]
+    if _ZSTANDARD is None:
+        with pytest.raises(ValueError, match="zstandard.*not installed"):
+            wrap_container(block, method="zstd-dict", zdict=d)
+        with pytest.raises(ValueError, match="requires zdict"):
+            wrap_container(block, method="zstd-dict")
+    else:  # pragma: no cover - environment-dependent
+        wrapped = wrap_container(block, method="zstd-dict", zdict=d)
+        register_container_dict(d)
+        assert np.array_equal(decode_array(wrapped), decode_array(block))
+        plain = wrap_container(block, method="zstd", level=9)
+        assert len(wrapped) - 10 < len(plain) - 6
+
+
 def test_train_is_deterministic_and_bounded():
     samples = _sample_buffers(50)
     assert train_container_dict(samples) == train_container_dict(samples)
