@@ -754,13 +754,26 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("ts"),
         F.col("value"),
     )
-    dec = decode_timeseries_wire(encode_timeseries_wire(ev, num_partitions=4))
-    return dec.groupBy((F.col("ts") % 97).alias("bucket")).agg(
-        F.count("*").cast("long").alias("cnt"),
-        F.sum("ts").cast("long").alias("sum_ts"),
-        F.min("value").alias("min_val"),
-        F.max("value").alias("max_val"),
-    )
+    # one roundtrip per wire value-stream algorithm: gorilla (flags 0x1/0x2)
+    # plus the NIF wire extension chimp / chimp128 (flags 0x4 / 0x8) — the
+    # decode side dispatches on the block header, so each variant proves
+    # its own encoder AND the flag dispatch
+    from functools import reduce
+
+    parts = []
+    for algo in ("gorilla", "chimp", "chimp128"):
+        dec = decode_timeseries_wire(
+            encode_timeseries_wire(ev, num_partitions=4, algorithm=algo)
+        )
+        parts.append(
+            dec.groupBy((F.col("ts") % 97).alias("bucket")).agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.sum("ts").cast("long").alias("sum_ts"),
+                F.min("value").alias("min_val"),
+                F.max("value").alias("max_val"),
+            ).select(F.lit(algo).alias("algo"), "*")
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -1181,11 +1194,12 @@ WHERE 100 * ii >= 70 * (ca.n + cb.n - ii)
             "WITH s AS (SELECT CAST(1600000000 + event_id * 600"
             "  + (event_id % 11) * 37 + (event_id % 7) * 5 AS BIGINT) AS ts,"
             "  value FROM events)"
-            " SELECT CAST(ts % 97 AS BIGINT) AS bucket,"
+            " SELECT a.algo, CAST(ts % 97 AS BIGINT) AS bucket,"
             " CAST(count(*) AS BIGINT) AS cnt,"
             " CAST(sum(ts) AS BIGINT) AS sum_ts,"
             " min(value) AS min_val, max(value) AS max_val"
-            " FROM s GROUP BY 1"
+            " FROM s CROSS JOIN (VALUES ('gorilla'),('chimp'),('chimp128'))"
+            " AS a(algo) GROUP BY 1, 2"
         ),
         "q51_dict_container_roundtrip": _ROUNDTRIP_ORACLE,
         "q54_compact_roundtrip": _ROUNDTRIP_ORACLE,
