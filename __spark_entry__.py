@@ -730,6 +730,50 @@ def q_sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF-PQ (O57) reduced-invariant oracle: ANN recall is approximate by
+    # design (codebook quantization — see the recall pytest), so the driver
+    # check asserts the deterministic contract instead: every query gets
+    # exactly k results with complete 1..k ranks, and every returned id
+    # came from the hamming-ball probe subset (directory pruning honored).
+    import numpy as np
+
+    from gorilla_stream_spark.vectors import (
+        _bucket_keys,
+        _hamming_ball,
+        _index_planes,
+        pq_encode,
+        pq_topk,
+        train_pq,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    qvec = [(r["vec_id"], list(r["embedding"])) for r in qrows]
+    books = train_pq(emb, m=8, sample=4096, iters=5)
+    codes = pq_encode(emb, books, with_bucket=True)
+    res = pq_topk(codes, books, qvec, k=10, probe_flips=3)
+    planes = _index_planes(books.shape[0] * books.shape[2])
+    probes = sorted(
+        _hamming_ball(
+            _bucket_keys(np.array([v for _, v in qvec], dtype=np.float64), planes),
+            planes.shape[0], 3,
+        )
+    )
+    probed_ids = codes.filter(
+        F.col("bucket").isin([int(p) for p in probes])
+    ).select("vec_id", F.lit(True).alias("__probed"))
+    return (
+        res.join(probed_ids, "vec_id", "left")
+        .groupBy("query_id")
+        .agg(
+            F.count("*").cast("long").alias("n_results"),
+            (F.count_distinct("rank") == 10).alias("ranks_ok"),
+            F.every(F.coalesce("__probed", F.lit(False))).alias("in_probe_ok"),
+        )
+    )
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -825,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q54_compact_roundtrip": q_compact_roundtrip,
         "q55_decontaminate": q_decontaminate,
         "q56_decontaminate_containment": q_decontaminate_containment,
+        "q57_ivfpq": q_ivfpq,
     }
 
 
@@ -1233,6 +1278,14 @@ SELECT CAST(ti AS BIGINT) AS train_id, CAST(ei AS BIGINT) AS eval_id
 FROM inter JOIN cnt ce ON ce.doc_id=ei
 WHERE 100*ii >= 80*ce.n
 """,
+        "q57_ivfpq": (
+            # reduced invariant (recall is approximate by design): k results
+            # per query, complete ranks, all ids from the probed subset
+            "SELECT CAST(vec_id AS BIGINT) AS query_id,"
+            " CAST(10 AS BIGINT) AS n_results,"
+            " TRUE AS ranks_ok, TRUE AS in_probe_ok"
+            " FROM embeddings WHERE vec_id < 3"
+        ),
         "q53_sample_corpus": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
             " CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents"

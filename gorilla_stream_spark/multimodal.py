@@ -117,6 +117,14 @@ def image_features(
     PIL-based closure) without touching the Spark plumbing.  Defaults to
     :func:`fake_image_kernel`, the deterministic test kernel; installing an
     imaging library changes nothing until a caller passes a real kernel.
+
+    Wall-time expectations: the default kernel is fully vectorized (header
+    gather + one segmented cumsum, millions of payloads/s/core) so the
+    Spark plumbing never dominates; a REAL decode kernel is per-payload by
+    nature and JPEG/PNG parsing dominates at ~100-1000 images/s/core —
+    size ``spark.sql.files.maxPartitionBytes`` (or repartition upstream)
+    so a partition holds minutes, not hours, of decode work, and expect
+    the job to be CPU-bound on executors, not shuffle-bound.
     """
     import pyarrow as pa
 
