@@ -154,8 +154,10 @@ class CheckpointedEncode:
                 codec=self.codec,
             )
         else:
-            if self.container == "zlib-dict" and self.container_dict is None:
-                raise ValueError("container='zlib-dict' requires container_dict bytes")
+            if self.container in ("zlib-dict", "zstd-dict") and self.container_dict is None:
+                raise ValueError(
+                    f"container={self.container!r} requires container_dict bytes"
+                )
             enc = encode(
                 salted,
                 codec=self.codec,

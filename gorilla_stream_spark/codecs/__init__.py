@@ -178,13 +178,126 @@ except Exception:  # pragma: no cover
     _ZSTD_CODEC = None
 
 try:  # true zstd trained-dict (reference cdict/ddict, container.ex:312-362):
-    # needs the python `zstandard` binding — pyarrow's Codec API has no
-    # dictionary parameter.  Probed at import; absent in this environment
-    # (recorded constraint), so the zlib preset-dict container below carries
-    # the capability and this path activates wherever `zstandard` ships.
+    # preferred binding is the python `zstandard` module — pyarrow's Codec
+    # API has no dictionary parameter.  Probed at import.
     import zstandard as _ZSTANDARD  # pragma: no cover - environment-dependent
 except Exception:
     _ZSTANDARD = None
+
+
+def _load_zstd_ctypes():
+    """ctypes binding to the system libzstd's one-shot dictionary API.
+
+    Fallback tier when the `zstandard` module is absent: binds
+    ``ZSTD_compress_usingDict`` / ``ZSTD_decompress_usingDict`` — the same
+    raw-content-dictionary semantics as the reference's
+    ``:ezstd.create_cdict(training_data, level)`` (ezstd wraps
+    ``ZSTD_createCDict`` over the raw sample bytes, no ZDICT training;
+    ``test/compression/dict_compression_test.exs:22-24``), so frames are
+    byte-interoperable with the reference's cdict output and with the
+    `zstandard`-module path.  The simple API has been ABI-stable since
+    zstd 1.0.  Contexts are created per call (µs-scale) — no shared
+    mutable state, safe under driver-side threads.
+    """
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+    lib = ctypes.CDLL(name)
+    sz = ctypes.c_size_t
+    for fname, restype, argtypes in (
+        ("ZSTD_compressBound", sz, [sz]),
+        ("ZSTD_isError", ctypes.c_uint, [sz]),
+        ("ZSTD_getErrorName", ctypes.c_char_p, [sz]),
+        ("ZSTD_createCCtx", ctypes.c_void_p, []),
+        ("ZSTD_freeCCtx", sz, [ctypes.c_void_p]),
+        ("ZSTD_createDCtx", ctypes.c_void_p, []),
+        ("ZSTD_freeDCtx", sz, [ctypes.c_void_p]),
+        (
+            "ZSTD_compress_usingDict",
+            sz,
+            [ctypes.c_void_p, ctypes.c_char_p, sz, ctypes.c_char_p, sz,
+             ctypes.c_char_p, sz, ctypes.c_int],
+        ),
+        (
+            "ZSTD_decompress_usingDict",
+            sz,
+            [ctypes.c_void_p, ctypes.c_char_p, sz, ctypes.c_char_p, sz,
+             ctypes.c_char_p, sz],
+        ),
+    ):
+        fn = getattr(lib, fname)  # AttributeError -> probe fails cleanly
+        fn.restype = restype
+        fn.argtypes = argtypes
+    return lib
+
+
+_ZSTD_CT = None
+if _ZSTANDARD is None:
+    try:
+        _ZSTD_CT = _load_zstd_ctypes()
+    except Exception:  # pragma: no cover - no libzstd on host
+        _ZSTD_CT = None
+
+
+def _zstd_dict_compress(data: bytes, zdict: bytes, level: int) -> bytes:
+    """One-shot zstd compress with a raw-content dictionary (either tier)."""
+    if _ZSTANDARD is not None:  # pragma: no cover - environment-dependent
+        cd = _ZSTANDARD.ZstdCompressionDict(bytes(zdict))
+        return _ZSTANDARD.ZstdCompressor(level=level, dict_data=cd).compress(bytes(data))
+    import ctypes
+
+    lib = _ZSTD_CT
+    src = bytes(data)
+    d = bytes(zdict)
+    bound = lib.ZSTD_compressBound(len(src))
+    dst = ctypes.create_string_buffer(bound)
+    cctx = lib.ZSTD_createCCtx()
+    if not cctx:  # pragma: no cover - allocation failure
+        raise MemoryError("ZSTD_createCCtx failed")
+    try:
+        n = lib.ZSTD_compress_usingDict(
+            cctx, dst, bound, src, len(src), d, len(d), int(level)
+        )
+        if lib.ZSTD_isError(n):  # pragma: no cover - bound sized above
+            raise ValueError(
+                f"zstd dict compress failed: {lib.ZSTD_getErrorName(n).decode()}"
+            )
+        return dst.raw[:n]
+    finally:
+        lib.ZSTD_freeCCtx(cctx)
+
+
+def _zstd_dict_decompress(data: bytes, zdict: bytes, orig_len: int) -> bytes:
+    """One-shot zstd decompress with a raw-content dictionary (either tier).
+
+    ``orig_len`` (from the container header, already bounds-checked) caps
+    the output buffer — a corrupt frame cannot balloon past it.
+    """
+    if _ZSTANDARD is not None:  # pragma: no cover - environment-dependent
+        return _ZSTANDARD.ZstdDecompressor(
+            dict_data=_ZSTANDARD.ZstdCompressionDict(bytes(zdict))
+        ).decompress(bytes(data), max_output_size=orig_len)
+    import ctypes
+
+    lib = _ZSTD_CT
+    src = bytes(data)
+    d = bytes(zdict)
+    dst = ctypes.create_string_buffer(max(orig_len, 1))
+    dctx = lib.ZSTD_createDCtx()
+    if not dctx:  # pragma: no cover - allocation failure
+        raise MemoryError("ZSTD_createDCtx failed")
+    try:
+        n = lib.ZSTD_decompress_usingDict(
+            dctx, dst, orig_len, src, len(src), d, len(d)
+        )
+        if lib.ZSTD_isError(n):
+            raise ValueError(
+                f"zstd dict decompress failed: {lib.ZSTD_getErrorName(n).decode()}"
+            )
+        return dst.raw[:n]
+    finally:
+        lib.ZSTD_freeDCtx(dctx)
 
 try:  # openzl: optional native dep, mirroring the reference's opt-in openzl
     # container (/root/reference/lib/gorilla_stream/compression/
@@ -300,23 +413,22 @@ def wrap_container(
     if method not in ("auto", "zstd", "zlib", "openzl", "zlib-dict", "zstd-dict"):
         raise ValueError(f"unknown container method {method!r}")
     if method == "zstd-dict":
-        # the reference's actual :ezstd cdict path (container.ex:312-340)
+        # the reference's actual :ezstd cdict path (container.ex:312-340);
+        # served by the python `zstandard` module when present, else the
+        # ctypes libzstd one-shot dict API (byte-interoperable frames)
         if zdict is None:
             raise ValueError("zstd-dict container requires zdict bytes")
-        if _ZSTANDARD is None:
+        if _ZSTANDARD is None and _ZSTD_CT is None:
             raise ValueError(
-                "zstd-dict container unavailable: the python 'zstandard'"
-                " binding is not installed (pyarrow's Codec has no dict"
-                " API) — use container='zlib-dict' for the same capability"
+                "zstd-dict container unavailable: neither the python"
+                " 'zstandard' binding nor libzstd is present — use"
+                " container='zlib-dict' for the same capability"
             )
-        if level is not None and not 1 <= level <= 22:  # pragma: no cover
+        if level is not None and not 1 <= level <= 22:
             raise ValueError(f"zstd level {level} out of range 1-22")
-        did = register_container_dict(zdict)  # pragma: no cover - needs lib
-        cd = _ZSTANDARD.ZstdCompressionDict(bytes(zdict))  # pragma: no cover
-        comp = _ZSTANDARD.ZstdCompressor(  # pragma: no cover
-            level=9 if level is None else level, dict_data=cd
-        ).compress(bytes(buf))
-        return (  # pragma: no cover
+        did = register_container_dict(zdict)
+        comp = _zstd_dict_compress(buf, zdict, 9 if level is None else level)
+        return (
             bytes([CONTAINER, _ZSTDD])
             + _struct.pack("<II", len(buf), did)
             + comp
@@ -396,14 +508,12 @@ def decode_array(buf: bytes | memoryview) -> np.ndarray:
                         f"zstd-dict container needs dict {did:#010x} — call"
                         " register_container_dict(dict_bytes) first"
                     )
-                if _ZSTANDARD is None:
+                if _ZSTANDARD is None and _ZSTD_CT is None:
                     raise ValueError(
-                        "zstd-dict container but the python 'zstandard'"
-                        " binding is not installed"
+                        "zstd-dict container but neither the python"
+                        " 'zstandard' binding nor libzstd is present"
                     )
-                inner = _ZSTANDARD.ZstdDecompressor(  # pragma: no cover
-                    dict_data=_ZSTANDARD.ZstdCompressionDict(d)
-                ).decompress(bytes(mv[10:]), max_output_size=orig_len)
+                inner = _zstd_dict_decompress(bytes(mv[10:]), d, orig_len)
             elif mid == _ZSTD:
                 if _ZSTD_CODEC is None:
                     raise ValueError("zstd container but codec unavailable")

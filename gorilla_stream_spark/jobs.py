@@ -30,6 +30,7 @@ def cmd_encode(args) -> int:
 
     spark = _spark("gss-encode")
     df = spark.read.parquet(args.input)
+    cdict = open(args.dict_path, "rb").read() if getattr(args, "dict_path", None) else None
     m = encode_with_checkpoint(
         spark,
         df,
@@ -40,6 +41,7 @@ def cmd_encode(args) -> int:
         codec=args.codec,
         container=args.container,
         container_level=args.level,
+        container_dict=cdict,
     )
     print(json.dumps({k: (float(v) if v is not None else None) for k, v in m.items()}))
     return 0
@@ -140,7 +142,8 @@ def cmd_verify(args) -> int:
 
     spark = _spark("gss-verify")
     src = spark.read.parquet(args.source)
-    dec = decode(spark.read.parquet(args.encoded))
+    cdict = open(args.dict_path, "rb").read() if getattr(args, "dict_path", None) else None
+    dec = decode(spark.read.parquet(args.encoded), container_dict=cdict)
     joined = src.alias("s").join(dec.alias("d"), "doc_id", "full_outer")
     bad = joined.filter(
         F.col("s.tokens").isNull()
@@ -463,11 +466,16 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--output", required=True)
     e.add_argument("--checkpoint", required=True)
     e.add_argument("--codec", default="auto")
-    e.add_argument("--container", default="none", choices=["none", "auto", "zlib", "zstd"])
+    e.add_argument(
+        "--container", default="none",
+        choices=["none", "auto", "zlib", "zstd", "zlib-dict", "zstd-dict"],
+    )
     e.add_argument(
         "--level", type=int, default=None,
         help="container compression level (zstd 1-22, zlib 0-9; default codec default)",
     )
+    e.add_argument("--dict-path", default=None,
+                   help="container dictionary file (required for *-dict containers)")
     e.add_argument("--partitions", type=int, default=None)
     e.add_argument("--run-id", default="run1")
     e.set_defaults(fn=cmd_encode)
@@ -514,6 +522,8 @@ def main(argv: list[str] | None = None) -> int:
     v = sub.add_parser("verify", help="bit-identity round-trip check")
     v.add_argument("--source", required=True)
     v.add_argument("--encoded", required=True)
+    v.add_argument("--dict-path", default=None,
+                   help="container dictionary file (*-dict tables need it to decode)")
     v.set_defaults(fn=cmd_verify)
 
     s = sub.add_parser("estimate", help="codec selector preview, no encode")

@@ -91,27 +91,53 @@ def test_requires_dict_bytes():
 
 
 def test_zstd_dict_path_present_or_gracefully_absent():
-    """The reference's ACTUAL cdict path (container.ex:312-340) needs the
-    python `zstandard` binding — probed at import.  Where it ships, the
-    container must roundtrip and beat plain zstd on small blocks; where it
-    doesn't (this environment — recorded constraint), the error must name
-    the missing binding and point at the zlib-dict equivalent."""
-    from gorilla_stream_spark.codecs import _ZSTANDARD
+    """The reference's ACTUAL cdict path (container.ex:312-340, ezstd's
+    raw-content ``create_cdict``).  Two bindings are probed at import: the
+    python `zstandard` module, then a ctypes binding to the system
+    libzstd's ``ZSTD_*_usingDict`` one-shot API (present in this
+    environment).  Where either ships, the container must roundtrip and
+    beat plain zstd on small blocks; where neither does, the error must
+    name the constraint and point at the zlib-dict equivalent."""
+    from gorilla_stream_spark.codecs import _ZSTANDARD, _ZSTD_CT
 
     samples = _sample_buffers(100)
     d = train_container_dict(samples)
     block = samples[0]
-    if _ZSTANDARD is None:
-        with pytest.raises(ValueError, match="zstandard.*not installed"):
+    if _ZSTANDARD is None and _ZSTD_CT is None:  # pragma: no cover - env
+        with pytest.raises(ValueError, match="zstandard.*libzstd"):
             wrap_container(block, method="zstd-dict", zdict=d)
         with pytest.raises(ValueError, match="requires zdict"):
             wrap_container(block, method="zstd-dict")
-    else:  # pragma: no cover - environment-dependent
+    else:
         wrapped = wrap_container(block, method="zstd-dict", zdict=d)
         register_container_dict(d)
         assert np.array_equal(decode_array(wrapped), decode_array(block))
         plain = wrap_container(block, method="zstd", level=9)
         assert len(wrapped) - 10 < len(plain) - 6
+
+
+def test_zstd_dict_roundtrip_and_corrupt_frame():
+    """Live-tier zstd-dict checks (ctypes libzstd here): many-block
+    roundtrip, dict-aids-ratio across the whole sample set, and a corrupt
+    frame raising cleanly instead of returning garbage."""
+    from gorilla_stream_spark.codecs import _ZSTANDARD, _ZSTD_CT
+
+    if _ZSTANDARD is None and _ZSTD_CT is None:  # pragma: no cover - env
+        pytest.skip("no zstd dict binding in this environment")
+    samples = _sample_buffers(60)
+    d = train_container_dict(samples)
+    register_container_dict(d)
+    dict_total = plain_total = 0
+    for block in samples:
+        wrapped = wrap_container(block, method="zstd-dict", zdict=d, level=9)
+        assert np.array_equal(decode_array(wrapped), decode_array(block))
+        dict_total += len(wrapped) - 10
+        plain_total += len(wrap_container(block, method="zstd", level=9)) - 6
+    assert dict_total < plain_total
+    wrapped = wrap_container(samples[0], method="zstd-dict", zdict=d)
+    corrupt = wrapped[:12] + bytes([wrapped[12] ^ 0xFF]) + wrapped[13:]
+    with pytest.raises(ValueError):
+        decode_array(corrupt)
 
 
 def test_train_is_deterministic_and_bounded():
@@ -120,10 +146,17 @@ def test_train_is_deterministic_and_bounded():
     assert len(train_container_dict(samples, max_size=1024)) <= 1024
 
 
-def test_engine_e2e_dict_container(spark):
+@pytest.mark.parametrize("method", ["zlib-dict", "zstd-dict"])
+def test_engine_e2e_dict_container(spark, method):
     import pyspark.sql.functions as F
 
     from gorilla_stream_spark import decode, encode
+
+    if method == "zstd-dict":
+        from gorilla_stream_spark.codecs import _ZSTANDARD, _ZSTD_CT
+
+        if _ZSTANDARD is None and _ZSTD_CT is None:  # pragma: no cover - env
+            pytest.skip("no zstd dict binding in this environment")
 
     docs = spark.range(200).select(
         F.col("id").cast("string").alias("doc_id"),
@@ -139,7 +172,7 @@ def test_engine_e2e_dict_container(spark):
     )
     d = train_container_dict([bytes(r["buffer"]) for r in sample_rows])
     enc = encode(
-        docs, codec="auto", num_partitions=2, container="zlib-dict", container_dict=d
+        docs, codec="auto", num_partitions=2, container=method, container_dict=d
     )
     dec = decode(enc, container_dict=d)
     back = {r["doc_id"]: list(r["tokens"]) for r in dec.collect()}
