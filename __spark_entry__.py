@@ -774,6 +774,25 @@ def q_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_global_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus-global frequency-ranked dictionary remap (O65): build the
+    # vocabulary, remap every token array to dense ranks, and emit a
+    # position-weighted checksum per doc — DuckDB reproduces the ranks
+    # (count DESC, token ASC is deterministic) so the oracle is exact.
+    from gorilla_stream_spark.vocab import remap_tokens
+
+    src = _tokens_from_documents(spark, sf_dir)
+    rm = remap_tokens(src)
+    return rm.select(
+        "doc_id",
+        F.expr(
+            "aggregate(transform(tokens, (t, i) -> cast(t as bigint) * (i + 1)),"
+            " cast(0 as bigint), (a, x) -> a + x)"
+        ).alias("cks"),
+        F.size("tokens").cast("long").alias("n"),
+    )
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -870,6 +889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q55_decontaminate": q_decontaminate,
         "q56_decontaminate_containment": q_decontaminate_containment,
         "q57_ivfpq": q_ivfpq,
+        "q58_global_dict": q_global_dict,
     }
 
 
@@ -1278,6 +1298,21 @@ SELECT CAST(ti AS BIGINT) AS train_id, CAST(ei AS BIGINT) AS eval_id
 FROM inter JOIN cnt ce ON ce.doc_id=ei
 WHERE 100*ii >= 80*ce.n
 """,
+        "q58_global_dict": (
+            "WITH c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i"
+            "           FROM documents WHERE length(text) > 0),"
+            " t AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,"
+            "       ord(substr(text, CAST(i AS INTEGER), 1)) AS tok FROM c),"
+            " r AS (SELECT tok, CAST(row_number() OVER"
+            "       (ORDER BY count(*) DESC, tok ASC) - 1 AS BIGINT) AS rnk"
+            "       FROM t GROUP BY tok),"
+            " s AS (SELECT t.doc_id, sum(r.rnk * t.pos) AS cks, count(*) AS n"
+            "       FROM t JOIN r USING (tok) GROUP BY t.doc_id)"
+            " SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,"
+            "  CAST(COALESCE(s.cks, 0) AS BIGINT) AS cks,"
+            "  CAST(COALESCE(s.n, 0) AS BIGINT) AS n"
+            " FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
+        ),
         "q57_ivfpq": (
             # reduced invariant (recall is approximate by design): k results
             # per query, complete ranks, all ids from the probed subset

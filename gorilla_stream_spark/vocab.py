@@ -1,0 +1,245 @@
+"""Corpus-global token dictionary — frequency-ranked vocabulary remap.
+
+A per-block ``dict`` codec (``intcodecs.dict_encode``) pays for its local
+symbol table in every block; when the corpus shares one vocabulary (the
+normal case for tokenizer output) a corpus-GLOBAL dictionary does better:
+remap every token to its frequency rank once, and every downstream block
+sees small dense ids — ``for``/bit-pack widths drop to ``ceil(log2(V))``
+and the skewed head of the distribution lands in the low bytes where the
+zstd/zlib containers are most effective.  This is the classic two-pass
+global dictionary encoding from columnar warehouses (C-Store/Vertica-style),
+re-expressed Spark-first; the reference has no corpus-wide pass at all (its
+unit is one stream, `gorilla_stream.ex:1-40`), which is exactly why a 100 TB
+table needs this operator.
+
+Scale design (the 100 TB question):
+
+* ``token_counts`` — the ONLY corpus-wide pass.  An Arrow kernel runs
+  ``np.unique`` per record batch (the map-side combine), so the shuffle
+  carries at most ``partitions x vocab`` tiny ``(token, cnt)`` rows — never
+  the token stream itself.  Spark's hash aggregate finishes the sum.
+* ``build_global_dict`` — a rank over the VOCABULARY (#distinct tokens,
+  ~50K-1M for real tokenizers), not the corpus: the single-partition
+  window sort is microscopic next to the scan and is documented as such.
+* ``remap_tokens`` / ``unmap_tokens`` — map-only: the dict rides a task
+  broadcast as two aligned numpy arrays; the kernel is one
+  ``np.searchsorted`` (remap) or one fancy-index gather (unmap) over the
+  zero-copy flattened batch.  No shuffle, no per-row Python.
+* ``max_vocab`` guards the broadcast: beyond it the dict no longer fits a
+  task closure comfortably and the caller should fall back to per-block
+  ``dict`` codec (raised loudly, never silently truncated).
+
+Determinism: ranks are ordered by ``(count DESC, token ASC)`` — ties break
+on the token value, so the mapping is a pure function of the corpus
+contents, independent of partitioning (the same property every other
+operator in this repo guarantees).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark.engine import _flatten_arrow
+
+__all__ = [
+    "token_counts",
+    "build_global_dict",
+    "remap_tokens",
+    "unmap_tokens",
+]
+
+DEFAULT_MAX_VOCAB = 1 << 24  # 16M entries ~= 192 MB broadcast ceiling
+
+
+def token_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Exact per-token occurrence counts over the whole corpus.
+
+    Output ``(token int, cnt long)``.  The Arrow kernel pre-aggregates each
+    record batch with ``np.unique`` so the shuffle moves per-partition
+    vocabulary rows, not tokens.
+    """
+    import pyarrow as pa
+
+    def fn(batches: Iterator) -> Iterator:
+        # one accumulator per TASK (not per batch): per-batch np.unique
+        # results merge via a second vectorized unique+segment-sum, so a
+        # partition emits each token once and never loops per token
+        u_parts: list[np.ndarray] = []
+        c_parts: list[np.ndarray] = []
+        for rb in batches:
+            tok_arr = rb.column(rb.schema.get_field_index(tokens_col))
+            flat, _ = _flatten_arrow(tok_arr)
+            if flat.size == 0:
+                continue
+            uniq, cnt = np.unique(flat, return_counts=True)
+            u_parts.append(uniq)
+            c_parts.append(cnt.astype(np.int64))
+        if u_parts:
+            cat_u = np.concatenate(u_parts)
+            cat_c = np.concatenate(c_parts)
+            toks, inv = np.unique(cat_u, return_inverse=True)
+            cnts = np.zeros(toks.size, dtype=np.int64)
+            np.add.at(cnts, inv, cat_c)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(toks, type=pa.int32()), pa.array(cnts, type=pa.int64())],
+                names=["token", "cnt"],
+            )
+
+    partial = df.select(tokens_col).mapInArrow(fn, "token int, cnt long")
+    return partial.groupBy("token").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def build_global_dict(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
+    """Frequency-ranked global dictionary ``(token, rank, cnt)``.
+
+    ``rank`` is dense 0-based, most frequent first, ties broken by token
+    value ascending — deterministic and partitioning-independent.  The
+    unpartitioned window sorts only the vocabulary (see module docstring).
+    """
+    counts = token_counts(df, tokens_col)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.select(
+        "token",
+        (F.row_number().over(w) - F.lit(1)).cast("int").alias("rank"),
+        "cnt",
+    )
+
+
+def _collect_dict(dict_df: DataFrame, max_vocab: int) -> tuple[np.ndarray, np.ndarray]:
+    """Dict table -> aligned (tokens_sorted_asc, rank_of_token) arrays.
+
+    Bounded collect: the LIMIT probe fails loudly BEFORE materializing an
+    over-budget vocabulary on the driver.
+    """
+    probe = dict_df.select("token").limit(max_vocab + 1).count()
+    if probe > max_vocab:
+        raise ValueError(
+            f"global dictionary exceeds max_vocab={max_vocab} entries — a"
+            " broadcast remap no longer pays; use the per-block 'dict' codec"
+            " or raise max_vocab explicitly"
+        )
+    pdf = dict_df.select("token", "rank").toPandas()
+    toks = pdf["token"].to_numpy(dtype=np.int64)
+    ranks = pdf["rank"].to_numpy(dtype=np.int64)
+    order = np.argsort(toks, kind="stable")
+    toks, ranks = toks[order], ranks[order]
+    if toks.size and np.any(toks[1:] == toks[:-1]):
+        raise ValueError("duplicate token values in dictionary table")
+    v = ranks.size
+    if v and (ranks.min() != 0 or ranks.max() != v - 1 or np.unique(ranks).size != v):
+        raise ValueError("dictionary ranks are not dense 0..V-1")
+    return toks, ranks
+
+
+def _remap_fn(tokens_col: str, bc, strict: bool, inverse: bool):
+    """Shared Arrow kernel for remap (searchsorted) and unmap (gather)."""
+    import pyarrow as pa
+
+    def fn(batches: Iterator) -> Iterator:
+        toks, ranks = bc.value
+        if inverse:
+            # ranks are dense 0..V-1 -> direct int32 gather table
+            inv = np.empty(ranks.size, dtype=np.int64)
+            inv[ranks] = toks
+        for rb in batches:
+            idx = rb.schema.get_field_index(tokens_col)
+            tok_arr = rb.column(idx)
+            flat, lens = _flatten_arrow(tok_arr)
+            if inverse:
+                if flat.size and (flat.min() < 0 or flat.max() >= ranks.size):
+                    raise ValueError(
+                        "rank outside dictionary range — table was not"
+                        " produced by remap_tokens with this dictionary"
+                    )
+                out = inv[flat] if flat.size else flat
+            elif toks.size == 0:
+                if strict and flat.size:
+                    raise ValueError("empty global dictionary with non-empty tokens")
+                out = np.full(flat.shape, -1, dtype=np.int64)
+            else:
+                pos = np.searchsorted(toks, flat)
+                safe = np.minimum(pos, toks.size - 1)
+                hit = (pos < toks.size) & (toks[safe] == flat)
+                if strict:
+                    if flat.size and not hit.all():
+                        raise ValueError(
+                            f"{int((~hit).sum())} token(s) absent from the global"
+                            " dictionary — rebuild the dict over the full"
+                            " corpus or pass strict=False (maps to -1)"
+                        )
+                    out = ranks[safe] if flat.size else flat
+                else:
+                    out = np.where(hit, ranks[safe], -1)
+            offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+            new_col = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(out.astype(np.int32), type=pa.int32()),
+            )
+            arrays = [
+                new_col if i == idx else rb.column(i) for i in range(rb.num_columns)
+            ]
+            fields = [
+                pa.field(tokens_col, pa.list_(pa.int32())) if i == idx else rb.schema.field(i)
+                for i in range(rb.num_columns)
+            ]
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    return fn
+
+
+def _out_schema(df: DataFrame, tokens_col: str):
+    from pyspark.sql.types import ArrayType, IntegerType, StructField, StructType
+
+    fields = [
+        StructField(tokens_col, ArrayType(IntegerType(), containsNull=False), f.nullable)
+        if f.name == tokens_col
+        else f
+        for f in df.schema.fields
+    ]
+    return StructType(fields)
+
+
+def remap_tokens(
+    df: DataFrame,
+    dict_df: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    strict: bool = True,
+    max_vocab: int = DEFAULT_MAX_VOCAB,
+) -> DataFrame:
+    """Rewrite ``tokens_col`` to global frequency ranks (map-only pass).
+
+    ``dict_df`` defaults to ``build_global_dict(df)``.  ``strict=True``
+    raises on a token missing from the dictionary (the encode-side
+    contract); ``strict=False`` maps unknowns to -1 for exploratory use.
+    All other columns pass through untouched.
+    """
+    if dict_df is None:
+        dict_df = build_global_dict(df, tokens_col)
+    toks, ranks = _collect_dict(dict_df, max_vocab)
+    bc = df.sparkSession.sparkContext.broadcast((toks, ranks))
+    return df.mapInArrow(
+        _remap_fn(tokens_col, bc, strict, inverse=False), _out_schema(df, tokens_col)
+    )
+
+
+def unmap_tokens(
+    df: DataFrame,
+    dict_df: DataFrame,
+    tokens_col: str = "tokens",
+    max_vocab: int = DEFAULT_MAX_VOCAB,
+) -> DataFrame:
+    """Inverse of :func:`remap_tokens`: ranks back to original token values.
+
+    Exact inverse for any table produced by a strict remap with the same
+    dictionary (``unmap(remap(df)) == df`` bit-identical) — the property the
+    round-trip tests assert, mirroring the engine's lossless contract.
+    """
+    toks, ranks = _collect_dict(dict_df, max_vocab)
+    bc = df.sparkSession.sparkContext.broadcast((toks, ranks))
+    return df.mapInArrow(
+        _remap_fn(tokens_col, bc, strict=True, inverse=True), _out_schema(df, tokens_col)
+    )
