@@ -793,6 +793,21 @@ def q_global_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # block-level token membership index (O66): encode, build the zone-map
+    # + bloom index, then answer "which docs contain token 113 ('q') and
+    # how often" decoding only index-surviving blocks.  Exact oracle: the
+    # result is independent of pruning (bloom false positives only cost a
+    # wasted decode), so DuckDB reproduces it by direct scan.
+    from gorilla_stream_spark import encode
+    from gorilla_stream_spark.index import build_token_index, find_docs_with_token
+
+    src = _tokens_from_documents(spark, sf_dir)
+    enc = encode(src, codec="auto", num_partitions=4)
+    idx = build_token_index(enc)
+    return find_docs_with_token(enc, idx, 113)
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -890,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q56_decontaminate_containment": q_decontaminate_containment,
         "q57_ivfpq": q_ivfpq,
         "q58_global_dict": q_global_dict,
+        "q59_token_search": q_token_search,
     }
 
 
@@ -1298,6 +1314,15 @@ SELECT CAST(ti AS BIGINT) AS train_id, CAST(ei AS BIGINT) AS eval_id
 FROM inter JOIN cnt ce ON ce.doc_id=ei
 WHERE 100*ii >= 80*ce.n
 """,
+        "q59_token_search": (
+            "WITH c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i"
+            "           FROM documents WHERE length(text) > 0),"
+            " t AS (SELECT doc_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS tok"
+            "       FROM c)"
+            " SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+            "  CAST(count(*) AS BIGINT) AS n_hits"
+            " FROM t WHERE tok = 113 GROUP BY doc_id"
+        ),
         "q58_global_dict": (
             "WITH c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i"
             "           FROM documents WHERE length(text) > 0),"

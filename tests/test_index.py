@@ -1,0 +1,150 @@
+"""Token membership index (O66): exactness vs brute force, zone-map and
+bloom pruning effectiveness, false-positive safety, self-describing params,
+JVM-only prune plan, and corruption propagation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark import encode
+from gorilla_stream_spark.index import (
+    build_token_index,
+    find_docs_with_token,
+    prune_blocks_for_token,
+)
+
+
+def _corpus(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+
+
+@pytest.fixture(scope="module")
+def enc_and_truth(spark):
+    """40 docs over two token regimes: low tokens [0,100) everywhere, the
+    needle token 777777 only in docs 30..34.  Small block_tokens so the
+    table spans many blocks and pruning is observable."""
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(40):
+        toks = [int(v) for v in rng.integers(0, 100, size=120)]
+        if 30 <= i <= 34:
+            toks[7] = 777777
+            toks[80] = 777777
+        rows.append((f"doc{i:02d}", toks, "s"))
+    df = _corpus(spark, rows)
+    enc = encode(df, codec="auto", num_partitions=2, block_tokens=500)
+    enc = enc.cache()
+    enc.count()
+    truth = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id",
+            F.size(F.filter("tokens", lambda t: t == 777777)).alias("n"),
+        ).collect()
+        if r["n"] > 0
+    }
+    return enc, truth
+
+
+def test_find_docs_exact(spark, enc_and_truth):
+    enc, truth = enc_and_truth
+    idx = build_token_index(enc)
+    got = {r["doc_id"]: r["n_hits"] for r in find_docs_with_token(enc, idx, 777777).collect()}
+    assert got == truth
+    assert all(v == 2 for v in got.values())
+
+
+def test_common_token_matches_brute_force(spark, enc_and_truth):
+    enc, _ = enc_and_truth
+    from gorilla_stream_spark import decode
+
+    idx = build_token_index(enc)
+    got = {r["doc_id"]: r["n_hits"] for r in find_docs_with_token(enc, idx, 50).collect()}
+    truth = {
+        r["doc_id"]: r["n"]
+        for r in decode(enc)
+        .select("doc_id", F.size(F.filter("tokens", lambda t: t == 50)).alias("n"))
+        .collect()
+        if r["n"] > 0
+    }
+    assert got == truth and len(truth) > 0
+
+
+def test_absent_token_empty_and_prunes_everything(spark, enc_and_truth):
+    enc, _ = enc_and_truth
+    idx = build_token_index(enc)
+    # outside every block's [tok_min, tok_max]: zone map alone kills it
+    assert prune_blocks_for_token(enc, idx, 10**6 + 1).count() == 0
+    assert find_docs_with_token(enc, idx, 10**6 + 1).count() == 0
+
+
+def test_needle_prunes_most_blocks(spark, enc_and_truth):
+    enc, truth = enc_and_truth
+    idx = build_token_index(enc)
+    total = enc.count()
+    cand = prune_blocks_for_token(enc, idx, 777777).count()
+    assert cand < total, (cand, total)  # pruning actually happened
+    got = {r["doc_id"]: r["n_hits"] for r in find_docs_with_token(enc, idx, 777777).collect()}
+    assert got == truth  # and stayed exact
+
+
+def test_self_describing_params(spark, enc_and_truth):
+    enc, truth = enc_and_truth
+    idx = build_token_index(enc, bloom_words=4, k=3)
+    got = {r["doc_id"]: r["n_hits"] for r in find_docs_with_token(enc, idx, 777777).collect()}
+    assert got == truth
+
+
+def test_bloom_false_positive_safe(spark):
+    """1-word bloom over a high-cardinality block saturates the filter —
+    results must remain exact (decode verifies), only pruning degrades."""
+    rng = np.random.default_rng(3)
+    rows = [
+        (f"d{i}", [int(v) for v in rng.integers(0, 2**20, size=300)], "s")
+        for i in range(10)
+    ]
+    df = _corpus(spark, rows)
+    enc = encode(df, codec="auto", num_partitions=1, block_tokens=600)
+    idx = build_token_index(enc, bloom_words=1, k=2)
+    probe = int(df.select(F.element_at("tokens", 5)).first()[0])
+    truth = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(F.filter("tokens", lambda t: t == probe)).alias("n")
+        ).collect()
+        if r["n"] > 0
+    }
+    got = {r["doc_id"]: r["n_hits"] for r in find_docs_with_token(enc, idx, probe).collect()}
+    assert got == truth
+
+
+def test_index_is_small_and_map_only(spark, enc_and_truth):
+    enc, _ = enc_and_truth
+    idx = build_token_index(enc)
+    assert idx.count() == enc.count()  # one row per block
+    plan = idx._jdf.queryExecution().executedPlan().toString()
+    # no shuffle in the index pass itself (the cached encode lineage below
+    # InMemoryTableScan keeps its own exchanges — cut the plan there)
+    own = plan.split("InMemoryTableScan")[0]
+    assert "Exchange" not in own
+
+
+def test_prune_plan_is_jvm_only(spark, enc_and_truth):
+    enc, _ = enc_and_truth
+    idx = build_token_index(enc).cache()
+    idx.count()
+    cand = idx.filter(
+        (F.col("tok_min") <= 777777) & (F.col("tok_max") >= 777777)
+    ).select("block_id")
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    idx.unpersist()
+
+
+def test_corruption_fails_loud_in_index_build(spark, enc_and_truth):
+    enc, _ = enc_and_truth
+    bad = enc.withColumn("crc32_raw", F.col("crc32_raw") + 1)
+    with pytest.raises(Exception, match="crc32"):
+        build_token_index(bad).collect()
