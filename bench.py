@@ -71,6 +71,18 @@ _DROP_ORDER = [
     "q6_encode_delta",
     "q6_encode_dod",
     "q6_encode_fsst",
+    # round-5 rows: timings droppable (throughput/ratio rows carry the
+    # signal), then the lowest-signal extras
+    "q4c_token_index_build",
+    "q4d_token_search",
+    "q4e_encode_clustered",
+    "q4f_global_dict_remap",
+    "token_search_docs_hit",
+    "token_search_prune_frac_absent",
+    "q1b_encode_bucketed",
+    "encode_bucketed_tokens_per_sec",
+    "q5_encode_timeseries",
+    "timeseries_points_per_sec",
 ]
 
 
@@ -220,6 +232,64 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     extras["compact_blocks_before"] = n_frag
     extras["compact_blocks_after"] = int(cstats["b"])
     extras["compact_tokens_per_sec"] = int(cstats["t"]) / queries["q4b_compact_blocks"]
+
+    # q4c/q4d: token membership index (O66) — build over the encoded corpus,
+    # then the honest pruning pair: an absent token (zone map + bloom kill
+    # everything — the index's win case) and a ubiquitous token (every block
+    # survives — worst-case pruned-decode throughput)
+    from gorilla_stream_spark.index import (
+        build_token_index,
+        find_docs_with_token,
+        prune_blocks_for_token,
+    )
+
+    enc_cached = spark.read.parquet(enc_path)
+    t0 = time.time()
+    idx = build_token_index(enc_cached).cache()
+    n_blocks = idx.count()
+    queries["q4c_token_index_build"] = time.time() - t0
+    extras["index_build_tokens_per_sec"] = total_tokens / queries["q4c_token_index_build"]
+    t0 = time.time()
+    # -5 is absent by construction (generator emits only >= 0): the zone
+    # map alone kills every block; 9 is a frequent low zipf value — the
+    # ubiquitous worst case
+    cand_absent = prune_blocks_for_token(enc_cached, idx, -5).count()
+    n_absent = find_docs_with_token(enc_cached, idx, -5).count()
+    cand_present = prune_blocks_for_token(enc_cached, idx, 9).count()
+    n_present = find_docs_with_token(enc_cached, idx, 9).count()
+    queries["q4d_token_search"] = time.time() - t0
+    assert n_absent == 0 and cand_absent == 0
+    extras["token_search_prune_frac_absent"] = cand_absent / max(n_blocks, 1)
+    extras["token_search_prune_frac_present"] = cand_present / max(n_blocks, 1)
+    extras["token_search_docs_hit"] = n_present
+    extras["token_search_tokens_per_sec"] = total_tokens / queries["q4d_token_search"]
+    idx.unpersist()
+
+    # q4e: compression-aware clustering (O67) — similarity-ordered layout
+    # vs the salted throughput layout on the documents-derived corpus;
+    # records the ratio delta the reorder buys at this sf
+    from gorilla_stream_spark.skew import cluster_for_compression
+
+    t0 = time.time()
+    cenc = encode(
+        cluster_for_compression(dtoks, by=("source",), num_partitions=int(CPUS)),
+        codec="auto",
+        repartition=False,
+    )
+    cs = cenc.agg(F.sum("raw_bytes").alias("r"), F.sum("enc_bytes").alias("e")).first()
+    queries["q4e_encode_clustered"] = time.time() - t0
+    extras["documents_ratio_clustered"] = cs["e"] / cs["r"] if cs["r"] else None
+
+    # q4f: corpus-global dictionary remap (O65) — counts pass + broadcast
+    # searchsorted rewrite of every token array
+    from gorilla_stream_spark.vocab import build_global_dict, remap_tokens
+
+    t0 = time.time()
+    gdict = build_global_dict(toks)
+    remapped_n = remap_tokens(toks, gdict).agg(F.sum("n_tok")).first()[0]
+    queries["q4f_global_dict_remap"] = time.time() - t0
+    assert remapped_n == total_tokens
+    extras["global_dict_remap_tokens_per_sec"] = total_tokens / queries["q4f_global_dict_remap"]
 
     # q5: Gorilla timeseries path on events
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(

@@ -457,6 +457,79 @@ def cmd_wire_import(args) -> int:
     return 0
 
 
+def cmd_index(args) -> int:
+    """Build the zone-map + bloom token membership index for a table."""
+    from gorilla_stream_spark.index import build_token_index
+
+    spark = _spark("gss-index")
+    enc = spark.read.parquet(args.encoded)
+    idx = build_token_index(
+        enc, bloom_words=args.bloom_words, k=args.k, strict=not args.tolerant
+    )
+    idx.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"blocks": n}))
+    return 0
+
+
+def cmd_grep_token(args) -> int:
+    """Docs containing a token, decoding only index-surviving blocks."""
+    from gorilla_stream_spark.index import (
+        find_docs_with_token,
+        prune_blocks_for_token,
+    )
+
+    spark = _spark("gss-grep-token")
+    enc = spark.read.parquet(args.encoded)
+    idx = spark.read.parquet(args.index)
+    total = enc.count()
+    cand = prune_blocks_for_token(enc, idx, args.token).count()
+    res = find_docs_with_token(enc, idx, args.token, strict=not args.tolerant)
+    if args.output:
+        res.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
+    m = res.agg(F.count("*").alias("d"), F.sum("n_hits").alias("h")).first()
+    print(json.dumps({
+        "token": args.token, "candidate_blocks": cand, "total_blocks": total,
+        "docs": m["d"], "hits": int(m["h"] or 0),
+    }))
+    return 0
+
+
+def cmd_build_dict(args) -> int:
+    """Corpus-global frequency-ranked token dictionary."""
+    from gorilla_stream_spark.vocab import build_global_dict
+
+    spark = _spark("gss-build-dict")
+    df = spark.read.parquet(args.input)
+    build_global_dict(df, tokens_col=args.tokens_col).write.mode(
+        "overwrite"
+    ).parquet(args.output)
+    print(json.dumps({"vocab": spark.read.parquet(args.output).count()}))
+    return 0
+
+
+def cmd_remap(args) -> int:
+    """Rewrite token arrays to global frequency ranks (or back)."""
+    from gorilla_stream_spark.vocab import remap_tokens, unmap_tokens
+
+    spark = _spark("gss-remap")
+    df = spark.read.parquet(args.input)
+    d = spark.read.parquet(args.dict)
+    if args.inverse:
+        out = unmap_tokens(df, d, tokens_col=args.tokens_col)
+    else:
+        out = remap_tokens(
+            df, d, tokens_col=args.tokens_col, strict=not args.lenient
+        )
+    out.write.mode("overwrite").parquet(args.output)
+    m = spark.read.parquet(args.output).agg(
+        F.count("*").alias("rows"), F.sum(F.size(args.tokens_col)).alias("toks")
+    ).first()
+    print(json.dumps({"rows": m["rows"], "tokens": int(m["toks"] or 0)}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gorilla_stream_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -635,6 +708,37 @@ def main(argv: list[str] | None = None) -> int:
     wi.add_argument("--output", required=True)
     wi.add_argument("--tolerant", action="store_true", help="flag, not fail, on crc mismatch")
     wi.set_defaults(fn=cmd_wire_import)
+
+    ix = sub.add_parser("index", help="build zone-map + bloom token membership index")
+    ix.add_argument("--encoded", required=True)
+    ix.add_argument("--output", required=True)
+    ix.add_argument("--bloom-words", type=int, default=8)
+    ix.add_argument("--k", type=int, default=4)
+    ix.add_argument("--tolerant", action="store_true")
+    ix.set_defaults(fn=cmd_index)
+
+    gt = sub.add_parser("grep-token", help="docs containing a token (index-pruned)")
+    gt.add_argument("--encoded", required=True)
+    gt.add_argument("--index", required=True)
+    gt.add_argument("--token", type=int, required=True)
+    gt.add_argument("--output")
+    gt.add_argument("--tolerant", action="store_true")
+    gt.set_defaults(fn=cmd_grep_token)
+
+    bd = sub.add_parser("build-dict", help="corpus-global frequency-ranked token dictionary")
+    bd.add_argument("--input", required=True)
+    bd.add_argument("--output", required=True)
+    bd.add_argument("--tokens-col", default="tokens")
+    bd.set_defaults(fn=cmd_build_dict)
+
+    rm = sub.add_parser("remap", help="rewrite tokens to global ranks (--inverse: back)")
+    rm.add_argument("--input", required=True)
+    rm.add_argument("--dict", required=True)
+    rm.add_argument("--output", required=True)
+    rm.add_argument("--tokens-col", default="tokens")
+    rm.add_argument("--inverse", action="store_true")
+    rm.add_argument("--lenient", action="store_true")
+    rm.set_defaults(fn=cmd_remap)
 
     an = sub.add_parser("ann", help="top-k search over lsh-layout vector blocks")
     an.add_argument("--input", required=True, help="encoded vector table (layout=lsh)")

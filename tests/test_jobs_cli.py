@@ -205,3 +205,71 @@ def test_cli_decontaminate_and_sample(spark, tmp_path, capsys):
     ]) == 0
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0 < m["rows_out"] < m["rows_in"]
+
+
+def _mk_tokens(spark, path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.expr("transform(split(text,''), c -> ascii(c))").cast("array<int>").alias("tokens"),
+        "source",
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+    toks.write.mode("overwrite").parquet(path)
+
+
+def test_index_and_grep_token_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "toksrc")
+    enc = str(tmp_path / "tenc")
+    idx = str(tmp_path / "tidx")
+    hits = str(tmp_path / "thits")
+    _mk_tokens(spark, src)
+    assert jobs.main([
+        "encode", "--input", src, "--output", enc,
+        "--checkpoint", str(tmp_path / "ck"), "--partitions", "2",
+    ]) == 0
+    capsys.readouterr()
+    assert jobs.main(["index", "--encoded", enc, "--output", idx]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["blocks"] >= 1
+    assert jobs.main([
+        "grep-token", "--encoded", enc, "--index", idx,
+        "--token", "113", "--output", hits,
+    ]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # truth by direct scan
+    truth = (
+        spark.read.parquet(src)
+        .filter(F.array_contains("tokens", 113)).count()
+    )
+    assert m2["docs"] == truth and m2["candidate_blocks"] <= m2["total_blocks"]
+    # absent token: zone map prunes everything, zero docs
+    assert jobs.main([
+        "grep-token", "--encoded", enc, "--index", idx, "--token", "-7",
+    ]) == 0
+    m3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m3["docs"] == 0 and m3["candidate_blocks"] == 0
+
+
+def test_build_dict_and_remap_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "vsrc")
+    d = str(tmp_path / "vdict")
+    out = str(tmp_path / "vout")
+    back = str(tmp_path / "vback")
+    _mk_tokens(spark, src)
+    assert jobs.main(["build-dict", "--input", src, "--output", d]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["vocab"] >= 20  # ascii char vocab
+    assert jobs.main(["remap", "--input", src, "--dict", d, "--output", out]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["rows"] == 500
+    assert jobs.main([
+        "remap", "--input", out, "--dict", d, "--output", back, "--inverse",
+    ]) == 0
+    capsys.readouterr()
+    srcdf = spark.read.parquet(src)
+    backdf = spark.read.parquet(back)
+    bad = (
+        srcdf.alias("s").join(backdf.alias("b"), "doc_id")
+        .filter(F.col("s.tokens") != F.col("b.tokens")).count()
+    )
+    assert bad == 0
