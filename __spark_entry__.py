@@ -808,6 +808,39 @@ def q_token_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_docs_with_token(enc, idx, 113)
 
 
+def q_clustered_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compression-aware clustering (O67): similarity-ordered layout
+    # (range-partition by source + token prefix), encode preserving the
+    # layout, then prove per-doc bit-identical decode — clustering permutes
+    # rows, never values.
+    from gorilla_stream_spark import decode, encode
+    from gorilla_stream_spark.skew import cluster_for_compression
+
+    src = _tokens_from_documents(spark, sf_dir)
+    clustered = cluster_for_compression(src, by=("source",), num_partitions=4)
+    enc = encode(clustered, codec="auto", repartition=False)
+    dec = decode(enc)
+    return (
+        src.alias("s")
+        .join(dec.alias("d"), "doc_id", "inner")
+        .select("doc_id", (F.col("s.tokens") == F.col("d.tokens")).alias("ok"))
+    )
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # phrase (consecutive token-sequence) search over the block index
+    # (O68): the contamination grep.  Phrase "scan" as char tokens;
+    # per-doc OVERLAPPING occurrence counts, matches never cross doc
+    # boundaries — DuckDB reproduces with a position scan over substr.
+    from gorilla_stream_spark import encode
+    from gorilla_stream_spark.index import build_token_index, find_docs_with_phrase
+
+    src = _tokens_from_documents(spark, sf_dir)
+    enc = encode(src, codec="auto", num_partitions=4)
+    idx = build_token_index(enc)
+    return find_docs_with_phrase(enc, idx, [115, 99, 97, 110])
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -906,6 +939,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q57_ivfpq": q_ivfpq,
         "q58_global_dict": q_global_dict,
         "q59_token_search": q_token_search,
+        "q60_clustered_roundtrip": q_clustered_roundtrip,
+        "q61_phrase_search": q_phrase_search,
     }
 
 
@@ -1314,6 +1349,15 @@ SELECT CAST(ti AS BIGINT) AS train_id, CAST(ei AS BIGINT) AS eval_id
 FROM inter JOIN cnt ce ON ce.doc_id=ei
 WHERE 100*ii >= 80*ce.n
 """,
+        "q60_clustered_roundtrip": _ROUNDTRIP_ORACLE,
+        "q61_phrase_search": (
+            "WITH c AS (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i"
+            "           FROM documents WHERE length(text) >= 4)"
+            " SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+            "  CAST(count(*) AS BIGINT) AS n_hits"
+            " FROM c WHERE substr(text, CAST(i AS INTEGER), 4) = 'scan'"
+            " GROUP BY doc_id"
+        ),
         "q59_token_search": (
             "WITH c AS (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i"
             "           FROM documents WHERE length(text) > 0),"

@@ -45,6 +45,7 @@ __all__ = [
     "build_token_index",
     "prune_blocks_for_token",
     "find_docs_with_token",
+    "find_docs_with_phrase",
 ]
 
 DEFAULT_BLOOM_WORDS = 8  # 512 bits
@@ -232,6 +233,94 @@ def find_docs_with_token(
                 ends = np.cumsum(lens)
                 doc_idx = np.searchsorted(ends, hits, side="right")
                 uniq_docs, n_hits = np.unique(doc_idx, return_counts=True)
+                ids = col["doc_ids"][i].values.take(
+                    pa.array(uniq_docs.astype(np.int64))
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        ids.cast(pa.string()),
+                        pa.array(n_hits.astype(np.int64), type=pa.int64()),
+                    ],
+                    names=["doc_id", "n_hits"],
+                )
+
+    needed = ["block_id", "doc_ids", "doc_lens", "crc32_raw", "buffer"]
+    if strict and "crc32_buf" in enc_df.columns:
+        needed.insert(-1, "crc32_buf")
+    return pruned.select(*needed).mapInArrow(fn, "doc_id string, n_hits long")
+
+
+def find_docs_with_phrase(
+    enc_df: DataFrame,
+    index_df: DataFrame,
+    phrase: list[int],
+    strict: bool = True,
+    container_dict: bytes | None = None,
+) -> DataFrame:
+    """Documents containing the consecutive token sequence ``phrase``.
+
+    The contamination grep: "does this exact token run appear anywhere in
+    the corpus?".  Pruning is the conjunction of every DISTINCT phrase
+    token's zone-map + bloom conditions (a block lacking ANY token cannot
+    contain the phrase) — still pure JVM over the index.  Surviving blocks
+    are decoded once and matched with a k-lane vectorized sliding
+    comparison; counts are per-doc OVERLAPPING occurrences (the
+    position-scan definition DuckDB's ``substr`` oracle reproduces), and a
+    match never crosses a document boundary.
+
+    Output ``(doc_id, n_hits)`` — exact, like :func:`find_docs_with_token`
+    (bloom false positives only waste a decode).
+    """
+    import pyarrow as pa
+
+    ph = [int(t) for t in phrase]
+    if not ph:
+        raise ValueError("phrase must contain at least one token")
+    if len(ph) == 1:
+        return find_docs_with_token(
+            enc_df, index_df, ph[0], strict=strict, container_dict=container_dict
+        )
+
+    bloom_words, k = _index_params(index_df)
+    cond = None
+    for t in sorted(set(ph)):
+        c = _candidate_filter(t, bloom_words, k)
+        cond = c if cond is None else (cond & c)
+    cand = index_df.filter(cond).select("block_id")
+    pruned = enc_df.join(F.broadcast(cand), "block_id", "inner")
+
+    def fn(batches: Iterator) -> Iterator:
+        if container_dict is not None:
+            from gorilla_stream_spark.codecs import register_container_dict
+
+            register_container_dict(container_dict)
+        pharr = np.array(ph, dtype=np.int64)
+        kk = pharr.size
+        for rb in batches:
+            names = rb.schema.names
+            col = {n: rb.column(i) for i, n in enumerate(names)}
+            for i in range(rb.num_rows):
+                flat = _decode_block_checked(col, i, strict)
+                n = flat.size
+                if n < kk:
+                    continue
+                ok = flat[: n - kk + 1] == pharr[0]
+                for j in range(1, kk):
+                    ok = ok & (flat[j : n - kk + 1 + j] == pharr[j])
+                starts = np.flatnonzero(ok)
+                if starts.size == 0:
+                    continue
+                lens = (
+                    col["doc_lens"][i].values.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                ends = np.cumsum(lens)
+                d0 = np.searchsorted(ends, starts, side="right")
+                d1 = np.searchsorted(ends, starts + kk - 1, side="right")
+                same = d0 == d1  # matches may not straddle doc boundaries
+                if not same.any():
+                    continue
+                uniq_docs, n_hits = np.unique(d0[same], return_counts=True)
                 ids = col["doc_ids"][i].values.take(
                     pa.array(uniq_docs.astype(np.int64))
                 )

@@ -473,24 +473,35 @@ def cmd_index(args) -> int:
 
 
 def cmd_grep_token(args) -> int:
-    """Docs containing a token, decoding only index-surviving blocks."""
+    """Docs containing a token (or consecutive token phrase), decoding
+    only index-surviving blocks."""
     from gorilla_stream_spark.index import (
+        find_docs_with_phrase,
         find_docs_with_token,
         prune_blocks_for_token,
     )
 
+    if (args.token is None) == (args.phrase is None):
+        raise SystemExit("grep-token: exactly one of --token / --phrase required")
     spark = _spark("gss-grep-token")
     enc = spark.read.parquet(args.encoded)
     idx = spark.read.parquet(args.index)
     total = enc.count()
-    cand = prune_blocks_for_token(enc, idx, args.token).count()
-    res = find_docs_with_token(enc, idx, args.token, strict=not args.tolerant)
+    if args.phrase is not None:
+        phrase = [int(t) for t in args.phrase.split(",")]
+        cand = None  # conjunction prune happens inside find_docs_with_phrase
+        res = find_docs_with_phrase(enc, idx, phrase, strict=not args.tolerant)
+        what = {"phrase": phrase}
+    else:
+        cand = prune_blocks_for_token(enc, idx, args.token).count()
+        res = find_docs_with_token(enc, idx, args.token, strict=not args.tolerant)
+        what = {"token": args.token}
     if args.output:
         res.write.mode("overwrite").parquet(args.output)
         res = spark.read.parquet(args.output)
     m = res.agg(F.count("*").alias("d"), F.sum("n_hits").alias("h")).first()
     print(json.dumps({
-        "token": args.token, "candidate_blocks": cand, "total_blocks": total,
+        **what, "candidate_blocks": cand, "total_blocks": total,
         "docs": m["d"], "hits": int(m["h"] or 0),
     }))
     return 0
@@ -720,7 +731,8 @@ def main(argv: list[str] | None = None) -> int:
     gt = sub.add_parser("grep-token", help="docs containing a token (index-pruned)")
     gt.add_argument("--encoded", required=True)
     gt.add_argument("--index", required=True)
-    gt.add_argument("--token", type=int, required=True)
+    gt.add_argument("--token", type=int)
+    gt.add_argument("--phrase", help="comma-separated token sequence")
     gt.add_argument("--output")
     gt.add_argument("--tolerant", action="store_true")
     gt.set_defaults(fn=cmd_grep_token)

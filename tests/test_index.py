@@ -148,3 +148,78 @@ def test_corruption_fails_loud_in_index_build(spark, enc_and_truth):
     bad = enc.withColumn("crc32_raw", F.col("crc32_raw") + 1)
     with pytest.raises(Exception, match="crc32"):
         build_token_index(bad).collect()
+
+
+class TestPhraseSearch:
+    @pytest.fixture(scope="class")
+    def phrase_enc(self, spark):
+        """Docs with a planted 3-token phrase, incl. overlapping repeats and
+        a boundary case where the phrase tokens exist but never consecutively."""
+        from gorilla_stream_spark.index import find_docs_with_phrase  # noqa: F401
+
+        rows = [
+            ("p0", [1, 2, 3, 9, 1, 2, 3], "s"),          # 2 hits
+            ("p1", [5, 1, 2, 9, 2, 3, 9], "s"),          # tokens present, never consecutive
+            ("p2", [1, 1, 1, 2, 3, 4], "s"),             # 1 hit
+            ("p3", [7, 7, 7, 7], "s"),                   # no phrase tokens
+            ("p4", [1, 2, 3], "s"),                      # exact-doc hit
+            ("p5", [2, 2, 2, 2, 2], "s"),                # overlap stress (phrase 2,2)
+        ]
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+        enc = encode(df, codec="auto", num_partitions=2, block_tokens=8).cache()
+        enc.count()
+        return enc
+
+    def test_phrase_hits_exact(self, spark, phrase_enc):
+        from gorilla_stream_spark.index import find_docs_with_phrase
+
+        idx = build_token_index(phrase_enc)
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in find_docs_with_phrase(phrase_enc, idx, [1, 2, 3]).collect()
+        }
+        assert got == {"p0": 2, "p2": 1, "p4": 1}
+
+    def test_overlapping_counts(self, spark, phrase_enc):
+        from gorilla_stream_spark.index import find_docs_with_phrase
+
+        idx = build_token_index(phrase_enc)
+        got = {
+            r["doc_id"]: r["n_hits"]
+            for r in find_docs_with_phrase(phrase_enc, idx, [2, 2]).collect()
+        }
+        assert got == {"p5": 4}  # overlapping position-scan semantics
+
+    def test_no_cross_doc_match(self, spark):
+        from gorilla_stream_spark.index import find_docs_with_phrase
+
+        # "ab" at the end of one doc and "c" starting the next, same block:
+        # the straddling window must NOT count
+        rows = [("a", [8, 1, 2], "s"), ("b", [3, 8, 8], "s")]
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>, source string")
+        enc = encode(df, codec="auto", num_partitions=1, block_tokens=100)
+        idx = build_token_index(enc)
+        assert find_docs_with_phrase(enc, idx, [1, 2, 3]).count() == 0
+
+    def test_phrase_prunes_on_any_missing_token(self, spark, phrase_enc):
+        from gorilla_stream_spark.index import find_docs_with_phrase
+
+        idx = build_token_index(phrase_enc)
+        # 999 absent everywhere: conjunction prunes all blocks
+        res = find_docs_with_phrase(phrase_enc, idx, [1, 2, 999])
+        assert res.count() == 0
+
+    def test_single_token_phrase_delegates(self, spark, phrase_enc):
+        from gorilla_stream_spark.index import find_docs_with_phrase
+
+        idx = build_token_index(phrase_enc)
+        a = sorted((r["doc_id"], r["n_hits"]) for r in find_docs_with_phrase(phrase_enc, idx, [2]).collect())
+        b = sorted((r["doc_id"], r["n_hits"]) for r in find_docs_with_token(phrase_enc, idx, 2).collect())
+        assert a == b
+
+    def test_empty_phrase_raises(self, spark, phrase_enc):
+        from gorilla_stream_spark.index import find_docs_with_phrase
+
+        idx = build_token_index(phrase_enc)
+        with pytest.raises(ValueError, match="at least one token"):
+            find_docs_with_phrase(phrase_enc, idx, [])

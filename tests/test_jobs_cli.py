@@ -273,3 +273,27 @@ def test_build_dict_and_remap_cli(spark, tmp_path, capsys):
         .filter(F.col("s.tokens") != F.col("b.tokens")).count()
     )
     assert bad == 0
+
+
+def test_grep_phrase_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "psrc")
+    enc = str(tmp_path / "penc")
+    idx = str(tmp_path / "pidx")
+    _mk_tokens(spark, src)
+    assert jobs.main([
+        "encode", "--input", src, "--output", enc,
+        "--checkpoint", str(tmp_path / "pck"), "--partitions", "2",
+    ]) == 0
+    capsys.readouterr()
+    assert jobs.main(["index", "--encoded", enc, "--output", idx]) == 0
+    capsys.readouterr()
+    # phrase "scan" as char tokens
+    assert jobs.main([
+        "grep-token", "--encoded", enc, "--index", idx,
+        "--phrase", "115,99,97,110",
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    truth = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.expr("contains(text, 'scan')")
+    ).count()
+    assert m["docs"] == truth and m["phrase"] == [115, 99, 97, 110]
