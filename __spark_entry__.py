@@ -841,6 +841,30 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return find_docs_with_phrase(enc, idx, [115, 99, 97, 110])
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-distribution drift between two corpora (O69): split the corpus
+    # by doc parity and compare.  Counts are integer-exact; the rate
+    # comparison is reported as a sign (rationals with equal value divide
+    # to the same correctly-rounded double, so sign(log2_ratio) is exact
+    # and engine-portable — the float rates themselves are not hashed).
+    from gorilla_stream_spark.vocab import compare_corpora
+
+    src = _tokens_from_documents(spark, sf_dir)
+    a = src.filter(F.col("doc_id").cast("long") % 2 == 0)
+    b = src.filter(F.col("doc_id").cast("long") % 2 == 1)
+    d = compare_corpora(a, b)
+    return d.select(
+        F.col("token").cast("long").alias("token"),
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+        F.when(F.col("log2_ratio") > 0, 1)
+        .when(F.col("log2_ratio") < 0, -1)
+        .otherwise(0)
+        .cast("long")
+        .alias("drift_sign"),
+    )
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -941,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q59_token_search": q_token_search,
         "q60_clustered_roundtrip": q_clustered_roundtrip,
         "q61_phrase_search": q_phrase_search,
+        "q62_corpus_drift": q_corpus_drift,
     }
 
 
@@ -1350,6 +1375,22 @@ FROM inter JOIN cnt ce ON ce.doc_id=ei
 WHERE 100*ii >= 80*ce.n
 """,
         "q60_clustered_roundtrip": _ROUNDTRIP_ORACLE,
+        "q62_corpus_drift": (
+            "WITH c AS (SELECT doc_id, CAST(doc_id AS BIGINT) % 2 AS par, text,"
+            "            unnest(range(1, length(text) + 1)) AS i"
+            "           FROM documents WHERE length(text) > 0),"
+            " t AS (SELECT par, ord(substr(text, CAST(i AS INTEGER), 1)) AS tok FROM c),"
+            " a AS (SELECT tok, count(*) AS ca FROM t WHERE par = 0 GROUP BY tok),"
+            " b AS (SELECT tok, count(*) AS cb FROM t WHERE par = 1 GROUP BY tok),"
+            " j AS (SELECT COALESCE(a.tok, b.tok) AS tok, COALESCE(ca, 0) AS ca,"
+            "        COALESCE(cb, 0) AS cb FROM a FULL OUTER JOIN b ON a.tok = b.tok),"
+            " tt AS (SELECT sum(ca) AS ta, sum(cb) AS tb FROM j)"
+            " SELECT CAST(tok AS BIGINT) AS token, CAST(ca AS BIGINT) AS cnt_a,"
+            "  CAST(cb AS BIGINT) AS cnt_b,"
+            "  CAST(CASE WHEN cb * ta > ca * tb THEN 1"
+            "       WHEN cb * ta < ca * tb THEN -1 ELSE 0 END AS BIGINT) AS drift_sign"
+            " FROM j, tt"
+        ),
         "q61_phrase_search": (
             "WITH c AS (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i"
             "           FROM documents WHERE length(text) >= 4)"

@@ -79,6 +79,28 @@ def analyze_and_recommend(
     raw = sum(r["raw"] for r in est) or 1
     enc = sum(r["est"] for r in est)
 
+    # vocabulary shape from the same sample (partial-agg kernel, no explode):
+    # a dense global-dict remap pays when rank width beats raw value width
+    from gorilla_stream_spark.vocab import DEFAULT_MAX_VOCAB, token_counts
+
+    vc = token_counts(sample).agg(
+        F.count("*").alias("v"),
+        F.min("token").alias("lo"),
+        F.max("token").alias("hi"),
+    ).first()
+    vocab = int(vc["v"] or 0)
+    t_range = int(vc["hi"] - vc["lo"] + 1) if vocab else 0
+    w_range = max(t_range - 1, 0).bit_length()
+    w_dict = max(vocab - 1, 0).bit_length()
+    dict_saves = max(w_range - w_dict, 0)
+
+    # layout hint: a mixed codec mix across >1 source means content
+    # families are interleaved — similarity clustering makes blocks
+    # homogeneous; single-family tables keep the salted throughput layout
+    n_sources = (
+        df.agg(F.count_distinct("source")).first()[0] if "source" in df.columns else 1
+    )
+
     p99 = stats["p99_tok"] or 1
     p50 = stats["p50_tok"] or 1
     skew = p99 / max(p50, 1)
@@ -101,4 +123,14 @@ def analyze_and_recommend(
         "expected_codec_mix": {r["codec"]: int(r["blocks"]) for r in est},
         "expected_ratio": round(enc / raw, 4),
         "sample_fraction": round(sample_fraction, 6),
+        "sampled_vocab": vocab,
+        "sampled_token_range": t_range,
+        # >= 2 packed bits per token saved before it beats the remap cost
+        "global_dict_saves_bits": dict_saves,
+        "recommend_global_dict": dict_saves >= 2 and vocab <= DEFAULT_MAX_VOCAB,
+        "layout_hint": (
+            "cluster_for_compression"
+            if n_sources > 1 and len(est) > 1
+            else "salted_repartition"
+        ),
     }

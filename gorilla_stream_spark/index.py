@@ -29,6 +29,12 @@ Scale design: the index build is a map-only pass (no shuffle); the prune is
 an index-only JVM scan; the search shuffles nothing but the final
 ``(doc_id, n_hits)`` rows.  The candidate-id broadcast carries 8 B/block —
 bounded by the index size, not the data.
+
+Incremental maintenance: index rows are pure per-block functions keyed by
+``block_id``, so an appended table needs only ``build_token_index(new
+blocks)`` unioned with the existing index — never a rebuild (the batch
+test asserts union == full rebuild).  After ``compact_blocks`` re-index
+just the compacted part_id namespace the same way.
 """
 
 from __future__ import annotations

@@ -541,6 +541,27 @@ def cmd_remap(args) -> int:
     return 0
 
 
+def cmd_drift(args) -> int:
+    """Token-distribution drift report between two corpora."""
+    from gorilla_stream_spark.vocab import compare_corpora
+
+    spark = _spark("gss-drift")
+    a = spark.read.parquet(args.a)
+    b = spark.read.parquet(args.b)
+    rep = compare_corpora(a, b, tokens_col=args.tokens_col, min_count=args.min_count)
+    rep.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    m = res.agg(
+        F.count("*").alias("tokens"),
+        F.count(F.when(F.col("cnt_a") == 0, 1)).alias("appeared"),
+        F.count(F.when(F.col("cnt_b") == 0, 1)).alias("vanished"),
+    ).first()
+    print(json.dumps({
+        "tokens": m["tokens"], "appeared": m["appeared"], "vanished": m["vanished"],
+    }))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="gorilla_stream_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -751,6 +772,14 @@ def main(argv: list[str] | None = None) -> int:
     rm.add_argument("--inverse", action="store_true")
     rm.add_argument("--lenient", action="store_true")
     rm.set_defaults(fn=cmd_remap)
+
+    dr = sub.add_parser("drift", help="token-distribution drift between two corpora")
+    dr.add_argument("--a", required=True, help="baseline corpus parquet")
+    dr.add_argument("--b", required=True, help="candidate corpus parquet")
+    dr.add_argument("--output", required=True)
+    dr.add_argument("--tokens-col", default="tokens")
+    dr.add_argument("--min-count", type=int, default=1)
+    dr.set_defaults(fn=cmd_drift)
 
     an = sub.add_parser("ann", help="top-k search over lsh-layout vector blocks")
     an.add_argument("--input", required=True, help="encoded vector table (layout=lsh)")

@@ -50,6 +50,7 @@ __all__ = [
     "build_global_dict",
     "remap_tokens",
     "unmap_tokens",
+    "compare_corpora",
 ]
 
 DEFAULT_MAX_VOCAB = 1 << 24  # 16M entries ~= 192 MB broadcast ceiling
@@ -109,20 +110,74 @@ def build_global_dict(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
     )
 
 
+def compare_corpora(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    tokens_col: str = "tokens",
+    min_count: int = 1,
+) -> DataFrame:
+    """Token-distribution drift between two corpora (ops tool).
+
+    The question every training-mix change raises: "what did this filter /
+    new source / re-sample do to the token distribution?".  Output one row
+    per token seen in either corpus (with ``cnt >= min_count`` on at least
+    one side): ``(token, cnt_a, cnt_b, rate_a, rate_b, log2_ratio)`` where
+    rates are per-corpus frequencies and ``log2_ratio =
+    log2(rate_b / rate_a)`` with zero-side rows mapped to +/-inf — sort by
+    it to see what grew/vanished.
+
+    Cost: two counting passes (each the partial-agg kernel from
+    :func:`token_counts` — shuffles vocabulary rows, never tokens) and one
+    vocabulary-sized outer join.  No driver collect, no broadcast: safe at
+    any vocabulary size, unlike the remap path.
+    """
+    ca = token_counts(df_a, tokens_col).withColumnRenamed("cnt", "cnt_a")
+    cb = token_counts(df_b, tokens_col).withColumnRenamed("cnt", "cnt_b")
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+    )
+    if min_count > 1:
+        joined = joined.filter(
+            (F.col("cnt_a") >= min_count) | (F.col("cnt_b") >= min_count)
+        )
+    # corpus totals ride a broadcast single-row cross join (no
+    # single-partition window shuffle of the vocab table)
+    tot = joined.agg(
+        F.sum("cnt_a").alias("__ta"), F.sum("cnt_b").alias("__tb")
+    )
+    rate_a = F.col("cnt_a") / F.col("__ta")
+    rate_b = F.col("cnt_b") / F.col("__tb")
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        rate_a.alias("rate_a"),
+        rate_b.alias("rate_b"),
+        F.when((F.col("cnt_a") > 0) & (F.col("cnt_b") > 0), F.log2(rate_b / rate_a))
+        .when(F.col("cnt_b") > 0, F.lit(float("inf")))
+        .otherwise(F.lit(float("-inf")))
+        .alias("log2_ratio"),
+    )
+
+
 def _collect_dict(dict_df: DataFrame, max_vocab: int) -> tuple[np.ndarray, np.ndarray]:
     """Dict table -> aligned (tokens_sorted_asc, rank_of_token) arrays.
 
     Bounded collect: the LIMIT probe fails loudly BEFORE materializing an
     over-budget vocabulary on the driver.
     """
-    probe = dict_df.select("token").limit(max_vocab + 1).count()
-    if probe > max_vocab:
+    # one action total: the LIMIT rides the same job as the collect, so the
+    # counts+rank lineage is computed once, and an over-budget vocabulary
+    # fails loudly after materializing at most max_vocab+1 tiny rows
+    pdf = dict_df.select("token", "rank").limit(max_vocab + 1).toPandas()
+    if len(pdf) > max_vocab:
         raise ValueError(
             f"global dictionary exceeds max_vocab={max_vocab} entries — a"
             " broadcast remap no longer pays; use the per-block 'dict' codec"
             " or raise max_vocab explicitly"
         )
-    pdf = dict_df.select("token", "rank").toPandas()
     toks = pdf["token"].to_numpy(dtype=np.int64)
     ranks = pdf["rank"].to_numpy(dtype=np.int64)
     order = np.argsort(toks, kind="stable")

@@ -182,6 +182,50 @@ def test_analyze_and_recommend(spark, toks):
     assert 0 < rec["expected_ratio"] <= 1.1
     assert rec["expected_codec_mix"]
     assert rec["skew_handling"] in ("salted_repartition", "uniform_enough")
+    assert rec["sampled_vocab"] >= 1
+    assert rec["sampled_token_range"] >= rec["sampled_vocab"]
+    assert rec["layout_hint"] in ("cluster_for_compression", "salted_repartition")
+
+
+def test_analyze_recommends_global_dict_for_sparse_vocab(spark):
+    """64 huge spread-out token values: rank width (6 bits) beats value
+    width (~30 bits) by far — the analyzer must say so."""
+    import numpy as np
+
+    from gorilla_stream_spark import analyze_and_recommend
+
+    rng = np.random.default_rng(5)
+    vocab = rng.choice(np.arange(1, 2**30), size=64, replace=False)
+    rows = [
+        (f"d{i}", [int(v) for v in rng.choice(vocab, size=300)], "s")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string"
+    ).withColumn("n_tok", F.size("tokens"))
+    rec = analyze_and_recommend(df)
+    assert rec["recommend_global_dict"] is True
+    assert rec["global_dict_saves_bits"] >= 10
+    assert rec["sampled_vocab"] == 64
+
+
+def test_analyze_skips_global_dict_for_dense_vocab(spark):
+    """Dense 0..255 vocabulary: a remap cannot shrink widths."""
+    import numpy as np
+
+    from gorilla_stream_spark import analyze_and_recommend
+
+    rng = np.random.default_rng(6)
+    rows = [
+        (f"d{i}", [int(v) for v in rng.integers(0, 256, size=300)], "s")
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string"
+    ).withColumn("n_tok", F.size("tokens"))
+    rec = analyze_and_recommend(df)
+    assert rec["recommend_global_dict"] is False
+    assert rec["global_dict_saves_bits"] <= 1
 
 
 def test_decode_docs_prunes_blocks(spark, toks):

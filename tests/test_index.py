@@ -223,3 +223,18 @@ class TestPhraseSearch:
         idx = build_token_index(phrase_enc)
         with pytest.raises(ValueError, match="at least one token"):
             find_docs_with_phrase(phrase_enc, idx, [])
+
+
+def test_incremental_index_union_equals_rebuild(spark, enc_and_truth):
+    """Index rows are pure per-block functions: indexing an appended delta
+    and unioning with the old index is exactly a full rebuild."""
+    enc, _ = enc_and_truth
+    old_blocks = enc.filter(F.col("part_id") == 0)
+    new_blocks = enc.filter(F.col("part_id") != 0)
+    incremental = build_token_index(old_blocks).unionByName(
+        build_token_index(new_blocks)
+    )
+    full = build_token_index(enc)
+    a = sorted(map(repr, incremental.collect()))
+    b = sorted(map(repr, full.collect()))
+    assert a == b

@@ -297,3 +297,18 @@ def test_grep_phrase_cli(spark, tmp_path, capsys):
         F.expr("contains(text, 'scan')")
     ).count()
     assert m["docs"] == truth and m["phrase"] == [115, 99, 97, 110]
+
+
+def test_drift_cli(spark, tmp_path, capsys):
+    a = str(tmp_path / "da")
+    b = str(tmp_path / "db")
+    out = str(tmp_path / "dout")
+    spark.createDataFrame(
+        [("a1", [1, 1, 2], "s")], "doc_id string, tokens array<int>, source string"
+    ).write.parquet(a)
+    spark.createDataFrame(
+        [("b1", [2, 3], "s")], "doc_id string, tokens array<int>, source string"
+    ).write.parquet(b)
+    assert jobs.main(["drift", "--a", a, "--b", b, "--output", out]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m == {"tokens": 3, "appeared": 1, "vanished": 1}

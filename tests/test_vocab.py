@@ -128,3 +128,36 @@ def test_remap_shrinks_sparse_vocab_encoding(spark):
     dec = {r["doc_id"]: r["tokens"] for r in decode(remapped).collect()}
     src = {r["doc_id"]: r["tokens"] for r in remap_tokens(df).collect()}
     assert dec == src
+
+
+class TestCompareCorpora:
+    def test_exact_counts_and_rates(self, spark):
+        from gorilla_stream_spark.vocab import compare_corpora
+
+        a = _corpus(spark, [("a1", [1, 1, 2, 3], "s"), ("a2", [2, 2], "s")])
+        b = _corpus(spark, [("b1", [2, 4, 4, 4], "s")])
+        rows = {r["token"]: r for r in compare_corpora(a, b).collect()}
+        assert set(rows) == {1, 2, 3, 4}
+        assert (rows[1]["cnt_a"], rows[1]["cnt_b"]) == (2, 0)
+        assert (rows[2]["cnt_a"], rows[2]["cnt_b"]) == (3, 1)
+        assert (rows[4]["cnt_a"], rows[4]["cnt_b"]) == (0, 3)
+        assert rows[2]["rate_a"] == 3 / 6 and rows[2]["rate_b"] == 1 / 4
+        import math
+
+        assert math.isclose(rows[2]["log2_ratio"], math.log2((1 / 4) / (3 / 6)))
+        assert rows[1]["log2_ratio"] == float("-inf")  # vanished
+        assert rows[4]["log2_ratio"] == float("inf")   # appeared
+
+    def test_min_count_filter(self, spark):
+        from gorilla_stream_spark.vocab import compare_corpora
+
+        a = _corpus(spark, [("a1", [1, 1, 1, 2], "s")])
+        b = _corpus(spark, [("b1", [1, 1, 2], "s")])
+        toks = {r["token"] for r in compare_corpora(a, b, min_count=3).collect()}
+        assert toks == {1}  # token 2 below min_count on both sides
+
+    def test_identical_corpora_zero_drift(self, spark, small):
+        from gorilla_stream_spark.vocab import compare_corpora
+
+        rows = compare_corpora(small, small).collect()
+        assert rows and all(abs(r["log2_ratio"]) < 1e-12 for r in rows)
