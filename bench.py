@@ -281,15 +281,22 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     extras["documents_ratio_clustered"] = cs["e"] / cs["r"] if cs["r"] else None
 
     # q4f: corpus-global dictionary remap (O65) — counts pass + broadcast
-    # searchsorted rewrite of every token array
+    # searchsorted rewrite of every token array.  Runs on the vocab-shaped
+    # strata (tokenizer-output-like tables — exactly where the analyzer's
+    # recommend_global_dict fires); the unbounded-vocab strata (sorted_ids,
+    # counter, random) correctly trip the max_vocab guard, covered by pytest
     from gorilla_stream_spark.vocab import build_global_dict, remap_tokens
 
+    vtoks = toks.filter(
+        F.col("source").isin("constant", "runs", "small_vocab", "zipf_vocab", "narrow_range")
+    )
+    n_vtoks = vtoks.agg(F.sum("n_tok")).first()[0] or 0
     t0 = time.time()
-    gdict = build_global_dict(toks)
-    remapped_n = remap_tokens(toks, gdict).agg(F.sum("n_tok")).first()[0]
+    gdict = build_global_dict(vtoks)
+    remapped_n = remap_tokens(vtoks, gdict).agg(F.sum("n_tok")).first()[0]
     queries["q4f_global_dict_remap"] = time.time() - t0
-    assert remapped_n == total_tokens
-    extras["global_dict_remap_tokens_per_sec"] = total_tokens / queries["q4f_global_dict_remap"]
+    assert remapped_n == n_vtoks
+    extras["global_dict_remap_tokens_per_sec"] = n_vtoks / queries["q4f_global_dict_remap"]
 
     # q5: Gorilla timeseries path on events
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
