@@ -865,6 +865,42 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transcode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # shuffle-free codec migration (O71): encode auto, transcode every
+    # block in place to a forced codec + zlib container, decode — per-doc
+    # bit-identical.
+    from gorilla_stream_spark import decode, encode, transcode_blocks
+
+    src = _tokens_from_documents(spark, sf_dir)
+    enc = encode(src, codec="auto", num_partitions=4)
+    t = transcode_blocks(enc, codec="fsst", container="zlib")
+    dec = decode(t)
+    return (
+        src.alias("s")
+        .join(dec.alias("d"), "doc_id", "inner")
+        .select("doc_id", (F.col("s.tokens") == F.col("d.tokens")).alias("ok"))
+    )
+
+
+def q_merge_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metadata-only table merge (O70): encode two halves separately (both
+    # start part_id at 0), merge with re-stamped identity, decode the
+    # union — every doc present exactly once, bit-identical.
+    from gorilla_stream_spark import decode, encode, merge_tables
+
+    src = _tokens_from_documents(spark, sf_dir)
+    a = src.filter(F.col("doc_id").cast("long") % 2 == 0)
+    b = src.filter(F.col("doc_id").cast("long") % 2 == 1)
+    ea = encode(a, codec="auto", num_partitions=3)
+    eb = encode(b, codec="auto", num_partitions=3)
+    dec = decode(merge_tables(ea, eb))
+    return (
+        src.alias("s")
+        .join(dec.alias("d"), "doc_id", "inner")
+        .select("doc_id", (F.col("s.tokens") == F.col("d.tokens")).alias("ok"))
+    )
+
+
 def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference .gorilla wire-format interop (O58): encode events through the
     # byte-for-byte reference block format (outer header v1 + DoD prefix
@@ -966,6 +1002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_clustered_roundtrip": q_clustered_roundtrip,
         "q61_phrase_search": q_phrase_search,
         "q62_corpus_drift": q_corpus_drift,
+        "q63_transcode_roundtrip": q_transcode_roundtrip,
+        "q64_merge_tables": q_merge_tables,
     }
 
 
@@ -1375,6 +1413,8 @@ FROM inter JOIN cnt ce ON ce.doc_id=ei
 WHERE 100*ii >= 80*ce.n
 """,
         "q60_clustered_roundtrip": _ROUNDTRIP_ORACLE,
+        "q63_transcode_roundtrip": _ROUNDTRIP_ORACLE,
+        "q64_merge_tables": _ROUNDTRIP_ORACLE,
         "q62_corpus_drift": (
             "WITH c AS (SELECT doc_id, CAST(doc_id AS BIGINT) % 2 AS par, text,"
             "            unnest(range(1, length(text) + 1)) AS i"

@@ -34,7 +34,9 @@ from gorilla_stream_spark.engine import (
     encode_timeseries,
     estimate,
     manifest,
+    merge_tables,
     read_timerange,
+    transcode_blocks,
 )
 from gorilla_stream_spark.engine import decode_multi, encode_multi
 from gorilla_stream_spark.packing import pack_sequences
@@ -74,6 +76,8 @@ __version__ = "0.2.0"
 __all__ = [
     "encode",
     "compact_blocks",
+    "merge_tables",
+    "transcode_blocks",
     "decode",
     "encode_timeseries",
     "decode_timeseries",

@@ -48,6 +48,8 @@ __all__ = [
     "ENCODED_SCHEMA",
     "encode",
     "compact_blocks",
+    "merge_tables",
+    "transcode_blocks",
     "decode",
     "estimate",
     "encode_timeseries",
@@ -661,6 +663,128 @@ def compact_blocks(
     # config_fp); passthrough rows keep them, re-encoded rows get NULL —
     # a merged block spans source blocks whose fingerprints may differ
     return large.unionByName(merged, allowMissingColumns=True)
+
+
+def merge_tables(enc_a: DataFrame, enc_b: DataFrame) -> DataFrame:
+    """Union two encoded tables with collision-free block identity —
+    METADATA-ONLY (no buffer is read, decoded, or re-encoded).
+
+    Two corpora encoded separately (two ingest jobs, two teams, a
+    historical archive + fresh crawl) both start their ``part_id``s at 0,
+    so a naive union collides on ``block_id``.  This re-stamps table B's
+    partition ids densely above table A's maximum and recomputes
+    ``block_id = (part_id << 24) | seq_in_part`` — the same identity rule
+    the encoder uses (`_encode_fn`), so downstream compact/fsck/point-
+    lookup behave as if the merged table had been encoded in one job.
+
+    Scale: one tiny aggregate over A's manifest for the shift base; the
+    data pass is a pure column projection.  At 100 TB this moves nothing.
+
+    The re-stamp is a uniform SHIFT of B's part ids (``+ max_a + 1``), not
+    a dense re-rank, and deliberately uses only column arithmetic: the
+    encoder stamps ``part_id`` from ``TaskContext.partitionId()``, so for a
+    LAZY (not yet written) encode the ids materialize differently inside
+    the final union plan than in a standalone evaluation — any re-stamp
+    keyed on a separately-evaluated id snapshot (a join against a mapping
+    table) silently mismatches.  Column arithmetic is evaluated against
+    whatever ids exist at final evaluation, so uniqueness holds for lazy
+    and materialized inputs alike (regression-tested with two uncached
+    encodes).  ``F.assert_true`` guards int32 overflow at evaluation time.
+    """
+    mx = enc_a.agg(F.max("part_id")).first()[0]
+    base = int(mx if mx is not None else -1) + 1
+    shifted = F.col("part_id").cast("long") + F.lit(base)
+    nb = (
+        enc_b.withColumn(
+            "__chk",
+            F.assert_true(
+                shifted < F.lit((1 << 31) - 1),
+                F.lit("merged part_id would overflow int32"),
+            ),
+        )
+        .withColumn("part_id", shifted.cast("int"))
+        .drop("__chk")
+        .withColumn(
+            "block_id",
+            F.shiftleft(F.col("part_id").cast("long"), 24).bitwiseOR(
+                F.col("seq_in_part").cast("long")
+            ),
+        )
+    )
+    return enc_a.unionByName(nb.select(*enc_a.columns))
+
+
+def transcode_blocks(
+    enc_df: DataFrame,
+    codec: str = "auto",
+    page_tokens: int = DEFAULT_PAGE_TOKENS,
+    container: str = "none",
+    container_level: int | None = None,
+    container_dict: bytes | None = None,
+    strict: bool = True,
+) -> DataFrame:
+    """Re-encode every block in place with a new codec/container — the
+    codec-migration pass (roll a table to a newer container, apply a
+    trained dictionary, force a specific codec after an analyzer review).
+
+    SHUFFLE-FREE: one ``mapInArrow`` pass; block boundaries, doc
+    membership, ``block_id``/``part_id`` identity, and the raw-bytes
+    lineage (``crc32_raw``) are all preserved — only ``codec``,
+    ``enc_bytes``, ``crc32_buf``, ``enc_us`` and the buffer change.
+    Contrast ``compact_blocks`` (re-blocks the fragmented fraction,
+    shuffles it) — transcode touches every buffer but moves none.
+    Decode equality is bit-exact (the q63 driver oracle).
+    """
+    import pyarrow as pa
+
+    from gorilla_stream_spark.codecs import wrap_container
+
+    out_schema = _enc_arrow_schema()
+
+    def fn(batches: Iterator) -> Iterator:
+        if container_dict is not None:
+            from gorilla_stream_spark.codecs import register_container_dict
+
+            register_container_dict(container_dict)
+        for rb in batches:
+            names = rb.schema.names
+            col = {n: rb.column(i) for i, n in enumerate(names)}
+            cols: dict[str, list] = {n: [] for n in out_schema.names}
+            for i in range(rb.num_rows):
+                t0 = _time.perf_counter()
+                flat = _decode_block_checked(col, i, strict)
+                buf, codec_name = encode_paged(flat, codec=codec, page_tokens=page_tokens)
+                if container != "none":
+                    buf = wrap_container(
+                        buf, method=container, level=container_level,
+                        zdict=container_dict,
+                    )
+                enc_us = int((_time.perf_counter() - t0) * 1e6)
+                for n in out_schema.names:
+                    if n == "codec":
+                        cols[n].append(codec_name)
+                    elif n == "enc_bytes":
+                        cols[n].append(len(buf))
+                    elif n == "crc32_buf":
+                        cols[n].append(zlib.crc32(buf))
+                    elif n == "enc_us":
+                        cols[n].append(enc_us)
+                    elif n == "buffer":
+                        cols[n].append(buf)
+                    else:
+                        cols[n].append(col[n][i].as_py())
+            if cols["block_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[n], type=out_schema.field(n).type)
+                        for n in out_schema.names
+                    ],
+                    schema=out_schema,
+                )
+
+    return enc_df.select(*[f.name for f in out_schema]).mapInArrow(
+        fn, ENCODED_SCHEMA
+    )
 
 
 def _prune_by_id_bounds(enc_df: DataFrame, doc_ids: list[str]) -> DataFrame:

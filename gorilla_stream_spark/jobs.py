@@ -541,6 +541,56 @@ def cmd_remap(args) -> int:
     return 0
 
 
+def cmd_merge(args) -> int:
+    """Metadata-only union of two encoded tables (collision-free ids)."""
+    from gorilla_stream_spark import merge_tables
+
+    spark = _spark("gss-merge")
+    a = spark.read.parquet(args.a)
+    b = spark.read.parquet(args.b)
+    merge_tables(a, b).write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    m = res.agg(
+        F.count("*").alias("blocks"),
+        F.count_distinct("block_id").alias("distinct_ids"),
+        F.sum("n_docs").alias("docs"),
+    ).first()
+    print(json.dumps({
+        "blocks": m["blocks"], "distinct_ids": m["distinct_ids"],
+        "docs": int(m["docs"] or 0), "ok": m["blocks"] == m["distinct_ids"],
+    }))
+    return 0
+
+
+def cmd_transcode(args) -> int:
+    """Re-encode every block in place with a new codec/container."""
+    from gorilla_stream_spark import transcode_blocks
+
+    spark = _spark("gss-transcode")
+    enc = spark.read.parquet(args.input)
+    cdict = open(args.dict_path, "rb").read() if args.dict_path else None
+    out = transcode_blocks(
+        enc,
+        codec=args.codec,
+        container=args.container,
+        container_level=args.level,
+        container_dict=cdict,
+        strict=not args.tolerant,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    res = spark.read.parquet(args.output)
+    m = res.agg(
+        F.count("*").alias("blocks"),
+        F.sum("raw_bytes").alias("r"),
+        F.sum("enc_bytes").alias("e"),
+    ).first()
+    print(json.dumps({
+        "blocks": m["blocks"],
+        "ratio": (m["e"] / m["r"]) if m["r"] else None,
+    }))
+    return 0
+
+
 def cmd_drift(args) -> int:
     """Token-distribution drift report between two corpora."""
     from gorilla_stream_spark.vocab import compare_corpora
@@ -780,6 +830,22 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--tokens-col", default="tokens")
     dr.add_argument("--min-count", type=int, default=1)
     dr.set_defaults(fn=cmd_drift)
+
+    mg = sub.add_parser("merge", help="metadata-only union of two encoded tables")
+    mg.add_argument("--a", required=True, help="encoded table A (ids kept)")
+    mg.add_argument("--b", required=True, help="encoded table B (ids re-stamped)")
+    mg.add_argument("--output", required=True)
+    mg.set_defaults(fn=cmd_merge)
+
+    tc = sub.add_parser("transcode", help="re-encode blocks in place (codec migration)")
+    tc.add_argument("--input", required=True)
+    tc.add_argument("--output", required=True)
+    tc.add_argument("--codec", default="auto")
+    tc.add_argument("--container", default="none")
+    tc.add_argument("--level", type=int)
+    tc.add_argument("--dict-path")
+    tc.add_argument("--tolerant", action="store_true")
+    tc.set_defaults(fn=cmd_transcode)
 
     an = sub.add_parser("ann", help="top-k search over lsh-layout vector blocks")
     an.add_argument("--input", required=True, help="encoded vector table (layout=lsh)")

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_repartition", "skew_stats"]
+__all__ = ["salted_repartition", "skew_stats", "cluster_for_compression"]
 
 
 def salted_repartition(
@@ -45,6 +45,59 @@ def salted_repartition(
     if not sort_within:
         return salted
     return salted.sortWithinPartitions(*(sort_cols or [id_col]))
+
+
+def cluster_for_compression(
+    df: DataFrame,
+    by: tuple[str, ...] = ("source",),
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+    prefix_tokens: int = 16,
+) -> DataFrame:
+    """Similarity-ordered layout: co-locate alike rows before encoding.
+
+    The encode path's salted layout optimizes for SKEW (uniform partition
+    load); this optimizes for RATIO: range-partition + sort by
+    ``(by..., first prefix_tokens of the token array, id)`` so rows with
+    shared provenance and shared content prefixes become block neighbors.
+    Homogeneous blocks shrink twice over — the per-block codec sees a
+    narrower value range / longer runs (FOR width, RLE runs, dict
+    cardinality are all per-block), and the zstd/zlib containers find
+    cross-doc matches inside the block window.  This is the classic
+    row-reordering-for-compression lever from columnar warehouses (the
+    same reason Parquet writers sort before writing); the reference cannot
+    express it — its unit is a single stream.
+
+    One range shuffle total.  Feed the result to ``encode(...,
+    repartition=False)`` to preserve the layout (the default salted
+    repartition would destroy it).  Trade-off vs ``salted_repartition``:
+    range partitioning balances ROW counts, not token counts — for
+    heavy-tail corpora keep the salted path for throughput and use this
+    when storage ratio is the target (cold tiers, archives).
+
+    Decode equality is unaffected (clustering permutes rows, the engine's
+    round-trip contract is per-doc) — asserted by the q60 driver oracle.
+
+    When it does NOT pay: the salted encode path already sorts WITHIN each
+    partition by ``(source, id)``, so if partitions are much larger than
+    blocks the per-partition sort delivers most of the homogeneity and this
+    global reorder adds little (bench q4e records ~0 delta on the mixed
+    strata corpus for exactly that reason).  The win case is content
+    families INTERLEAVED across the grouping columns' sort order — prefix
+    clustering groups what the group-column sort cannot (ratio-gain
+    pytest).  Measure with ``analyze_and_recommend``'s ``layout_hint``
+    before paying the range shuffle.
+    """
+    P = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    keys = [F.col(c) for c in by]
+    if prefix_tokens:
+        # arrays order lexicographically in Spark; the slice bounds the
+        # sort-key width so the range exchange never ships whole documents
+        # twice
+        keys.append(F.expr(f"slice({tokens_col}, 1, {int(prefix_tokens)})"))
+    keys.append(F.col(id_col))
+    return df.repartitionByRange(P, *keys).sortWithinPartitions(*keys)
 
 
 def skew_stats(df: DataFrame, size_col: str = "n_tok") -> DataFrame:

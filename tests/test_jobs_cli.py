@@ -312,3 +312,34 @@ def test_drift_cli(spark, tmp_path, capsys):
     assert jobs.main(["drift", "--a", a, "--b", b, "--output", out]) == 0
     m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m == {"tokens": 3, "appeared": 1, "vanished": 1}
+
+
+def test_merge_and_transcode_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "mtsrc")
+    ea = str(tmp_path / "mtea")
+    eb = str(tmp_path / "mteb")
+    merged = str(tmp_path / "mtm")
+    tout = str(tmp_path / "mtt")
+    _mk_tokens(spark, src)
+    for half, out in ((0, ea), (1, eb)):
+        half_src = str(tmp_path / f"half{half}")
+        spark.read.parquet(src).filter(
+            F.col("doc_id").cast("long") % 2 == half
+        ).write.parquet(half_src)
+        assert jobs.main([
+            "encode", "--input", half_src, "--output", out,
+            "--checkpoint", str(tmp_path / f"ck{half}"), "--partitions", "2",
+        ]) == 0
+    capsys.readouterr()
+    assert jobs.main(["merge", "--a", ea, "--b", eb, "--output", merged]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["ok"] is True and m["docs"] == 500
+    assert jobs.main([
+        "transcode", "--input", merged, "--output", tout,
+        "--codec", "dod", "--container", "zlib",
+    ]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m2["blocks"] == m["blocks"] and 0 < m2["ratio"] <= 1.2
+    assert jobs.main(["verify", "--source", src, "--encoded", tout]) == 0
+    m3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m3["ok"] is True
