@@ -76,9 +76,19 @@ def token_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
             flat, _ = _flatten_arrow(tok_arr)
             if flat.size == 0:
                 continue
-            uniq, cnt = np.unique(flat, return_counts=True)
-            u_parts.append(uniq)
-            c_parts.append(cnt.astype(np.int64))
+            lo, hi = int(flat.min()), int(flat.max())
+            if 0 <= lo and hi - lo < (1 << 22):
+                # dense-ish batch range (every real tokenizer vocab): O(n)
+                # bincount beats np.unique's O(n log n) sort ~3x; the
+                # <=4M-slot histogram is ~32 MB worst case, transient
+                hist = np.bincount(flat - lo, minlength=hi - lo + 1)
+                nz = np.flatnonzero(hist)
+                u_parts.append((nz + lo).astype(np.int64))
+                c_parts.append(hist[nz].astype(np.int64))
+            else:
+                uniq, cnt = np.unique(flat, return_counts=True)
+                u_parts.append(uniq)
+                c_parts.append(cnt.astype(np.int64))
         if u_parts:
             cat_u = np.concatenate(u_parts)
             cat_c = np.concatenate(c_parts)
