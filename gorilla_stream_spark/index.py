@@ -187,19 +187,44 @@ def _candidate_filter(token: int, bloom_words: int, k: int):
     return cond
 
 
+PUSHDOWN_CANDIDATE_LIMIT = 8192
+"""Below this many surviving blocks the prune becomes a LITERAL ``IN``
+filter instead of a broadcast join: a literal predicate reaches the
+parquet scan (``PushedFilters: In(block_id, ...)``), so row groups whose
+``block_id`` stats miss every candidate are never read — the selective
+case (rare token, zone-map kill) touches only matching row groups.  A
+broadcast join cannot push its build side into the scan.  Above the limit
+the candidate list is no longer selective enough for an IN-list to pay
+(and the driver shouldn't hold it), so the broadcast join takes over."""
+
+
+def _candidate_ids(index_df: DataFrame, cond) -> DataFrame:
+    return index_df.filter(cond).select("block_id")
+
+
+def _prune_with(enc_df: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared prune tail: literal-IN pushdown when few candidates, else
+    broadcast semi-join (see ``PUSHDOWN_CANDIDATE_LIMIT``)."""
+    head = cand.limit(PUSHDOWN_CANDIDATE_LIMIT + 1).collect()
+    if len(head) <= PUSHDOWN_CANDIDATE_LIMIT:
+        ids = [r["block_id"] for r in head]
+        if not ids:
+            return enc_df.filter(F.lit(False))
+        return enc_df.filter(F.col("block_id").isin(ids))
+    return enc_df.join(F.broadcast(cand), "block_id", "inner")
+
+
 def prune_blocks_for_token(
     enc_df: DataFrame, index_df: DataFrame, token: int
 ) -> DataFrame:
     """Encoded table restricted to blocks that MAY contain ``token``.
 
-    The index scan is JVM-only; surviving block ids broadcast-semi-join the
-    encoded table (8 B per candidate block — bounded by index cardinality).
-    """
+    The index scan is JVM-only; the surviving ids prune the encoded table
+    via literal-IN pushdown (selective case — reaches the parquet row-group
+    stats) or a broadcast semi-join (large candidate sets)."""
     bloom_words, k = _index_params(index_df)
-    cand = index_df.filter(_candidate_filter(int(token), bloom_words, k)).select(
-        "block_id"
-    )
-    return enc_df.join(F.broadcast(cand), "block_id", "inner")
+    cand = _candidate_ids(index_df, _candidate_filter(int(token), bloom_words, k))
+    return _prune_with(enc_df, cand)
 
 
 def find_docs_with_token(
@@ -292,8 +317,7 @@ def find_docs_with_phrase(
     for t in sorted(set(ph)):
         c = _candidate_filter(t, bloom_words, k)
         cond = c if cond is None else (cond & c)
-    cand = index_df.filter(cond).select("block_id")
-    pruned = enc_df.join(F.broadcast(cand), "block_id", "inner")
+    pruned = _prune_with(enc_df, _candidate_ids(index_df, cond))
 
     def fn(batches: Iterator) -> Iterator:
         if container_dict is not None:

@@ -238,3 +238,34 @@ def test_incremental_index_union_equals_rebuild(spark, enc_and_truth):
     a = sorted(map(repr, incremental.collect()))
     b = sorted(map(repr, full.collect()))
     assert a == b
+
+
+def test_literal_in_prune_pushes_to_parquet_scan(spark, tmp_path, enc_and_truth):
+    """Selective prune must reach the parquet row-group stats: the plan's
+    scan node carries PushedFilters In(block_id, ...)."""
+    enc, truth = enc_and_truth
+    path = str(tmp_path / "enc_pq")
+    enc.write.parquet(path)
+    on_disk = spark.read.parquet(path)
+    idx = build_token_index(on_disk)
+    pruned = prune_blocks_for_token(on_disk, idx, 777777)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(block_id" in plan, plan[:1500]
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in find_docs_with_token(on_disk, idx, 777777).collect()
+    }
+    assert got == truth
+
+
+def test_prune_falls_back_to_broadcast_above_limit(spark, enc_and_truth, monkeypatch):
+    import gorilla_stream_spark.index as idxmod
+
+    enc, truth = enc_and_truth
+    idx = build_token_index(enc)
+    monkeypatch.setattr(idxmod, "PUSHDOWN_CANDIDATE_LIMIT", 0)
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in idxmod.find_docs_with_token(enc, idx, 777777).collect()
+    }
+    assert got == truth
