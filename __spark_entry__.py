@@ -593,6 +593,35 @@ def q_multi_column_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_wide_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide multi-column layout (widen_multi): encode (tokens, mask), widen
+    to per-column top-level buffers, decode ONLY the mask column — the
+    engine-format analog of parquet column pruning (the plan-gate pytest
+    proves unrequested buf_* columns never leave the scan).  Output carries
+    the decoded column's content (per-doc mask sum) so the oracle checks
+    values, not just row presence."""
+    from gorilla_stream_spark.engine import decode_multi, encode_multi, widen_multi
+
+    src = _tokens_from_documents(spark, sf_dir).select(
+        "doc_id",
+        "tokens",
+        F.expr("transform(tokens, (t, i) -> CASE WHEN i < size(tokens) - 3 THEN 1 ELSE 0 END)")
+        .cast("array<int>").alias("mask"),
+    )
+    wide = widen_multi(encode_multi(src, ["tokens", "mask"], num_partitions=4))
+    dec = decode_multi(wide, ["mask"])
+    return (
+        src.alias("s")
+        .join(dec.alias("d"), "doc_id", "inner")
+        .select(
+            "doc_id",
+            F.aggregate("d.mask", F.lit(0).cast("long"), lambda acc, x: acc + x)
+            .alias("mask_sum"),
+            (F.col("s.mask") == F.col("d.mask")).alias("ok"),
+        )
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc stats over the NATIVE token-array table (input_hint shape)."""
     from gorilla_stream_spark.textops import token_stats
@@ -1004,6 +1033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q62_corpus_drift": q_corpus_drift,
         "q63_transcode_roundtrip": q_transcode_roundtrip,
         "q64_merge_tables": q_merge_tables,
+        "q65_multi_wide_prune": q_multi_wide_prune,
     }
 
 
@@ -1415,6 +1445,11 @@ WHERE 100*ii >= 80*ce.n
         "q60_clustered_roundtrip": _ROUNDTRIP_ORACLE,
         "q63_transcode_roundtrip": _ROUNDTRIP_ORACLE,
         "q64_merge_tables": _ROUNDTRIP_ORACLE,
+        "q65_multi_wide_prune": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id,"
+            " CAST(GREATEST(LENGTH(text) - 3, 0) AS BIGINT) AS mask_sum,"
+            " TRUE AS ok FROM documents"
+        ),
         "q62_corpus_drift": (
             "WITH c AS (SELECT doc_id, CAST(doc_id AS BIGINT) % 2 AS par, text,"
             "            unnest(range(1, length(text) + 1)) AS i"

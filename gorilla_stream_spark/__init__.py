@@ -38,7 +38,12 @@ from gorilla_stream_spark.engine import (
     read_timerange,
     transcode_blocks,
 )
-from gorilla_stream_spark.engine import decode_multi, encode_multi
+from gorilla_stream_spark.engine import (
+    decode_multi,
+    encode_multi,
+    narrow_multi,
+    widen_multi,
+)
 from gorilla_stream_spark.packing import pack_sequences
 from gorilla_stream_spark.textops import (
     decontaminate,
@@ -86,6 +91,8 @@ __all__ = [
     "decode_docs",
     "encode_multi",
     "decode_multi",
+    "widen_multi",
+    "narrow_multi",
     "read_timerange",
     "analyze_and_recommend",
     "validate",

@@ -1173,11 +1173,19 @@ def encode_multi(
 def decode_multi(enc_df: DataFrame, token_cols: list[str], strict: bool = True) -> DataFrame:
     """Decode multi-column blocks back to (doc_id, *token_cols) rows.
 
-    Mirrors ``decode``: only the columns the decoder reads cross the Arrow
-    boundary, so extra manifest columns (codecs, sizes, part ids) are pruned
-    at the parquet scan.
+    ``token_cols`` may be any subset (in any order) of the stored columns —
+    only the requested buffers are decoded; a requested column the block
+    does not carry raises.  On the WIDE layout (:func:`widen_multi`) the
+    unrequested ``buf_<col>`` columns are pruned at the parquet scan
+    (ReadSchema), so decoding 1 of N columns reads ~1/N of the table's
+    bytes; on the nested layout (``buffers array<binary>`` is one physical
+    column) subsetting saves decode CPU only.  Mirrors ``decode``: only the
+    columns the decoder reads cross the Arrow boundary.
     """
     import pyarrow as pa
+
+    if any(c.startswith("buf_") for c in enc_df.columns):
+        return _decode_multi_wide(enc_df, token_cols, strict)
 
     out_schema = pa.schema(
         [("doc_id", pa.string())] + [(c, pa.list_(pa.int32())) for c in token_cols]
@@ -1188,16 +1196,21 @@ def decode_multi(enc_df: DataFrame, token_cols: list[str], strict: bool = True) 
             col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
             for i in range(rb.num_rows):
                 names = col["col_names"][i].as_py()
-                if names != list(token_cols):
-                    raise ValueError(f"block has columns {names}, expected {token_cols}")
+                try:
+                    idxs = [names.index(c) for c in token_cols]
+                except ValueError:
+                    raise ValueError(
+                        f"block has columns {names}, expected {list(token_cols)}"
+                    ) from None
                 bufs = col["buffers"][i].as_py()
                 crcs = col["crc32_bufs"][i].as_py()
                 arrays = []
-                for ci, buf in enumerate(bufs):
+                for c, ci in zip(token_cols, idxs):
+                    buf = bufs[ci]
                     if strict and zlib.crc32(buf) != crcs[ci]:
                         raise ValueError(
                             f"buffer crc32 mismatch on block"
-                            f" {col['block_id'][i].as_py()} column {token_cols[ci]}"
+                            f" {col['block_id'][i].as_py()} column {c}"
                         )
                     flat = decode_array(buf)
                     lens = np.asarray(col["col_lens"][i][ci].as_py(), dtype=np.int64)
@@ -1217,6 +1230,135 @@ def decode_multi(enc_df: DataFrame, token_cols: list[str], strict: bool = True) 
 
     ddl = "doc_id string, " + ", ".join(f"{c} array<int>" for c in token_cols)
     needed = ["block_id", "doc_ids", "col_names", "col_lens", "crc32_bufs", "buffers"]
+    return enc_df.select(*needed).mapInArrow(fn, ddl)
+
+
+_WIDE_BASE_COLS = [
+    "block_id", "part_id", "n_docs", "doc_ids", "id_min", "id_max",
+    "raw_bytes", "enc_bytes",
+]
+
+
+def _stored_wide_cols(df: DataFrame) -> list[str]:
+    return [c[len("buf_"):] for c in df.columns if c.startswith("buf_")]
+
+
+def widen_multi(enc_df: DataFrame, token_cols: list[str] | None = None) -> DataFrame:
+    """Project the nested multi-column layout to the WIDE layout: one
+    top-level ``(codec_<c>, lens_<c>, crc32_<c>, buf_<c>)`` group per token
+    column instead of parallel arrays.
+
+    Pure JVM projection — no shuffle, no Python, buffers untouched.  The
+    point is physical column pruning: parquet stores each top-level column
+    separately, so after ``widen_multi(...).write.parquet(...)`` a
+    single-column ``decode_multi`` reads ONLY that column's bytes
+    (ReadSchema excludes the other ``buf_*`` columns) — the C-Store
+    motivation, I/O proportional to columns touched, not table width.  The
+    nested layout (one ``buffers array<binary>`` column) cannot offer this:
+    parquet reads the whole array no matter how few entries decode needs.
+
+    :func:`narrow_multi` is the exact inverse; the nested layout remains
+    the lifecycle format (compact / transcode / merge operate on it).
+    ``token_cols=None`` reads the column list from the first block (one
+    bounded driver lookup).
+    """
+    if token_cols is None:
+        row = enc_df.select("col_names").first()
+        if row is None:
+            raise ValueError("empty table: pass token_cols explicitly")
+        token_cols = list(row["col_names"])
+    cols = [F.col(c) for c in _WIDE_BASE_COLS if c in enc_df.columns]
+    cols.append(F.col("col_names"))
+    for ci, c in enumerate(token_cols):
+        cols += [
+            F.element_at("codecs", ci + 1).alias(f"codec_{c}"),
+            F.element_at("col_lens", ci + 1).alias(f"lens_{c}"),
+            F.element_at("crc32_bufs", ci + 1).alias(f"crc32_{c}"),
+            F.element_at("buffers", ci + 1).alias(f"buf_{c}"),
+        ]
+    return enc_df.select(*cols)
+
+
+def narrow_multi(wide_df: DataFrame, token_cols: list[str] | None = None) -> DataFrame:
+    """Inverse of :func:`widen_multi`: wide layout back to the nested
+    ``MULTI_ENCODED_DDL`` shape (for compact / transcode / merge).  Pure
+    projection, buffers untouched."""
+    if token_cols is None:
+        token_cols = _stored_wide_cols(wide_df)
+        if not token_cols:
+            raise ValueError(f"no buf_* columns in {sorted(wide_df.columns)}")
+    missing = [c for c in token_cols if f"buf_{c}" not in wide_df.columns]
+    if missing:
+        raise ValueError(f"wide table lacks columns {missing}")
+    cols = [F.col(c) for c in _WIDE_BASE_COLS if c in wide_df.columns]
+    cols += [
+        F.col("col_names"),
+        F.array(*[F.col(f"codec_{c}") for c in token_cols]).alias("codecs"),
+        F.array(*[F.col(f"lens_{c}") for c in token_cols]).alias("col_lens"),
+        F.array(*[F.col(f"crc32_{c}") for c in token_cols]).alias("crc32_bufs"),
+        F.array(*[F.col(f"buf_{c}") for c in token_cols]).alias("buffers"),
+    ]
+    out = wide_df.select(*cols)
+    # restore the canonical column order
+    order = [c for c in MULTI_ENCODED_DDL.replace("\n", " ").split(",")]
+    names = [c.strip().split(" ")[0] for c in order]
+    return out.select(*[c for c in names if c in out.columns])
+
+
+def _decode_multi_wide(
+    enc_df: DataFrame, token_cols: list[str], strict: bool
+) -> DataFrame:
+    """Decode from the wide layout: only the requested columns' ``lens_* /
+    crc32_* / buf_*`` fields are selected, so parquet never reads the other
+    columns' buffer bytes."""
+    import pyarrow as pa
+
+    missing = [c for c in token_cols if f"buf_{c}" not in enc_df.columns]
+    if missing:
+        raise ValueError(
+            f"wide table has columns {_stored_wide_cols(enc_df)},"
+            f" expected {list(token_cols)}"
+        )
+    needed = ["block_id", "doc_ids"]
+    for c in token_cols:
+        needed += [f"lens_{c}", f"crc32_{c}", f"buf_{c}"]
+
+    out_schema = pa.schema(
+        [("doc_id", pa.string())] + [(c, pa.list_(pa.int32())) for c in token_cols]
+    )
+
+    def fn(batches: Iterator) -> Iterator:
+        for rb in batches:
+            col = {n: rb.column(i) for i, n in enumerate(rb.schema.names)}
+            for i in range(rb.num_rows):
+                arrays = []
+                for c in token_cols:
+                    buf = col[f"buf_{c}"][i].as_py()
+                    if strict and zlib.crc32(buf) != col[f"crc32_{c}"][i].as_py():
+                        raise ValueError(
+                            f"buffer crc32 mismatch on block"
+                            f" {col['block_id'][i].as_py()} column {c}"
+                        )
+                    flat = decode_array(buf)
+                    lens = (
+                        col[f"lens_{c}"][i].values.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
+                    if int(lens.sum()) != flat.size:
+                        raise ValueError("column length sum != decoded count")
+                    offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+                    arrays.append(
+                        pa.ListArray.from_arrays(
+                            pa.array(offsets, type=pa.int32()),
+                            pa.array(flat.astype(np.int32), type=pa.int32()),
+                        )
+                    )
+                yield pa.RecordBatch.from_arrays(
+                    [col["doc_ids"][i].values.cast(pa.string())] + arrays,
+                    schema=out_schema,
+                )
+
+    ddl = "doc_id string, " + ", ".join(f"{c} array<int>" for c in token_cols)
     return enc_df.select(*needed).mapInArrow(fn, ddl)
 
 

@@ -270,6 +270,13 @@ def cmd_encode_multi(args) -> int:
     cols = [c.strip() for c in args.columns.split(",") if c.strip()]
     df = spark.read.parquet(args.input)
     if args.checkpoint:
+        if getattr(args, "wide", False):
+            # the checkpoint protocol appends the nested lifecycle layout;
+            # widen after the run completes (widen_multi is a projection)
+            raise SystemExit(
+                "--wide is not supported with --checkpoint; run widen_multi"
+                " on the finished table instead"
+            )
         if args.id_col != "doc_id":
             # the checkpoint protocol's lineage/resume exprs key on doc_id;
             # silently ignoring --id-col would fingerprint the wrong column
@@ -289,6 +296,10 @@ def cmd_encode_multi(args) -> int:
     enc = encode_multi(
         df, cols, id_col=args.id_col, num_partitions=args.partitions, codec=args.codec
     )
+    if getattr(args, "wide", False):
+        from gorilla_stream_spark.engine import widen_multi
+
+        enc = widen_multi(enc, cols)
     enc.write.mode("overwrite").option("compression", "snappy").parquet(args.output)
     m = spark.read.parquet(args.output).agg(
         F.count("*").alias("blocks"), F.sum("raw_bytes").alias("raw"),
@@ -726,6 +737,11 @@ def main(argv: list[str] | None = None) -> int:
     em.add_argument("--partitions", type=int, default=None)
     em.add_argument("--checkpoint", default=None, help="enable resumable checkpointed run")
     em.add_argument("--run-id", default="run1")
+    em.add_argument(
+        "--wide", action="store_true",
+        help="write the WIDE layout (one buf_<col> column per token column:"
+        " single-column decodes read only that column's bytes)",
+    )
     em.set_defaults(fn=cmd_encode_multi)
 
     dm = sub.add_parser("decode-multi", help="decode multi-column blocks")

@@ -392,6 +392,41 @@ def fsck_multi(enc_df: DataFrame) -> DataFrame:
     )
 
 
+def fsck_multi_wide(enc_df: DataFrame) -> DataFrame:
+    """Integrity report for WIDE multi-column block tables
+    (``widen_multi``): per-column buffer crc + decoded-count vs lens vs
+    n_docs — the same invariants as :func:`fsck_multi`, read from the
+    top-level ``lens_<c> / crc32_<c> / buf_<c>`` column groups."""
+    import zlib
+
+    from gorilla_stream_spark.codecs import decode_array
+
+    wide_cols = [c[len("buf_"):] for c in enc_df.columns if c.startswith("buf_")]
+    if not wide_cols:
+        raise ValueError(f"no buf_* columns in {sorted(enc_df.columns)}")
+
+    def check(col, i):
+        n_docs = col["n_docs"][i].as_py()
+        for c in wide_cols:
+            buf = col[f"buf_{c}"][i].as_py()
+            if zlib.crc32(buf) != col[f"crc32_{c}"][i].as_py():
+                raise ValueError(f"buffer crc32 mismatch on column {c}")
+            flat = decode_array(buf)
+            lens = col[f"lens_{c}"][i].values.to_numpy(zero_copy_only=False)
+            if len(lens) != n_docs:
+                raise ValueError(f"lens_{c} length {len(lens)} != n_docs {n_docs}")
+            if int(flat.size) != int(lens.sum()):
+                raise ValueError(
+                    f"column {c} count mismatch: decoded {int(flat.size)},"
+                    f" lens sum {int(lens.sum())}"
+                )
+
+    needed = ["block_id", "n_docs"] + [
+        x for c in wide_cols for x in (f"lens_{c}", f"crc32_{c}", f"buf_{c}")
+    ]
+    return _fsck_frame(enc_df, needed, check)
+
+
 def fsck_wire(enc_df: DataFrame) -> DataFrame:
     """Integrity report for reference wire-format tables
     (``encode_timeseries_wire``): full decode + count + pruning manifest."""
@@ -419,11 +454,14 @@ def fsck_wire(enc_df: DataFrame) -> DataFrame:
 
 def fsck(enc_df: DataFrame, container_dict: bytes | None = None) -> DataFrame:
     """Integrity check for ANY engine table — dispatches on the manifest
-    shape (token blocks, vector blocks, multi-column blocks, timeseries
-    blocks, reference wire blocks).  Returns (block_id, ok, error)."""
+    shape (token blocks, vector blocks, multi-column blocks nested or wide,
+    timeseries blocks, reference wire blocks).  Returns (block_id, ok,
+    error)."""
     cols = set(enc_df.columns)
     if "buffers" in cols:
         return fsck_multi(enc_df)
+    if any(c.startswith("buf_") for c in cols):
+        return fsck_multi_wide(enc_df)
     if "vec_ids" in cols:
         return fsck_vectors(enc_df)
     if "ts_buffer" in cols:
