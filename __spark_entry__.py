@@ -622,6 +622,21 @@ def q_multi_wide_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication spans (duplicate_spans, k=8 token
+    windows): every maximal >=8-token span occurring twice anywhere in the
+    corpus, per doc — counts of duplicated windows, merged spans, and
+    covered tokens.  The oracle recomputes the identical quantities in SQL
+    from k-char substrings (tokens are ascii codes, so k-token window
+    equality IS k-char substring equality)."""
+    from gorilla_stream_spark.textops import duplicate_spans
+
+    src = _tokens_from_documents(spark, sf_dir)
+    return duplicate_spans(src, k=8).select(
+        "doc_id", "n_dup_windows", "n_spans", "dup_tokens"
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc stats over the NATIVE token-array table (input_hint shape)."""
     from gorilla_stream_spark.textops import token_stats
@@ -1034,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q63_transcode_roundtrip": q_transcode_roundtrip,
         "q64_merge_tables": q_merge_tables,
         "q65_multi_wide_prune": q_multi_wide_prune,
+        "q66_duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -1450,6 +1466,42 @@ WHERE 100*ii >= 80*ce.n
             " CAST(GREATEST(LENGTH(text) - 3, 0) AS BIGINT) AS mask_sum,"
             " TRUE AS ok FROM documents"
         ),
+        "q66_duplicate_spans": """
+WITH w AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(u.i AS INTEGER) AS i,
+         substr(text, CAST(u.i AS INTEGER), 8) AS win
+  FROM documents, LATERAL unnest(range(1, length(text) - 8 + 2)) AS u(i)
+  WHERE length(text) >= 8
+),
+m AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i, count(*) OVER (PARTITION BY win) AS cnt FROM w
+  ) WHERE cnt >= 2
+),
+g AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8
+              THEN 1 ELSE 0 END AS brk
+  FROM m
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS isl_id
+  FROM g
+),
+sp AS (
+  SELECT doc_id, isl_id, min(i) AS s, max(i) + 8 AS e
+  FROM isl GROUP BY doc_id, isl_id
+)
+SELECT c.doc_id, c.n_dup_windows, s.n_spans, s.dup_tokens
+FROM (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_windows
+      FROM m GROUP BY doc_id) c
+JOIN (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+             CAST(sum(e - s) AS BIGINT) AS dup_tokens
+      FROM sp GROUP BY doc_id) s USING (doc_id)
+""",
         "q62_corpus_drift": (
             "WITH c AS (SELECT doc_id, CAST(doc_id AS BIGINT) % 2 AS par, text,"
             "            unnest(range(1, length(text) + 1)) AS i"

@@ -83,6 +83,8 @@ _DROP_ORDER = [
     "encode_bucketed_tokens_per_sec",
     "q5_encode_timeseries",
     "timeseries_points_per_sec",
+    "dup_span_docs",
+    "q8e_dup_spans",
 ]
 
 
@@ -448,6 +450,19 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     queries["q8d_decontaminate"] = time.time() - t0
     extras["decontaminate_docs_per_sec"] = n_corpus / queries["q8d_decontaminate"]
     extras["decontaminate_pairs"] = leaks
+
+    # q8e: exact substring-duplication spans over the token table (k=50
+    # windows at content-defined anchor density 1/8 — the at-scale setting;
+    # stride=1 is the exact mode with one window row per token)
+    from gorilla_stream_spark.textops import duplicate_spans
+
+    t0 = time.time()
+    dsp = duplicate_spans(toks, k=50, stride=8, anchored=True).agg(
+        F.count("*").alias("docs"), F.sum("dup_tokens").alias("dup_toks")
+    ).collect()[0]
+    queries["q8e_dup_spans"] = time.time() - t0
+    extras["dup_span_tokens_per_sec"] = total_tokens / queries["q8e_dup_spans"]
+    extras["dup_span_docs"] = int(dsp["docs"] or 0)
 
     # vectors: mixture-of-Gaussians embeddings (256 unit-norm cluster
     # centers, ~86% clustered members + ~14% background noise, all rows

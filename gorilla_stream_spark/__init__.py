@@ -47,6 +47,8 @@ from gorilla_stream_spark.engine import (
 from gorilla_stream_spark.packing import pack_sequences
 from gorilla_stream_spark.textops import (
     decontaminate,
+    duplicate_spans,
+    strip_duplicate_spans,
     dedup_exact,
     sample_corpus,
     doc_fingerprint,
@@ -93,6 +95,8 @@ __all__ = [
     "decode_multi",
     "widen_multi",
     "narrow_multi",
+    "duplicate_spans",
+    "strip_duplicate_spans",
     "read_timerange",
     "analyze_and_recommend",
     "validate",

@@ -402,6 +402,41 @@ def cmd_sample(args) -> int:
     return 0
 
 
+def cmd_dup_spans(args) -> int:
+    """Exact substring-duplication spans; optionally strip them in place."""
+    from gorilla_stream_spark.textops import duplicate_spans, strip_duplicate_spans
+
+    spark = _spark("gss-dup-spans")
+    df = spark.read.parquet(args.input)
+    spans = duplicate_spans(
+        df, tokens_col=args.tokens_col, id_col=args.id_col, k=args.k,
+        stride=args.stride, min_count=args.min_count,
+        keep_first=args.keep_first or bool(args.strip_output),
+        anchored=args.anchored,
+    )
+    spans.write.mode("overwrite").parquet(args.output)
+    sp = spark.read.parquet(args.output)
+    summary = sp.agg(
+        F.count("*").alias("docs_with_dups"),
+        F.sum("n_dup_windows").alias("dup_windows"),
+        F.sum("n_spans").alias("spans"),
+        F.sum("dup_tokens").alias("dup_tokens"),
+    ).collect()[0]
+    if args.strip_output:
+        strip_duplicate_spans(
+            df, sp, tokens_col=args.tokens_col, id_col=args.id_col
+        ).write.mode("overwrite").parquet(args.strip_output)
+    print(json.dumps({
+        "docs": df.count(),
+        "docs_with_dups": summary["docs_with_dups"],
+        "dup_windows": int(summary["dup_windows"] or 0),
+        "spans": int(summary["spans"] or 0),
+        "dup_tokens": int(summary["dup_tokens"] or 0),
+        "stripped": bool(args.strip_output),
+    }))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack documents into fixed-length training sequences."""
     from gorilla_stream_spark.packing import pack_sequences
@@ -779,6 +814,23 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--source-col", default="source")
     sm.add_argument("--hash-fn", default="xxhash64", choices=["xxhash64", "md5"])
     sm.set_defaults(fn=cmd_sample)
+
+    ds = sub.add_parser("dup-spans", help="exact substring-duplication spans (k-token windows)")
+    ds.add_argument("--input", required=True)
+    ds.add_argument("--output", required=True, help="span table parquet")
+    ds.add_argument("--strip-output", default=None,
+                    help="also write the corpus with duplicated spans removed"
+                    " (keeps the first occurrence corpus-wide)")
+    ds.add_argument("--tokens-col", default="tokens")
+    ds.add_argument("--id-col", default="doc_id")
+    ds.add_argument("--k", type=int, default=50, help="window length in tokens")
+    ds.add_argument("--stride", type=int, default=1)
+    ds.add_argument("--min-count", type=int, default=2)
+    ds.add_argument("--keep-first", action="store_true",
+                    help="exclude the first occurrence of each window from spans")
+    ds.add_argument("--anchored", action="store_true",
+                    help="content-defined window positions (use with --stride > 1)")
+    ds.set_defaults(fn=cmd_dup_spans)
 
     pk = sub.add_parser("pack", help="pack docs into fixed-length training sequences")
     pk.add_argument("--input", required=True)

@@ -43,6 +43,8 @@ __all__ = [
     "token_shingle_minhash",
     "neardup_pairs_tokens",
     "token_stats",
+    "duplicate_spans",
+    "strip_duplicate_spans",
 ]
 
 # ---------------------------------------------------------------------------
@@ -1205,3 +1207,154 @@ def token_stats(
         F.array_max(tokens_col).cast("long").alias("max_tok"),
         F.expr(f"aggregate({tokens_col}, 0L, (a, t) -> a + t)").alias("sum_tok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-duplication spans (rolling token windows)
+# ---------------------------------------------------------------------------
+
+
+def _window_positions(tokens_col: str, k: int, stride: int, anchored: bool,
+                      anchor_gram: int) -> str:
+    """SQL for the array of window start positions (0-based) in a doc.
+
+    ``anchored`` picks content-defined anchors (positions whose leading
+    ``anchor_gram``-token hash is 0 mod stride) instead of fixed-stride
+    offsets — same expected 1/stride density, but robust to the two
+    occurrences of a shared span sitting at different alignments (the
+    rsync/CDC trick; fixed stride only matches same-phase copies).  The
+    whole expression is total: short docs yield an empty array, so it is
+    safe under Catalyst filter reordering.
+    """
+    if not anchored or stride == 1:
+        return (
+            f"CASE WHEN size({tokens_col}) >= {k}"
+            f" THEN sequence(0, size({tokens_col}) - {k}, {stride})"
+            f" ELSE array() END"
+        )
+    g = min(anchor_gram, k)
+    return (
+        f"CASE WHEN size({tokens_col}) >= {k}"
+        f" THEN filter(sequence(0, size({tokens_col}) - {k}),"
+        f"   i -> pmod(xxhash64(slice({tokens_col}, i + 1, {g})), {stride}) = 0)"
+        f" ELSE array() END"
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 50,
+    stride: int = 1,
+    min_count: int = 2,
+    keep_first: bool = False,
+    anchored: bool = False,
+    anchor_gram: int = 8,
+) -> DataFrame:
+    """Exact substring-level duplication: find every maximal span of ``k``
+    or more tokens that occurs ``min_count``+ times across the corpus (the
+    suffix-array dedup of "Deduplicating Training Data Makes Language
+    Models Better", re-expressed for Spark as rolling hashed windows —
+    MinHash/SimHash near-dup misses VERBATIM spans embedded in otherwise
+    distinct documents; this catches them).
+
+    Shape: each doc emits xxhash64 hashes of its length-``k`` token windows
+    (JVM higher-order functions — ``xxhash64(slice(...))`` inside
+    ``transform``, no Python).  A window hash seen ``min_count``+ times
+    marks all its positions (minus the first occurrence — min ``(doc, pos)``
+    — when ``keep_first``); per doc, marked positions merge into maximal
+    spans with linear array HOFs.
+
+    Scale: the only large shuffle is the exploded window table —
+    ``n_tokens/stride`` fixed-width rows (id, pos, hash) — hashed once on
+    the window hash; duplicate counting and canonical-occurrence choice are
+    window functions over that single Exchange (no second shuffle of the
+    window table, no join back).  The span merge shuffles only marked
+    positions grouped by doc.  ``stride > 1`` bounds the window table at
+    1/stride; set ``anchored=True`` with it so off-phase copies still
+    collide (fixed stride detects only same-alignment duplicates).  Spans
+    shorter than ``k + stride - 1`` tokens can be missed at stride > 1 —
+    the standard recall trade-off; stride=1 is exact.
+
+    Returns one row per doc with at least one duplicated window:
+    ``(id_col, spans array<struct<s,e>>, n_dup_windows, n_spans,
+    dup_tokens)`` — spans are [s, e) 0-based token positions,
+    ``dup_tokens`` the number of covered positions.
+    """
+    if k < 1 or stride < 1 or min_count < 2:
+        raise ValueError(f"bad k={k} stride={stride} min_count={min_count}")
+    pos_sql = _window_positions(tokens_col, k, stride, anchored, anchor_gram)
+    w = df.select(
+        F.col(id_col).alias("__sd_id"),
+        F.expr(
+            f"transform({pos_sql}, i -> named_struct("
+            f"'pos', i, 'wh', xxhash64(slice({tokens_col}, i + 1, {k}))))"
+        ).alias("__ws"),
+    ).select("__sd_id", F.explode("__ws").alias("w")).select(
+        "__sd_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
+    )
+    byh = Window.partitionBy("wh")
+    m = w.withColumn("__cnt", F.count("*").over(byh)).filter(
+        F.col("__cnt") >= min_count
+    )
+    if keep_first:
+        m = m.withColumn(
+            "__first", F.min(F.struct("__sd_id", "pos")).over(byh)
+        ).filter(
+            (F.col("__sd_id") != F.col("__first.__sd_id"))
+            | (F.col("pos") != F.col("__first.pos"))
+        )
+    ps = m.groupBy("__sd_id").agg(F.sort_array(F.collect_set("pos")).alias("ps"))
+    # maximal spans: a new span starts where the gap to the previous marked
+    # position exceeds k (touching windows merge); linear HOFs, no O(n^2)
+    # accumulator slicing
+    spans = F.expr(
+        "zip_with("
+        f" filter(transform(ps, (p, i) -> IF(i = 0 OR p - element_at(ps, i) > {k}, p, -1)),"
+        "         x -> x >= 0),"
+        f" filter(transform(ps, (p, i) -> IF(i = size(ps) - 1 OR element_at(ps, i + 2) - p > {k},"
+        f"                                   p + {k}, -1)), x -> x >= 0),"
+        " (s, e) -> named_struct('s', s, 'e', e))"
+    )
+    return ps.select(
+        F.col("__sd_id").alias(id_col),
+        spans.alias("spans"),
+        F.size("ps").cast("long").alias("n_dup_windows"),
+    ).select(
+        id_col,
+        "spans",
+        "n_dup_windows",
+        F.size("spans").alias("n_spans"),
+        F.expr("aggregate(spans, 0L, (a, sp) -> a + sp.e - sp.s)").alias("dup_tokens"),
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    spans_df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove the token positions covered by :func:`duplicate_spans` output
+    (run it with ``keep_first=True`` to retain one copy of each duplicated
+    span corpus-wide).  Docs without spans pass through unchanged; other
+    columns are preserved.  Left join on the doc id (spans side is the
+    aggregated span table — tiny next to the corpus; AQE broadcasts it when
+    it fits), then one JVM filter pass per doc — ``O(n_tok * n_spans)``
+    comparisons, spans per doc are few by construction (merged maximal)."""
+    joined = df.join(
+        spans_df.select(F.col(id_col).alias("__sd_jid"), "spans"),
+        on=[df[id_col] == F.col("__sd_jid")],
+        how="left",
+    )
+    cleaned = F.expr(
+        f"CASE WHEN spans IS NULL THEN {tokens_col} ELSE "
+        f"transform(filter(transform({tokens_col}, (t, i) -> named_struct('t', t, 'i', i)),"
+        f"  x -> NOT exists(spans, sp -> x.i >= sp.s AND x.i < sp.e)), x -> x.t)"
+        " END"
+    )
+    out_cols = [
+        cleaned.alias(tokens_col) if c == tokens_col else df[c] for c in df.columns
+    ]
+    return joined.select(*out_cols)

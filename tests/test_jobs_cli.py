@@ -343,3 +343,33 @@ def test_merge_and_transcode_cli(spark, tmp_path, capsys):
     assert jobs.main(["verify", "--source", src, "--encoded", tout]) == 0
     m3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert m3["ok"] is True
+
+
+def test_dup_spans_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "dtoks")
+    spans = str(tmp_path / "dspans")
+    stripped = str(tmp_path / "dstrip")
+    _mk_tokens(spark, src)
+    assert jobs.main([
+        "dup-spans", "--input", src, "--output", spans,
+        "--strip-output", stripped, "--k", "8",
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["docs_with_dups"] > 0 and m["dup_tokens"] > 0 and m["stripped"]
+    out = spark.read.parquet(stripped)
+    src_df = spark.read.parquet(src)
+    assert out.count() == src_df.count()
+    # stripping removed tokens overall, but kept the canonical copies
+    n_src = src_df.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    n_out = out.agg(F.sum(F.size("tokens"))).collect()[0][0]
+    assert 0 < n_src - n_out < m["dup_tokens"] * 2
+    # a second pass with keep-first finds nothing left to strip
+    spans2 = str(tmp_path / "dspans2")
+    assert jobs.main([
+        "dup-spans", "--input", stripped, "--output", spans2,
+        "--keep-first", "--k", "8",
+    ]) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # removal can glue unrelated contexts into a few NEW duplicate windows
+    # (the iterative-dedup effect); the residue must be tiny, not zero
+    assert m2["dup_tokens"] < m["dup_tokens"] * 0.05
