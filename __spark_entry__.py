@@ -637,6 +637,47 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot encode (incremental_encode): encode snapshot A,
+    mutate it into snapshot B (delete doc_id%13==0, append token 65 where
+    doc_id%7==0, add reversed-text docs for doc_id%17==0), re-encode only
+    the changed partitions, and decode the result.  The oracle reconstructs
+    snapshot B from `documents` in SQL and recomputes each doc's length and
+    position-weighted token checksum — exact equality proves the reused +
+    re-encoded union decodes to exactly the new corpus."""
+    from gorilla_stream_spark import decode, encode, incremental_encode
+
+    P = 8
+    old = _tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    kept = old.filter(did % 13 != 0)
+    mutated = kept.withColumn(
+        "tokens",
+        F.when(did % 7 == 0, F.concat("tokens", F.array(F.lit(65)))).otherwise(
+            F.col("tokens")
+        ),
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    added = docs.filter(F.col("doc_id").cast("long") % 17 == 0).select(
+        F.concat(F.lit("new_"), F.col("doc_id").cast("string")).alias("doc_id"),
+        F.expr("transform(split(reverse(text),''), c -> ascii(c))")
+        .cast("array<int>")
+        .alias("tokens"),
+        F.lit("synthetic").alias("source"),
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+    new = mutated.unionByName(added)
+    old_enc = encode(old, codec="auto", num_partitions=P)
+    inc = incremental_encode(old_enc, old, new, P, codec="auto")
+    return decode(inc).select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)),"
+            " (t, i) -> CAST(t AS BIGINT) * i), 0L, (a, x) -> a + x)"
+        ).alias("checksum"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc stats over the NATIVE token-array table (input_hint shape)."""
     from gorilla_stream_spark.textops import token_stats
@@ -1050,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_merge_tables": q_merge_tables,
         "q65_multi_wide_prune": q_multi_wide_prune,
         "q66_duplicate_spans": q_duplicate_spans,
+        "q67_incremental_encode": q_incremental_encode,
     }
 
 
@@ -1466,6 +1508,26 @@ WHERE 100*ii >= 80*ce.n
             " CAST(GREATEST(LENGTH(text) - 3, 0) AS BIGINT) AS mask_sum,"
             " TRUE AS ok FROM documents"
         ),
+        "q67_incremental_encode": """
+WITH oldc AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS did, text
+  FROM documents
+),
+newc AS (
+  SELECT doc_id, CASE WHEN did % 7 = 0 THEN text || 'A' ELSE text END AS text
+  FROM oldc WHERE did % 13 <> 0
+  UNION ALL
+  SELECT 'new_' || doc_id, reverse(text) FROM oldc WHERE did % 17 = 0
+),
+exp AS (
+  SELECT doc_id, length(text) AS n, text,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM newc
+)
+SELECT doc_id, CAST(any_value(n) AS INTEGER) AS n_tok,
+       CAST(sum(i * ascii(substr(text, CAST(i AS INTEGER), 1))) AS BIGINT) AS checksum
+FROM exp GROUP BY doc_id
+""",
         "q66_duplicate_spans": """
 WITH w AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(u.i AS INTEGER) AS i,

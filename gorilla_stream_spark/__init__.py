@@ -44,6 +44,10 @@ from gorilla_stream_spark.engine import (
     narrow_multi,
     widen_multi,
 )
+from gorilla_stream_spark.incremental import (
+    changed_partitions,
+    incremental_encode,
+)
 from gorilla_stream_spark.packing import pack_sequences
 from gorilla_stream_spark.textops import (
     decontaminate,
@@ -97,6 +101,8 @@ __all__ = [
     "narrow_multi",
     "duplicate_spans",
     "strip_duplicate_spans",
+    "changed_partitions",
+    "incremental_encode",
     "read_timerange",
     "analyze_and_recommend",
     "validate",

@@ -437,6 +437,42 @@ def cmd_dup_spans(args) -> int:
     return 0
 
 
+def cmd_incremental_encode(args) -> int:
+    """Re-encode only the partitions that changed between two corpus
+    snapshots, reusing the rest of the old encoded table untouched."""
+    from gorilla_stream_spark.engine import DEFAULT_BLOCK_TOKENS
+    from gorilla_stream_spark.incremental import changed_partitions, incremental_encode
+
+    spark = _spark("gss-incremental-encode")
+    old_enc = spark.read.parquet(args.old_encoded)
+    old_corpus = spark.read.parquet(args.old_input)
+    new_corpus = spark.read.parquet(args.input)
+    inc = incremental_encode(
+        old_enc, old_corpus, new_corpus, args.partitions,
+        codec=args.codec, tokens_col=args.tokens_col, id_col=args.id_col,
+        block_tokens=args.block_tokens or DEFAULT_BLOCK_TOKENS,
+        container=args.container,
+    )
+    inc.write.mode("overwrite").option("compression", "zstd").parquet(args.output)
+    n_changed = changed_partitions(
+        old_corpus, new_corpus, args.partitions,
+        tokens_col=args.tokens_col, id_col=args.id_col,
+    ).count()
+    out = spark.read.parquet(args.output)
+    m = out.agg(
+        F.count("*").alias("blocks"), F.sum("n_tokens").alias("tokens")
+    ).first()
+    n_parts_old = old_enc.select("part_id").distinct().count()
+    print(json.dumps({
+        "blocks": m["blocks"],
+        "tokens": int(m["tokens"] or 0),
+        "parts_changed": n_changed,
+        "parts_old": n_parts_old,
+        "reuse_frac": round(max(0.0, 1.0 - n_changed / max(n_parts_old, 1)), 4),
+    }))
+    return 0
+
+
 def cmd_pack(args) -> int:
     """Pack documents into fixed-length training sequences."""
     from gorilla_stream_spark.packing import pack_sequences
@@ -831,6 +867,24 @@ def main(argv: list[str] | None = None) -> int:
     ds.add_argument("--anchored", action="store_true",
                     help="content-defined window positions (use with --stride > 1)")
     ds.set_defaults(fn=cmd_dup_spans)
+
+    ie = sub.add_parser(
+        "incremental-encode",
+        help="re-encode only partitions changed between two corpus snapshots",
+    )
+    ie.add_argument("--old-encoded", required=True, help="existing encoded table")
+    ie.add_argument("--old-input", required=True, help="snapshot the table was encoded from")
+    ie.add_argument("--input", required=True, help="new corpus snapshot")
+    ie.add_argument("--output", required=True)
+    ie.add_argument("--partitions", type=int, required=True,
+                    help="the old table's ingest partition count (lineage-checked)")
+    ie.add_argument("--codec", default="auto")
+    ie.add_argument("--container", default="none",
+                    choices=["none", "auto", "zlib", "zstd"])
+    ie.add_argument("--block-tokens", type=int, default=None)
+    ie.add_argument("--tokens-col", default="tokens")
+    ie.add_argument("--id-col", default="doc_id")
+    ie.set_defaults(fn=cmd_incremental_encode)
 
     pk = sub.add_parser("pack", help="pack docs into fixed-length training sequences")
     pk.add_argument("--input", required=True)

@@ -373,3 +373,38 @@ def test_dup_spans_cli(spark, tmp_path, capsys):
     # removal can glue unrelated contexts into a few NEW duplicate windows
     # (the iterative-dedup effect); the residue must be tiny, not zero
     assert m2["dup_tokens"] < m["dup_tokens"] * 0.05
+
+
+def test_incremental_encode_cli(spark, tmp_path, capsys):
+    old_src = str(tmp_path / "iold")
+    new_src = str(tmp_path / "inew")
+    old_enc = str(tmp_path / "ienc")
+    out = str(tmp_path / "iinc")
+    _mk_tokens(spark, old_src)
+    # new snapshot: drop doc_id%11==0, append a token where %5==0
+    o = spark.read.parquet(old_src)
+    did = F.col("doc_id").cast("long")
+    n = o.filter(did % 11 != 0).withColumn(
+        "tokens",
+        F.when(did % 5 == 0, F.concat("tokens", F.array(F.lit(9)))).otherwise(
+            F.col("tokens")
+        ),
+    ).withColumn("n_tok", F.size("tokens").cast("int"))
+    n.write.mode("overwrite").parquet(new_src)
+    # old table from the CHECKPOINTED encode CLI (extra lineage columns) —
+    # incremental-encode must compose with it
+    assert jobs.main([
+        "encode", "--input", old_src, "--output", old_enc,
+        "--checkpoint", str(tmp_path / "ick"), "--partitions", "16",
+    ]) == 0
+    capsys.readouterr()
+    assert jobs.main([
+        "incremental-encode", "--old-encoded", old_enc, "--old-input", old_src,
+        "--input", new_src, "--output", out, "--partitions", "16",
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0 < m["parts_changed"] <= 16 and m["blocks"] > 0
+    # round-trip: the incremental table must verify against the NEW snapshot
+    assert jobs.main(["verify", "--source", new_src, "--encoded", out]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["ok"] is True
