@@ -20,6 +20,8 @@ import sys
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from gorilla_stream_spark.catalog import read_table, write_table
+
 
 def _spark(app: str) -> SparkSession:
     return SparkSession.builder.appName(app).getOrCreate()
@@ -29,7 +31,7 @@ def cmd_encode(args) -> int:
     from gorilla_stream_spark.checkpoint import encode_with_checkpoint
 
     spark = _spark("gss-encode")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     cdict = open(args.dict_path, "rb").read() if getattr(args, "dict_path", None) else None
     m = encode_with_checkpoint(
         spark,
@@ -51,12 +53,10 @@ def cmd_decode(args) -> int:
     from gorilla_stream_spark import decode
 
     spark = _spark("gss-decode")
-    enc = spark.read.parquet(args.input)
+    enc = read_table(spark, args.input)
     cdict = open(args.dict_path, "rb").read() if args.dict_path else None
-    decode(enc, strict=not args.tolerant, container_dict=cdict).write.mode(
-        "overwrite"
-    ).parquet(args.output)
-    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    write_table(decode(enc, strict=not args.tolerant, container_dict=cdict), args.output)
+    print(json.dumps({"rows": read_table(spark, args.output).count()}))
     return 0
 
 
@@ -68,7 +68,7 @@ def cmd_compact(args) -> int:
     from gorilla_stream_spark import compact_blocks
 
     spark = _spark("gss-compact")
-    enc = spark.read.parquet(args.input)
+    enc = read_table(spark, args.input)
     cdict = open(args.dict_path, "rb").read() if args.dict_path else None
     out = compact_blocks(
         enc,
@@ -81,8 +81,8 @@ def cmd_compact(args) -> int:
         container_level=args.level,
         container_dict=cdict,
     )
-    out.write.mode("overwrite").parquet(args.output)
-    res = spark.read.parquet(args.output)
+    write_table(out, args.output)
+    res = read_table(spark, args.output)
     before, after = enc.count(), res.count()
     # merged-this-run rows sit ABOVE the input's previous max part_id
     # (earlier compactions' survivors keep their old reserved-range ids)
@@ -100,18 +100,18 @@ def cmd_decontaminate(args) -> int:
     from gorilla_stream_spark.textops import decontaminate
 
     spark = _spark("gss-decontaminate")
-    train = spark.read.parquet(args.train)
-    ev = spark.read.parquet(args.eval)
+    train = read_table(spark, args.train)
+    ev = read_table(spark, args.eval)
     pairs = decontaminate(
         train, ev, threshold_pct=args.threshold, metric=args.metric
     ).cache()
-    pairs.write.mode("overwrite").parquet(args.output)
+    write_table(pairs, args.output)
     out = {"pairs": pairs.count(), "train_docs_flagged": pairs.select("train_id").distinct().count()}
     if args.cleaned:
         leaked = pairs.select(F.col("train_id").alias("doc_id")).distinct()
         kept = train.join(leaked, "doc_id", "left_anti")
-        kept.write.mode("overwrite").parquet(args.cleaned)
-        out["train_docs_kept"] = spark.read.parquet(args.cleaned).count()
+        write_table(kept, args.cleaned)
+        out["train_docs_kept"] = read_table(spark, args.cleaned).count()
     print(json.dumps(out))
     return 0
 
@@ -124,11 +124,11 @@ def cmd_fsck(args) -> int:
 
     spark = _spark("gss-fsck")
     cdict = open(args.dict_path, "rb").read() if args.dict_path else None
-    rep = fsck(spark.read.parquet(args.input), container_dict=cdict).cache()
+    rep = fsck(read_table(spark, args.input), container_dict=cdict).cache()
     bad = rep.filter(~F2.col("ok"))
     n_bad = bad.count()
     if args.report:
-        bad.write.mode("overwrite").parquet(args.report)
+        write_table(bad, args.report)
     print(json.dumps({
         "blocks": rep.count(), "bad": n_bad,
         "first_errors": [r.error for r in bad.limit(5).collect()],
@@ -141,9 +141,9 @@ def cmd_verify(args) -> int:
     from gorilla_stream_spark import decode
 
     spark = _spark("gss-verify")
-    src = spark.read.parquet(args.source)
+    src = read_table(spark, args.source)
     cdict = open(args.dict_path, "rb").read() if getattr(args, "dict_path", None) else None
-    dec = decode(spark.read.parquet(args.encoded), container_dict=cdict)
+    dec = decode(read_table(spark, args.encoded), container_dict=cdict)
     joined = src.alias("s").join(dec.alias("d"), "doc_id", "full_outer")
     bad = joined.filter(
         F.col("s.tokens").isNull()
@@ -159,7 +159,7 @@ def cmd_estimate(args) -> int:
     from gorilla_stream_spark import estimate
 
     spark = _spark("gss-estimate")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     rows = (
         estimate(df)
         .groupBy("codec")
@@ -180,7 +180,7 @@ def cmd_analyze(args) -> int:
     from gorilla_stream_spark import analyze_and_recommend
 
     spark = _spark("gss-analyze")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     print(json.dumps(analyze_and_recommend(df)))
     return 0
 
@@ -192,7 +192,7 @@ def cmd_info(args) -> int:
     from gorilla_stream_spark.engine import manifest
 
     spark = _spark("gss-info")
-    man = manifest(spark.read.parquet(args.input))
+    man = manifest(read_table(spark, args.input))
     agg = man.agg(
         F.count("*").alias("blocks"),
         F.sum("n_docs").alias("docs"),
@@ -218,11 +218,11 @@ def cmd_dedup(args) -> int:
     from gorilla_stream_spark.textops import dedup_exact
 
     spark = _spark("gss-dedup")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     before = df.count()
     out = dedup_exact(df, content_col=args.text_col, id_col=args.id_col)
-    out.write.mode("overwrite").parquet(args.output)
-    after = spark.read.parquet(args.output).count()
+    write_table(out, args.output)
+    after = read_table(spark, args.output).count()
     print(json.dumps({"rows_in": before, "rows_out": after, "removed": before - after}))
     return 0
 
@@ -238,7 +238,7 @@ def cmd_neardup(args) -> int:
     from gorilla_stream_spark.textops import dedup_exact, neardup_pairs
 
     spark = _spark("gss-neardup")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     n_in = None
     if args.dedup_first:
         n_in = df.count()
@@ -250,8 +250,8 @@ def cmd_neardup(args) -> int:
         df, text_col=args.text_col, id_col=args.id_col, threshold_pct=args.threshold,
         verify=args.verify_mode,
     )
-    pairs.write.mode("overwrite").parquet(args.output)
-    out = {"pairs": spark.read.parquet(args.output).count()}
+    write_table(pairs, args.output)
+    out = {"pairs": read_table(spark, args.output).count()}
     if args.dedup_first:
         out["rows_in"] = n_in
         out["rows_after_dedup"] = df.count()
@@ -268,7 +268,7 @@ def cmd_encode_multi(args) -> int:
 
     spark = _spark("gss-encode-multi")
     cols = [c.strip() for c in args.columns.split(",") if c.strip()]
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     if args.checkpoint:
         if getattr(args, "wide", False):
             # the checkpoint protocol appends the nested lifecycle layout;
@@ -301,7 +301,7 @@ def cmd_encode_multi(args) -> int:
 
         enc = widen_multi(enc, cols)
     enc.write.mode("overwrite").option("compression", "snappy").parquet(args.output)
-    m = spark.read.parquet(args.output).agg(
+    m = read_table(spark, args.output).agg(
         F.count("*").alias("blocks"), F.sum("raw_bytes").alias("raw"),
         F.sum("enc_bytes").alias("enc"),
     ).first()
@@ -318,9 +318,9 @@ def cmd_decode_multi(args) -> int:
 
     spark = _spark("gss-decode-multi")
     cols = [c.strip() for c in args.columns.split(",") if c.strip()]
-    dec = decode_multi(spark.read.parquet(args.input), cols, strict=not args.tolerant)
-    dec.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"rows": spark.read.parquet(args.output).count(), "columns": cols}))
+    dec = decode_multi(read_table(spark, args.input), cols, strict=not args.tolerant)
+    write_table(dec, args.output)
+    print(json.dumps({"rows": read_table(spark, args.output).count(), "columns": cols}))
     return 0
 
 
@@ -328,7 +328,7 @@ def cmd_encode_vectors(args) -> int:
     from gorilla_stream_spark.vectors import encode_vectors, write_vectors
 
     spark = _spark("gss-encode-vectors")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     enc = encode_vectors(
         df, vec_col=args.vec_col, id_col=args.id_col,
         num_partitions=args.partitions, layout=args.layout,
@@ -336,7 +336,7 @@ def cmd_encode_vectors(args) -> int:
     )
     # lsh layout partitions the sink by bucket_pfx -> ann probes prune dirs
     write_vectors(enc, args.output)
-    m = spark.read.parquet(args.output).agg(
+    m = read_table(spark, args.output).agg(
         F.count("*").alias("blocks"), F.sum("raw_bytes").alias("raw"),
         F.sum("enc_bytes").alias("enc"),
     ).first()
@@ -351,9 +351,9 @@ def cmd_decode_vectors(args) -> int:
     from gorilla_stream_spark.vectors import decode_vectors
 
     spark = _spark("gss-decode-vectors")
-    dec = decode_vectors(spark.read.parquet(args.input), strict=not args.tolerant)
-    dec.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    dec = decode_vectors(read_table(spark, args.input), strict=not args.tolerant)
+    write_table(dec, args.output)
+    print(json.dumps({"rows": read_table(spark, args.output).count()}))
     return 0
 
 
@@ -362,14 +362,14 @@ def cmd_ann(args) -> int:
     from gorilla_stream_spark.vectors import ann_search
 
     spark = _spark("gss-ann")
-    enc = spark.read.parquet(args.input)
-    qdf = spark.read.parquet(args.queries)
+    enc = read_table(spark, args.input)
+    qdf = read_table(spark, args.queries)
     queries = [
         (int(r[args.id_col]), list(r[args.vec_col])) for r in qdf.collect()
     ]
     out = ann_search(enc, queries, k=args.k)
-    out.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"results": spark.read.parquet(args.output).count(),
+    write_table(out, args.output)
+    print(json.dumps({"results": read_table(spark, args.output).count(),
                       "queries": len(queries), "k": args.k}))
     return 0
 
@@ -379,7 +379,7 @@ def cmd_sample(args) -> int:
     from gorilla_stream_spark.textops import sample_corpus
 
     spark = _spark("gss-sample")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     if args.rates:
         fractions = {}
         for part in args.rates.split(","):
@@ -390,8 +390,8 @@ def cmd_sample(args) -> int:
     out = sample_corpus(
         df, fractions, seed=args.seed, source_col=args.source_col, hash_fn=args.hash_fn
     )
-    out.write.mode("overwrite").parquet(args.output)
-    res = spark.read.parquet(args.output)
+    write_table(out, args.output)
+    res = read_table(spark, args.output)
     print(json.dumps({
         "rows_in": df.count(), "rows_out": res.count(),
         "by_source": {
@@ -407,15 +407,15 @@ def cmd_dup_spans(args) -> int:
     from gorilla_stream_spark.textops import duplicate_spans, strip_duplicate_spans
 
     spark = _spark("gss-dup-spans")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     spans = duplicate_spans(
         df, tokens_col=args.tokens_col, id_col=args.id_col, k=args.k,
         stride=args.stride, min_count=args.min_count,
         keep_first=args.keep_first or bool(args.strip_output),
         anchored=args.anchored,
     )
-    spans.write.mode("overwrite").parquet(args.output)
-    sp = spark.read.parquet(args.output)
+    write_table(spans, args.output)
+    sp = read_table(spark, args.output)
     summary = sp.agg(
         F.count("*").alias("docs_with_dups"),
         F.sum("n_dup_windows").alias("dup_windows"),
@@ -423,9 +423,10 @@ def cmd_dup_spans(args) -> int:
         F.sum("dup_tokens").alias("dup_tokens"),
     ).collect()[0]
     if args.strip_output:
-        strip_duplicate_spans(
+        stripped_df = strip_duplicate_spans(
             df, sp, tokens_col=args.tokens_col, id_col=args.id_col
-        ).write.mode("overwrite").parquet(args.strip_output)
+        )
+        write_table(stripped_df, args.strip_output)
     print(json.dumps({
         "docs": df.count(),
         "docs_with_dups": summary["docs_with_dups"],
@@ -444,21 +445,21 @@ def cmd_incremental_encode(args) -> int:
     from gorilla_stream_spark.incremental import changed_partitions, incremental_encode
 
     spark = _spark("gss-incremental-encode")
-    old_enc = spark.read.parquet(args.old_encoded)
-    old_corpus = spark.read.parquet(args.old_input)
-    new_corpus = spark.read.parquet(args.input)
+    old_enc = read_table(spark, args.old_encoded)
+    old_corpus = read_table(spark, args.old_input)
+    new_corpus = read_table(spark, args.input)
     inc = incremental_encode(
         old_enc, old_corpus, new_corpus, args.partitions,
         codec=args.codec, tokens_col=args.tokens_col, id_col=args.id_col,
         block_tokens=args.block_tokens or DEFAULT_BLOCK_TOKENS,
         container=args.container,
     )
-    inc.write.mode("overwrite").option("compression", "zstd").parquet(args.output)
+    write_table(inc, args.output)
     n_changed = changed_partitions(
         old_corpus, new_corpus, args.partitions,
         tokens_col=args.tokens_col, id_col=args.id_col,
     ).count()
-    out = spark.read.parquet(args.output)
+    out = read_table(spark, args.output)
     m = out.agg(
         F.count("*").alias("blocks"), F.sum("n_tokens").alias("tokens")
     ).first()
@@ -478,7 +479,7 @@ def cmd_pack(args) -> int:
     from gorilla_stream_spark.packing import pack_sequences
 
     spark = _spark("gss-pack")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     packed = pack_sequences(
         df,
         args.seq_len,
@@ -487,8 +488,8 @@ def cmd_pack(args) -> int:
         num_partitions=args.partitions,
         drop_last=args.drop_last,
     )
-    packed.write.mode("overwrite").option("compression", "zstd").parquet(args.output)
-    m = spark.read.parquet(args.output).agg(
+    write_table(packed, args.output)
+    m = read_table(spark, args.output).agg(
         F.count("*").alias("seqs"), F.sum("n_tok").alias("tokens")
     ).first()
     print(json.dumps({"seqs": m["seqs"], "tokens": int(m["tokens"] or 0)}))
@@ -502,7 +503,7 @@ def cmd_wire_export(args) -> int:
     from gorilla_stream_spark.gorilla_wire import encode_timeseries_wire
 
     spark = _spark("gss-wire-export")
-    df = spark.read.parquet(args.input)
+    df = read_table(spark, args.input)
     enc = encode_timeseries_wire(
         df,
         ts_col=args.ts_col,
@@ -512,8 +513,8 @@ def cmd_wire_export(args) -> int:
         victoria_metrics=args.victoria_metrics,
         is_counter=args.counter,
     )
-    enc.write.mode("overwrite").parquet(args.output)
-    m = spark.read.parquet(args.output).agg(
+    write_table(enc, args.output)
+    m = read_table(spark, args.output).agg(
         F.count("*").alias("blocks"),
         F.sum("n_points").alias("points"),
         F.sum("enc_bytes").alias("enc_bytes"),
@@ -531,11 +532,9 @@ def cmd_wire_import(args) -> int:
     from gorilla_stream_spark.gorilla_wire import decode_timeseries_wire
 
     spark = _spark("gss-wire-import")
-    enc = spark.read.parquet(args.input)
-    decode_timeseries_wire(enc, strict=not args.tolerant).write.mode(
-        "overwrite"
-    ).parquet(args.output)
-    print(json.dumps({"rows": spark.read.parquet(args.output).count()}))
+    enc = read_table(spark, args.input)
+    write_table(decode_timeseries_wire(enc, strict=not args.tolerant), args.output)
+    print(json.dumps({"rows": read_table(spark, args.output).count()}))
     return 0
 
 
@@ -544,12 +543,12 @@ def cmd_index(args) -> int:
     from gorilla_stream_spark.index import build_token_index
 
     spark = _spark("gss-index")
-    enc = spark.read.parquet(args.encoded)
+    enc = read_table(spark, args.encoded)
     idx = build_token_index(
         enc, bloom_words=args.bloom_words, k=args.k, strict=not args.tolerant
     )
-    idx.write.mode("overwrite").parquet(args.output)
-    n = spark.read.parquet(args.output).count()
+    write_table(idx, args.output)
+    n = read_table(spark, args.output).count()
     print(json.dumps({"blocks": n}))
     return 0
 
@@ -566,8 +565,8 @@ def cmd_grep_token(args) -> int:
     if (args.token is None) == (args.phrase is None):
         raise SystemExit("grep-token: exactly one of --token / --phrase required")
     spark = _spark("gss-grep-token")
-    enc = spark.read.parquet(args.encoded)
-    idx = spark.read.parquet(args.index)
+    enc = read_table(spark, args.encoded)
+    idx = read_table(spark, args.index)
     total = enc.count()
     if args.phrase is not None:
         phrase = [int(t) for t in args.phrase.split(",")]
@@ -579,8 +578,8 @@ def cmd_grep_token(args) -> int:
         res = find_docs_with_token(enc, idx, args.token, strict=not args.tolerant)
         what = {"token": args.token}
     if args.output:
-        res.write.mode("overwrite").parquet(args.output)
-        res = spark.read.parquet(args.output)
+        write_table(res, args.output)
+        res = read_table(spark, args.output)
     m = res.agg(F.count("*").alias("d"), F.sum("n_hits").alias("h")).first()
     print(json.dumps({
         **what, "candidate_blocks": cand, "total_blocks": total,
@@ -594,11 +593,9 @@ def cmd_build_dict(args) -> int:
     from gorilla_stream_spark.vocab import build_global_dict
 
     spark = _spark("gss-build-dict")
-    df = spark.read.parquet(args.input)
-    build_global_dict(df, tokens_col=args.tokens_col).write.mode(
-        "overwrite"
-    ).parquet(args.output)
-    print(json.dumps({"vocab": spark.read.parquet(args.output).count()}))
+    df = read_table(spark, args.input)
+    write_table(build_global_dict(df, tokens_col=args.tokens_col), args.output)
+    print(json.dumps({"vocab": read_table(spark, args.output).count()}))
     return 0
 
 
@@ -607,16 +604,16 @@ def cmd_remap(args) -> int:
     from gorilla_stream_spark.vocab import remap_tokens, unmap_tokens
 
     spark = _spark("gss-remap")
-    df = spark.read.parquet(args.input)
-    d = spark.read.parquet(args.dict)
+    df = read_table(spark, args.input)
+    d = read_table(spark, args.dict)
     if args.inverse:
         out = unmap_tokens(df, d, tokens_col=args.tokens_col)
     else:
         out = remap_tokens(
             df, d, tokens_col=args.tokens_col, strict=not args.lenient
         )
-    out.write.mode("overwrite").parquet(args.output)
-    m = spark.read.parquet(args.output).agg(
+    write_table(out, args.output)
+    m = read_table(spark, args.output).agg(
         F.count("*").alias("rows"), F.sum(F.size(args.tokens_col)).alias("toks")
     ).first()
     print(json.dumps({"rows": m["rows"], "tokens": int(m["toks"] or 0)}))
@@ -628,10 +625,10 @@ def cmd_merge(args) -> int:
     from gorilla_stream_spark import merge_tables
 
     spark = _spark("gss-merge")
-    a = spark.read.parquet(args.a)
-    b = spark.read.parquet(args.b)
-    merge_tables(a, b).write.mode("overwrite").parquet(args.output)
-    res = spark.read.parquet(args.output)
+    a = read_table(spark, args.a)
+    b = read_table(spark, args.b)
+    write_table(merge_tables(a, b), args.output)
+    res = read_table(spark, args.output)
     m = res.agg(
         F.count("*").alias("blocks"),
         F.count_distinct("block_id").alias("distinct_ids"),
@@ -649,7 +646,7 @@ def cmd_transcode(args) -> int:
     from gorilla_stream_spark import transcode_blocks
 
     spark = _spark("gss-transcode")
-    enc = spark.read.parquet(args.input)
+    enc = read_table(spark, args.input)
     cdict = open(args.dict_path, "rb").read() if args.dict_path else None
     out = transcode_blocks(
         enc,
@@ -659,8 +656,8 @@ def cmd_transcode(args) -> int:
         container_dict=cdict,
         strict=not args.tolerant,
     )
-    out.write.mode("overwrite").parquet(args.output)
-    res = spark.read.parquet(args.output)
+    write_table(out, args.output)
+    res = read_table(spark, args.output)
     m = res.agg(
         F.count("*").alias("blocks"),
         F.sum("raw_bytes").alias("r"),
@@ -678,11 +675,11 @@ def cmd_drift(args) -> int:
     from gorilla_stream_spark.vocab import compare_corpora
 
     spark = _spark("gss-drift")
-    a = spark.read.parquet(args.a)
-    b = spark.read.parquet(args.b)
+    a = read_table(spark, args.a)
+    b = read_table(spark, args.b)
     rep = compare_corpora(a, b, tokens_col=args.tokens_col, min_count=args.min_count)
-    rep.write.mode("overwrite").parquet(args.output)
-    res = spark.read.parquet(args.output)
+    write_table(rep, args.output)
+    res = read_table(spark, args.output)
     m = res.agg(
         F.count("*").alias("tokens"),
         F.count(F.when(F.col("cnt_a") == 0, 1)).alias("appeared"),
