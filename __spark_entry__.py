@@ -706,6 +706,18 @@ def q_delete_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-conditional LM-quality proxy (unigram_logprob): per-doc sum
+    of corpus-wide token counts at each position (`sum_cnt`) — the
+    integer-exact core of the mean unigram log-probability score (the
+    float logprob itself is checked against a numpy oracle in pytest;
+    cross-engine float log equality is not hash-stable)."""
+    from gorilla_stream_spark.vocab import unigram_logprob
+
+    src = _tokens_from_documents(spark, sf_dir)
+    return unigram_logprob(src).select("doc_id", "n_tok", "sum_cnt")
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc stats over the NATIVE token-array table (input_hint shape)."""
     from gorilla_stream_spark.textops import token_stats
@@ -1121,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_duplicate_spans": q_duplicate_spans,
         "q67_incremental_encode": q_incremental_encode,
         "q68_delete_docs": q_delete_docs,
+        "q69_unigram_logprob": q_unigram_logprob,
     }
 
 
@@ -1537,6 +1550,19 @@ WHERE 100*ii >= 80*ce.n
             " CAST(GREATEST(LENGTH(text) - 3, 0) AS BIGINT) AS mask_sum,"
             " TRUE AS ok FROM documents"
         ),
+        "q69_unigram_logprob": """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         ascii(substr(text, CAST(i AS INTEGER), 1)) AS t
+  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        FROM documents)
+),
+cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
+       CAST(sum(c) AS BIGINT) AS sum_cnt
+FROM tok JOIN cnt USING (t)
+GROUP BY doc_id
+""",
         "q68_delete_docs": """
 WITH kept AS (
   SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents

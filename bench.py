@@ -225,9 +225,8 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     inc.write.mode("overwrite").option("compression", "snappy").parquet(inc_path)
     queries["q1c_incremental_encode"] = time.time() - t0
     extras["incremental_tokens_per_sec"] = total_tokens / queries["q1c_incremental_encode"]
-    extras["incremental_speedup_vs_full"] = (
-        queries["q1_encode_auto"] / queries["q1c_incremental_encode"]
-    )
+    # (speedup vs full is computed post-merge in main() from the
+    # best-of-passes times so it reflects steady state on both sides)
 
     # q2: decode (read blocks, reconstruct, count all tokens)
     t0 = time.time()
@@ -776,6 +775,10 @@ def main() -> int:
             else:
                 extras[k] = v
     extras["bench_passes"] = passes
+    if "q1c_incremental_encode" in queries:
+        extras["incremental_speedup_vs_full"] = round(
+            queries["q1_encode_auto"] / queries["q1c_incremental_encode"], 4
+        )
     extras["pass_total_sec"] = [round(sum(q.values()), 3) for q, _ in runs]
 
     spark.stop()

@@ -50,6 +50,7 @@ from gorilla_stream_spark.incremental import (
     incremental_encode,
 )
 from gorilla_stream_spark.packing import pack_sequences
+from gorilla_stream_spark.vocab import unigram_logprob
 from gorilla_stream_spark.textops import (
     decontaminate,
     duplicate_spans,
@@ -105,6 +106,7 @@ __all__ = [
     "strip_duplicate_spans",
     "changed_partitions",
     "incremental_encode",
+    "unigram_logprob",
     "read_timerange",
     "analyze_and_recommend",
     "validate",

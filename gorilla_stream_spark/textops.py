@@ -1214,31 +1214,106 @@ def token_stats(
 # ---------------------------------------------------------------------------
 
 
-def _window_positions(tokens_col: str, k: int, stride: int, anchored: bool,
-                      anchor_gram: int) -> str:
-    """SQL for the array of window start positions (0-based) in a doc.
+_RH_B = 0x9E3779B97F4A7C15  # odd multiplier (invertible mod 2^64)
+_RH_B2 = 0xC2B2AE3D27D4EB4F | 1  # independent radix for the anchor hash
 
-    ``anchored`` picks content-defined anchors (positions whose leading
-    ``anchor_gram``-token hash is 0 mod stride) instead of fixed-stride
-    offsets — same expected 1/stride density, but robust to the two
-    occurrences of a shared span sitting at different alignments (the
-    rsync/CDC trick; fixed stride only matches same-phase copies).  The
-    whole expression is total: short docs yield an empty array, so it is
-    safe under Catalyst filter reordering.
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — bijective, so it de-structures the
+    polynomial hash without changing its collision set."""
+    x = x ^ (x >> np.uint64(30))
+    x = x * np.uint64(0xBF58476D1CE4E5B9)
+    x = x ^ (x >> np.uint64(27))
+    x = x * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _rolling_hashes(flat: np.ndarray, n: int, k: int, radix: int) -> np.ndarray:
+    """All k-window polynomial hashes of ``flat`` (uint64, wraparound) in
+    O(n) vectorized work: prefix sums of ``t[j]*B^j`` normalized by
+    ``B^-i`` (B odd ⇒ invertible mod 2^64) give every window in one pass
+    — the Rabin-Karp rolling hash, batch-vectorized.  Returns H where
+    H[i] = mix64(Σ_{j<k} flat[i+j]·B^j); windows crossing doc boundaries
+    are present but the caller never selects them."""
+    B = np.uint64(radix)
+    Binv = np.uint64(pow(radix, -1, 1 << 64))
+    powB = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        powB[1:] = np.cumprod(np.full(n - 1, B, dtype=np.uint64))
+    powBinv = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        powBinv[1:] = np.cumprod(np.full(n - 1, Binv, dtype=np.uint64))
+    pref = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(flat.astype(np.uint64) * powB, out=pref[1:])
+    m = n - k + 1  # window count (callers guarantee n >= k)
+    return _mix64((pref[k : k + m] - pref[:m]) * powBinv[:m])
+
+
+def _window_table(
+    df: DataFrame,
+    tokens_col: str,
+    id_col: str,
+    k: int,
+    stride: int,
+    anchored: bool,
+    anchor_gram: int,
+) -> DataFrame:
+    """Exploded (id, pos, wh) window table via ONE vectorized Arrow pass.
+
+    Spark's higher-order-function lambdas run interpreted (no codegen), so
+    hashing every window via ``transform``/``slice`` costs ~100x a numpy
+    rolling hash over the same flat batch — this kernel computes all
+    window hashes (and, when ``anchored``, all ``anchor_gram``-token
+    anchor hashes with an independent radix) in O(tokens) per batch, then
+    emits only the selected positions.  ``anchored`` keeps positions whose
+    anchor hash ≡ 0 (mod stride): content-defined, so off-phase copies of
+    a span still collide (the rsync/CDC trick; fixed stride only matches
+    same-alignment copies).
     """
-    if not anchored or stride == 1:
-        return (
-            f"CASE WHEN size({tokens_col}) >= {k}"
-            f" THEN sequence(0, size({tokens_col}) - {k}, {stride})"
-            f" ELSE array() END"
-        )
+    import pyarrow as pa
+
+    from gorilla_stream_spark.engine import _flatten_arrow
+
     g = min(anchor_gram, k)
-    return (
-        f"CASE WHEN size({tokens_col}) >= {k}"
-        f" THEN filter(sequence(0, size({tokens_col}) - {k}),"
-        f"   i -> pmod(xxhash64(slice({tokens_col}, i + 1, {g})), {stride}) = 0)"
-        f" ELSE array() END"
-    )
+
+    def fn(batches):
+        for rb in batches:
+            ids = rb.column(0)
+            flat, lens = _flatten_arrow(rb.column(1))
+            n = int(flat.size)
+            if n == 0 or n < k:
+                continue
+            wh = _rolling_hashes(flat, n, k, _RH_B)
+            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            m = np.maximum(lens - k + 1, 0)  # windows per doc
+            total = int(m.sum())
+            if total == 0:
+                continue
+            doc_idx = np.repeat(np.arange(lens.size), m)
+            pos = np.arange(total, dtype=np.int64) - np.repeat(
+                np.concatenate(([0], np.cumsum(m)))[:-1], m
+            )
+            gpos = starts[doc_idx] + pos  # global window start
+            if stride > 1:
+                if anchored:
+                    ah = _rolling_hashes(flat, n, g, _RH_B2)
+                    keep = ah[gpos] % np.uint64(stride) == 0
+                else:
+                    keep = pos % stride == 0
+                doc_idx, pos, gpos = doc_idx[keep], pos[keep], gpos[keep]
+            if pos.size == 0:
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(doc_idx)).cast(pa.string()),
+                    pa.array(pos.astype(np.int32), pa.int32()),
+                    pa.array(wh[gpos].view(np.int64), pa.int64()),
+                ],
+                names=["__sd_id", "pos", "wh"],
+            )
+
+    slim = df.select(F.col(id_col).cast("string"), tokens_col)
+    return slim.mapInArrow(fn, "__sd_id string, pos int, wh long")
 
 
 def duplicate_spans(
@@ -1259,9 +1334,10 @@ def duplicate_spans(
     MinHash/SimHash near-dup misses VERBATIM spans embedded in otherwise
     distinct documents; this catches them).
 
-    Shape: each doc emits xxhash64 hashes of its length-``k`` token windows
-    (JVM higher-order functions — ``xxhash64(slice(...))`` inside
-    ``transform``, no Python).  A window hash seen ``min_count``+ times
+    Shape: each doc emits 64-bit rolling hashes of its length-``k`` token
+    windows (one vectorized Arrow pass, O(tokens) — see
+    :func:`_window_table`; Spark HOF lambdas are interpreted and cost
+    ~100x on this per-position workload).  A window hash seen ``min_count``+ times
     marks all its positions (minus the first occurrence — min ``(doc, pos)``
     — when ``keep_first``); per doc, marked positions merge into maximal
     spans with linear array HOFs.
@@ -1284,16 +1360,7 @@ def duplicate_spans(
     """
     if k < 1 or stride < 1 or min_count < 2:
         raise ValueError(f"bad k={k} stride={stride} min_count={min_count}")
-    pos_sql = _window_positions(tokens_col, k, stride, anchored, anchor_gram)
-    w = df.select(
-        F.col(id_col).alias("__sd_id"),
-        F.expr(
-            f"transform({pos_sql}, i -> named_struct("
-            f"'pos', i, 'wh', xxhash64(slice({tokens_col}, i + 1, {k}))))"
-        ).alias("__ws"),
-    ).select("__sd_id", F.explode("__ws").alias("w")).select(
-        "__sd_id", F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh")
-    )
+    w = _window_table(df, tokens_col, id_col, k, stride, anchored, anchor_gram)
     byh = Window.partitionBy("wh")
     m = w.withColumn("__cnt", F.count("*").over(byh)).filter(
         F.col("__cnt") >= min_count

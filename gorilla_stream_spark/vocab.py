@@ -51,6 +51,7 @@ __all__ = [
     "remap_tokens",
     "unmap_tokens",
     "compare_corpora",
+    "unigram_logprob",
 ]
 
 DEFAULT_MAX_VOCAB = 1 << 24  # 16M entries ~= 192 MB broadcast ceiling
@@ -307,4 +308,104 @@ def unmap_tokens(
     bc = df.sparkSession.sparkContext.broadcast((toks, ranks))
     return df.mapInArrow(
         _remap_fn(tokens_col, bc, strict=True, inverse=True), _out_schema(df, tokens_col)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    counts: DataFrame | None = None,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    max_vocab: int = DEFAULT_MAX_VOCAB,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-doc mean unigram log2-probability under the corpus distribution —
+    the classic LM-quality proxy (the CCNet/Gopher-style filter signal:
+    docs whose tokens are improbable under the corpus itself are boilerplate,
+    encoding junk, or wrong-language).  No reference analog (time-series
+    codec library); this lives in the LLM-pipeline layer next to
+    ``quality_score``, which scores SURFACE features — this scores the
+    token distribution itself.
+
+    ``P(t) = (c_t + alpha) / (N + alpha * (V + 1))`` — add-alpha smoothing
+    over the vocabulary plus one out-of-vocabulary outcome, so unseen (or
+    beyond-cap) tokens get a finite floor probability.  ``N`` (total
+    tokens) and ``V`` (distinct tokens) are exact regardless of the cap.
+
+    Scale shape: ``counts`` is the one corpus-wide pass (``token_counts``,
+    vocabulary-row shuffle — pass a precomputed/persisted table to skip
+    it); the top-``max_vocab`` count table rides a task broadcast as two
+    aligned numpy arrays, and scoring is map-only — one ``searchsorted``
+    lookup + two ``add.reduceat`` segment sums per Arrow batch, no joins,
+    no token shuffle.  Tokens outside the broadcast cap fall to the OOV
+    floor — exact for every real tokenizer vocabulary (≤ 16M entries),
+    documented approximation beyond.
+
+    Returns ``(id_col, n_tok int, sum_cnt long, logprob double)`` —
+    ``sum_cnt`` is the integer sum of corpus counts at each token position
+    (the engine-portable, SQL-checkable part of the computation; the q69
+    oracle verifies it exactly), ``logprob`` the mean log2 P(t) (0.0 for
+    empty docs).
+    """
+    import pyarrow as pa
+
+    if counts is None:
+        counts = token_counts(df, tokens_col=tokens_col)
+    totals = counts.agg(
+        F.sum("cnt").alias("n"), F.count("*").alias("v")
+    ).first()
+    n_total = int(totals["n"] or 0)
+    v_total = int(totals["v"] or 0)
+    top = (
+        counts.orderBy(F.col("cnt").desc(), "token")
+        .limit(max_vocab)
+        .orderBy("token")
+        .collect()
+    )
+    toks = np.array([r["token"] for r in top], dtype=np.int64)
+    cnts = np.array([r["cnt"] for r in top], dtype=np.int64)
+    bc = df.sparkSession.sparkContext.broadcast((toks, cnts))
+    denom = float(n_total) + alpha * (v_total + 1)
+
+    def fn(batches: Iterator) -> Iterator:
+        vt, vc = bc.value
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(0)
+            flat, lens = _flatten_arrow(rb.column(1))
+            if vt.size:
+                idx = np.searchsorted(vt, flat).clip(max=vt.size - 1)
+                hit = vt[idx] == flat
+                c = np.where(hit, vc[idx], 0)
+            else:
+                c = np.zeros(flat.size, dtype=np.int64)
+            offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+            nz = lens > 0
+            sum_cnt = np.zeros(lens.size, dtype=np.int64)
+            logprob = np.zeros(lens.size, dtype=np.float64)
+            if flat.size and nz.any():
+                # reduceat over NON-EMPTY segments only: empty docs would
+                # need out-of-range/duplicate offsets that corrupt their
+                # neighbors' segments; consecutive non-empty starts bound
+                # each doc exactly (empty docs between them add no tokens)
+                offs_nz = offs[nz]
+                sum_cnt[nz] = np.add.reduceat(c, offs_nz)
+                logprob[nz] = (
+                    np.add.reduceat(np.log2((c + alpha) / denom), offs_nz)
+                    / lens[nz]
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.string()),
+                    pa.array(lens.astype(np.int32), pa.int32()),
+                    pa.array(sum_cnt, pa.int64()),
+                    pa.array(logprob, pa.float64()),
+                ],
+                names=[id_col, "n_tok", "sum_cnt", "logprob"],
+            )
+
+    slim = df.select(F.col(id_col).cast("string"), tokens_col)
+    return slim.mapInArrow(
+        fn, f"{id_col} string, n_tok int, sum_cnt long, logprob double"
     )
