@@ -1072,6 +1072,32 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionAll(b), parts)
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level snapshot diff (snapshot_diff): same old→new mutation as
+    q67 (delete doc_id%13==0, append token 65 where doc_id%7==0, add
+    reversed-text docs for doc_id%17==0) and report which DOCS moved —
+    (doc_id, status) with status in {added, removed, changed}, unchanged
+    docs never emitted.  One full-outer join of two (id, xxhash64)
+    projections; the oracle derives the same statuses arithmetically."""
+    from gorilla_stream_spark.incremental import snapshot_diff
+
+    old = _tokens_from_documents(spark, sf_dir)
+    did = F.col("doc_id").cast("long")
+    mutated = old.filter(did % 13 != 0).withColumn(
+        "tokens",
+        F.when(did % 7 == 0, F.concat("tokens", F.array(F.lit(65)))).otherwise(
+            F.col("tokens")
+        ),
+    )
+    added = old.filter(did % 17 == 0).select(
+        F.concat(F.lit("new_"), F.col("doc_id")).alias("doc_id"),
+        F.reverse("tokens").alias("tokens"),
+        F.lit("synthetic").alias("source"),
+        "n_tok",
+    )
+    return snapshot_diff(old, mutated.unionByName(added))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q01_roundtrip_codecs": q_roundtrip_codecs,
@@ -1134,6 +1160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_incremental_encode": q_incremental_encode,
         "q68_delete_docs": q_delete_docs,
         "q69_unigram_logprob": q_unigram_logprob,
+        "q70_snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -1562,6 +1589,17 @@ SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
        CAST(sum(c) AS BIGINT) AS sum_cnt
 FROM tok JOIN cnt USING (t)
 GROUP BY doc_id
+""",
+        "q70_snapshot_diff": """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status
+FROM documents WHERE CAST(doc_id AS BIGINT) % 13 = 0
+UNION ALL
+SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'changed' AS status
+FROM documents
+WHERE CAST(doc_id AS BIGINT) % 13 <> 0 AND CAST(doc_id AS BIGINT) % 7 = 0
+UNION ALL
+SELECT 'new_' || CAST(doc_id AS VARCHAR) AS doc_id, 'added' AS status
+FROM documents WHERE CAST(doc_id AS BIGINT) % 17 = 0
 """,
         "q68_delete_docs": """
 WITH kept AS (

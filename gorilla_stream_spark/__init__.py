@@ -48,6 +48,7 @@ from gorilla_stream_spark.engine import (
 from gorilla_stream_spark.incremental import (
     changed_partitions,
     incremental_encode,
+    snapshot_diff,
 )
 from gorilla_stream_spark.packing import pack_sequences
 from gorilla_stream_spark.vocab import unigram_logprob
@@ -106,6 +107,7 @@ __all__ = [
     "strip_duplicate_spans",
     "changed_partitions",
     "incremental_encode",
+    "snapshot_diff",
     "unigram_logprob",
     "read_timerange",
     "analyze_and_recommend",

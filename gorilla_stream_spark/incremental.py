@@ -68,6 +68,7 @@ __all__ = [
     "corpus_partition_digest",
     "changed_partitions",
     "incremental_encode",
+    "snapshot_diff",
 ]
 
 
@@ -285,3 +286,41 @@ def incremental_encode(
         ),
     )
     return reuse.unionByName(fresh)
+
+
+def snapshot_diff(
+    old_corpus: DataFrame,
+    new_corpus: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    source_col: str | None = "source",
+) -> DataFrame:
+    """Doc-level diff of two corpus snapshots: ``(id_col, status)`` with
+    status in {'added', 'removed', 'changed'} — unchanged docs are not
+    emitted.  The ops-report companion to :func:`changed_partitions`:
+    that answers "which PARTITIONS must re-encode" with an O(P) shuffle;
+    this answers "which DOCS moved" and honestly pays the doc-level cost —
+    one full-outer join of two (id, content-hash) projections, fixed-width
+    ~24 B rows per doc, nothing wider ever shuffles.
+    """
+    def proj(df: DataFrame, side: str) -> DataFrame:
+        src = source_col if source_col and source_col in df.columns else None
+        cols = [id_col, tokens_col] + ([src] if src else [])
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias(f"__h_{side}"),
+        )
+
+    a = proj(old_corpus, "a")
+    b = proj(new_corpus, "b")
+    j = a.join(b, "__id", "full_outer")
+    status = (
+        F.when(F.col("__h_a").isNull(), F.lit("added"))
+        .when(F.col("__h_b").isNull(), F.lit("removed"))
+        .when(F.col("__h_a") != F.col("__h_b"), F.lit("changed"))
+    )
+    return (
+        j.withColumn("__status", status)
+        .filter(F.col("__status").isNotNull())
+        .select(F.col("__id").alias(id_col), F.col("__status").alias("status"))
+    )

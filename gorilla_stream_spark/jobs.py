@@ -488,6 +488,57 @@ def cmd_incremental_encode(args) -> int:
     return 0
 
 
+def cmd_diff_docs(args) -> int:
+    """Doc-level snapshot diff report: which docs were added / removed /
+    changed between two corpus snapshots."""
+    from gorilla_stream_spark.incremental import snapshot_diff
+
+    spark = _spark("gss-diff-docs")
+    old = read_table(spark, args.old)
+    new = read_table(spark, args.new)
+    d = snapshot_diff(old, new, tokens_col=args.tokens_col, id_col=args.id_col)
+    write_table(d, args.output)
+    res = read_table(spark, args.output)
+    by = {r["status"]: r["n"] for r in res.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({
+        "added": by.get("added", 0),
+        "removed": by.get("removed", 0),
+        "changed": by.get("changed", 0),
+    }))
+    return 0
+
+
+def cmd_score(args) -> int:
+    """Corpus-conditional quality scoring: per-doc unigram log-probability
+    (plus the integer count-sum core) under the corpus distribution."""
+    from gorilla_stream_spark.vocab import token_counts, unigram_logprob
+
+    spark = _spark("gss-score")
+    df = read_table(spark, args.input)
+    counts = read_table(spark, args.counts) if args.counts else None
+    if counts is None and args.save_counts:
+        counts = token_counts(df, tokens_col=args.tokens_col)
+        write_table(counts, args.save_counts)
+        counts = read_table(spark, args.save_counts)
+    scored = unigram_logprob(
+        df, counts=counts, tokens_col=args.tokens_col, id_col=args.id_col,
+        alpha=args.alpha,
+    )
+    write_table(scored, args.output)
+    res = read_table(spark, args.output)
+    m = res.agg(
+        F.count("*").alias("docs"),
+        F.avg("logprob").alias("mean_logprob"),
+        F.min("logprob").alias("min_logprob"),
+    ).first()
+    print(json.dumps({
+        "docs": m["docs"],
+        "mean_logprob": round(float(m["mean_logprob"] or 0.0), 6),
+        "min_logprob": round(float(m["min_logprob"] or 0.0), 6),
+    }))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Targeted delete: remove named docs from an encoded table in place
     (affected blocks re-encode, everything else passes through)."""
@@ -926,6 +977,26 @@ def main(argv: list[str] | None = None) -> int:
     ie.add_argument("--tokens-col", default="tokens")
     ie.add_argument("--id-col", default="doc_id")
     ie.set_defaults(fn=cmd_incremental_encode)
+
+    dd = sub.add_parser("diff-docs", help="doc-level snapshot diff (added/removed/changed)")
+    dd.add_argument("--old", required=True)
+    dd.add_argument("--new", required=True)
+    dd.add_argument("--output", required=True)
+    dd.add_argument("--tokens-col", default="tokens")
+    dd.add_argument("--id-col", default="doc_id")
+    dd.set_defaults(fn=cmd_diff_docs)
+
+    sc = sub.add_parser("score", help="per-doc unigram log-probability quality score")
+    sc.add_argument("--input", required=True)
+    sc.add_argument("--output", required=True)
+    sc.add_argument("--counts", default=None,
+                    help="persisted token_counts table (skips the counting pass)")
+    sc.add_argument("--save-counts", default=None,
+                    help="write the counting pass result here for reuse")
+    sc.add_argument("--alpha", type=float, default=1.0)
+    sc.add_argument("--tokens-col", default="tokens")
+    sc.add_argument("--id-col", default="doc_id")
+    sc.set_defaults(fn=cmd_score)
 
     dl = sub.add_parser("delete", help="targeted delete of docs from an encoded table")
     dl.add_argument("--input", required=True, help="encoded table")

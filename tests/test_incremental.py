@@ -189,3 +189,43 @@ def test_diff_plan_shape(spark, old_corpus, new_corpus, tmp_path):
     # exactly one Arrow encode pass (the changed-side re-encode); the reuse
     # side must not pass through any Python/Arrow evaluation
     assert plan.count("MapInArrow") + plan.count("mapInArrow") == 1
+
+
+def test_snapshot_diff_statuses(spark, old_corpus, new_corpus):
+    from gorilla_stream_spark.incremental import snapshot_diff
+
+    by = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old_corpus, new_corpus).collect()
+    }
+    old_ids = {r["doc_id"] for r in old_corpus.select("doc_id").collect()}
+    for i in old_ids:
+        if i.endswith("1"):
+            assert by.get(i) == "removed"
+        elif i.endswith("0"):
+            assert by.get(i) == "changed"
+        else:
+            assert i not in by  # unchanged docs are not emitted
+    added = sorted(k for k, v in by.items() if v == "added")
+    assert len(added) == 10 and all(k.startswith("new_") for k in added)
+
+
+def test_snapshot_diff_empty_on_identical(spark, old_corpus):
+    from gorilla_stream_spark.incremental import snapshot_diff
+
+    assert snapshot_diff(old_corpus, old_corpus).count() == 0
+
+
+def test_snapshot_diff_source_change_is_changed(spark, old_corpus):
+    from gorilla_stream_spark.incremental import snapshot_diff
+
+    moved = old_corpus.withColumn(
+        "source",
+        F.when(F.col("doc_id").endswith("3"), F.lit("relocated")).otherwise(
+            F.col("source")
+        ),
+    )
+    d = snapshot_diff(old_corpus, moved)
+    assert {r["status"] for r in d.collect()} == {"changed"}
+    n3 = old_corpus.filter(F.col("doc_id").endswith("3")).count()
+    assert d.count() == n3

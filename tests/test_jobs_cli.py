@@ -435,3 +435,47 @@ def test_delete_cli(spark, tmp_path, capsys):
     got = spark.read.parquet(str(tmp_path / "ddec"))
     assert got.filter(F.col("doc_id").isin(ids)).count() == 0
     assert got.count() == spark.read.parquet(src).count() - 3
+
+
+def test_diff_docs_cli(spark, tmp_path, capsys):
+    old = str(tmp_path / "dold")
+    new = str(tmp_path / "dnew")
+    out = str(tmp_path / "ddiff")
+    _mk_tokens(spark, old)
+    o = spark.read.parquet(old)
+    did = F.col("doc_id").cast("long")
+    o.filter(did % 11 != 0).withColumn(
+        "tokens",
+        F.when(did % 5 == 0, F.concat("tokens", F.array(F.lit(9)))).otherwise(
+            F.col("tokens")
+        ),
+    ).write.mode("overwrite").parquet(new)
+    assert jobs.main(["diff-docs", "--old", old, "--new", new, "--output", out]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["added"] == 0
+    assert m["removed"] == o.filter(did % 11 == 0).count()
+    assert m["changed"] == o.filter((did % 11 != 0) & (did % 5 == 0)).count()
+    statuses = {
+        r["status"] for r in spark.read.parquet(out).select("status").distinct().collect()
+    }
+    assert statuses == {"removed", "changed"}
+
+
+def test_score_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "ssrc")
+    out = str(tmp_path / "sout")
+    cnts = str(tmp_path / "scnt")
+    _mk_tokens(spark, src)
+    assert jobs.main([
+        "score", "--input", src, "--output", out, "--save-counts", cnts,
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert m["docs"] == spark.read.parquet(src).count()
+    assert m["mean_logprob"] < 0  # log2 probabilities are negative
+    # second run reuses the persisted counts table and must agree exactly
+    out2 = str(tmp_path / "sout2")
+    assert jobs.main(["score", "--input", src, "--output", out2, "--counts", cnts]) == 0
+    capsys.readouterr()
+    a = spark.read.parquet(out).select("doc_id", "logprob")
+    b = spark.read.parquet(out2).select("doc_id", "logprob")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
