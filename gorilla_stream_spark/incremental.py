@@ -302,6 +302,13 @@ def snapshot_diff(
     this answers "which DOCS moved" and honestly pays the doc-level cost —
     one full-outer join of two (id, content-hash) projections, fixed-width
     ~24 B rows per doc, nothing wider ever shuffles.
+
+    Precondition: ``id_col`` is unique within each snapshot (the corpus
+    contract everywhere in this engine); duplicate ids would cross-product
+    in the full-outer join.  ``source_col`` participates in the content
+    hash only when present in BOTH frames' columns being compared — it is
+    resolved per frame, so dropping the column from one snapshot reads as
+    every doc changed (a schema change IS a content change).
     """
     def proj(df: DataFrame, side: str) -> DataFrame:
         src = source_col if source_col and source_col in df.columns else None
