@@ -51,6 +51,7 @@ from gorilla_stream_spark.incremental import (
     snapshot_diff,
 )
 from gorilla_stream_spark.packing import pack_sequences
+from gorilla_stream_spark.pipeline import run_pipeline
 from gorilla_stream_spark.vocab import unigram_logprob
 from gorilla_stream_spark.textops import (
     decontaminate,
@@ -109,6 +110,7 @@ __all__ = [
     "incremental_encode",
     "snapshot_diff",
     "unigram_logprob",
+    "run_pipeline",
     "read_timerange",
     "analyze_and_recommend",
     "validate",

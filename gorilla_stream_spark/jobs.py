@@ -539,6 +539,44 @@ def cmd_score(args) -> int:
     return 0
 
 
+def cmd_pipeline(args) -> int:
+    """Staged prepare-and-encode pipeline with fingerprinted resume:
+    clean → dedup → decontaminate → score → sample → pack → encode
+    (any in-order subset).  Re-runs skip committed stages whose
+    fingerprint (params + upstream chain + input location) matches; the
+    input's CONTENT is not digested — if the input table was rewritten
+    in place, pass --no-resume (or a fresh --workdir)."""
+    from gorilla_stream_spark.pipeline import run_pipeline
+
+    spark = _spark("gss-pipeline")
+    fractions = None
+    if args.sample_fractions:
+        parsed = json.loads(args.sample_fractions)
+        fractions = parsed if isinstance(parsed, (dict, float, int)) else None
+        if fractions is None:
+            raise SystemExit("--sample-fractions must be a JSON number or object")
+    reports = run_pipeline(
+        spark,
+        args.input,
+        args.workdir,
+        args.output,
+        stages=args.stages.split(","),
+        eval_path=args.eval,
+        threshold_pct=args.threshold_pct,
+        decontaminate_metric=args.metric,
+        min_logprob=args.min_logprob,
+        sample_fractions=fractions,
+        seed=args.seed,
+        seq_len=args.seq_len,
+        codec=args.codec,
+        num_partitions=args.partitions,
+        container=args.container,
+        resume=not args.no_resume,
+    )
+    print(json.dumps({"stages": reports}))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Targeted delete: remove named docs from an encoded table in place
     (affected blocks re-encode, everything else passes through)."""
@@ -997,6 +1035,32 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--tokens-col", default="tokens")
     sc.add_argument("--id-col", default="doc_id")
     sc.set_defaults(fn=cmd_score)
+
+    pl = sub.add_parser(
+        "pipeline",
+        help="staged prepare-and-encode pipeline with fingerprinted resume",
+    )
+    pl.add_argument("--input", required=True)
+    pl.add_argument("--workdir", required=True,
+                    help="stage outputs + fingerprints live here")
+    pl.add_argument("--output", required=True, help="encoded table destination")
+    pl.add_argument("--stages", default="clean,dedup,encode",
+                    help="comma list, in-order subset of "
+                         "clean,dedup,decontaminate,score,sample,pack,encode")
+    pl.add_argument("--eval", default=None, help="eval corpus (decontaminate)")
+    pl.add_argument("--threshold-pct", type=int, default=70)
+    pl.add_argument("--metric", default="jaccard", choices=["jaccard", "containment"])
+    pl.add_argument("--min-logprob", type=float, default=None, help="score filter")
+    pl.add_argument("--sample-fractions", default=None,
+                    help="JSON: global fraction or {source: fraction}")
+    pl.add_argument("--seed", type=int, default=1337)
+    pl.add_argument("--seq-len", type=int, default=2048)
+    pl.add_argument("--codec", default="auto")
+    pl.add_argument("--partitions", type=int, default=None)
+    pl.add_argument("--container", default="none")
+    pl.add_argument("--no-resume", action="store_true",
+                    help="recompute every stage (input rewritten in place)")
+    pl.set_defaults(fn=cmd_pipeline)
 
     dl = sub.add_parser("delete", help="targeted delete of docs from an encoded table")
     dl.add_argument("--input", required=True, help="encoded table")

@@ -1,0 +1,288 @@
+"""Staged end-to-end training-data pipeline with fingerprinted resume.
+
+Composes the engine's LLM-pipeline operators into the canonical
+prepare-and-encode flow over the native corpus shape
+``(doc_id string, tokens array<int>, n_tok int, source string)``:
+
+    clean → dedup → decontaminate → score → sample → pack → encode
+
+WHY an orchestrator when every stage is one function call: at the 10^12-
+sequence target the pipeline is days of cluster time — each stage MUST
+materialize (a crash in stage 5 cannot afford to re-run stages 1–4) and a
+re-run MUST skip finished stages.  Each stage writes its table under
+``workdir/NN_<stage>`` plus a fingerprint file; a re-run skips any stage
+whose output is committed (``_SUCCESS``) AND whose fingerprint matches.
+The fingerprint chains: ``fp_i = sha256(stage, params_i, fp_{i-1})`` with
+``fp_0`` pinned to the input LOCATION — so editing a mid-pipeline
+parameter recomputes exactly that stage and everything downstream, while
+upstream stages are reused untouched.  The input table's CONTENT is not
+digested (that would cost a full corpus pass per re-run); re-pointing or
+rewriting the input requires ``resume=False`` or a fresh workdir —
+documented on the CLI.  (For content-level change detection between
+snapshot runs, use :mod:`gorilla_stream_spark.incremental` instead; the
+two compose: run the pipeline per snapshot into per-snapshot workdirs and
+let ``incremental_encode`` reuse unchanged encode work.)
+
+Stage inventory (scale shapes documented on the wrapped functions):
+
+========  ==============================================================
+clean     ``validate.clean`` — null/range/dup-id hygiene (scan-only)
+dedup     ``textops.dedup_exact`` on the token arrays (fixed-width
+          md5 keys, map-side window group limit)
+decontaminate  ``textops.decontaminate_tokens`` pairs → ``left_anti``
+          against an eval corpus (train side never fully shuffles)
+score     ``vocab.unigram_logprob`` + threshold filter (one counting
+          pass, then map-only scoring; id-only semi-join back)
+sample    ``textops.sample_corpus`` — deterministic stratified mix
+          (pure scan predicate, zero shuffle)
+pack      ``packing.pack_sequences`` → ``(seq_id, tokens, n_tok,
+          doc_spans)`` (interior chunks never shuffle)
+encode    ``engine.encode`` — or ``engine.encode_multi`` after pack so
+          ``doc_spans`` survives as a second per-block column
+========  ==============================================================
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gorilla_stream_spark.catalog import read_table, write_table
+
+__all__ = ["PIPELINE_STAGES", "run_pipeline"]
+
+PIPELINE_STAGES = (
+    "clean",
+    "dedup",
+    "decontaminate",
+    "score",
+    "sample",
+    "pack",
+    "encode",
+)
+
+
+def _fingerprint(stage: str, params: dict[str, Any], parent_fp: str) -> str:
+    blob = json.dumps({"stage": stage, "params": params, "parent": parent_fp},
+                      sort_keys=True, default=str)
+    return hashlib.sha256(blob.encode()).hexdigest()
+
+
+def _committed(path: str) -> bool:
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _stage_params(stage: str, cfg: dict[str, Any]) -> dict[str, Any]:
+    """The parameter subset that legitimately invalidates ``stage`` —
+    scoped so an edit to one stage's knob never invalidates its siblings."""
+    if stage == "clean":
+        return {}
+    if stage == "dedup":
+        return {}
+    if stage == "decontaminate":
+        return {
+            "eval_path": cfg["eval_path"],
+            "threshold_pct": cfg["threshold_pct"],
+            "metric": cfg["decontaminate_metric"],
+        }
+    if stage == "score":
+        return {"min_logprob": cfg["min_logprob"]}
+    if stage == "sample":
+        return {"fractions": cfg["sample_fractions"], "seed": cfg["seed"]}
+    if stage == "pack":
+        return {"seq_len": cfg["seq_len"]}
+    if stage == "encode":
+        return {
+            "codec": cfg["codec"],
+            "num_partitions": cfg["num_partitions"],
+            "container": cfg["container"],
+        }
+    raise ValueError(f"unknown stage {stage!r}")
+
+
+def _apply_stage(
+    spark: SparkSession, stage: str, df: DataFrame, cfg: dict[str, Any], packed: bool
+) -> DataFrame:
+    if stage == "clean":
+        from gorilla_stream_spark.validate import clean
+
+        return clean(df)
+    if stage == "dedup":
+        from gorilla_stream_spark.textops import dedup_exact
+
+        return dedup_exact(df, content_col="tokens")
+    if stage == "decontaminate":
+        from gorilla_stream_spark.textops import decontaminate_tokens
+
+        ev = read_table(spark, cfg["eval_path"])
+        pairs = decontaminate_tokens(
+            df,
+            ev,
+            threshold_pct=cfg["threshold_pct"],
+            metric=cfg["decontaminate_metric"],
+        )
+        # decontaminate_tokens keys docs by CAST(id AS LONG) (fixed-width
+        # shuffle keys); mirror that cast for the anti-join
+        leaked = pairs.select(F.col("train_id").alias("__leak_id")).distinct()
+        return df.join(
+            leaked, F.col("doc_id").cast("long") == F.col("__leak_id"), "left_anti"
+        )
+    if stage == "score":
+        from gorilla_stream_spark.vocab import unigram_logprob
+
+        scored = unigram_logprob(df)
+        keep = scored.filter(F.col("logprob") >= F.lit(cfg["min_logprob"])).select(
+            "doc_id"
+        )
+        return df.join(keep, "doc_id", "left_semi")
+    if stage == "sample":
+        from gorilla_stream_spark.textops import sample_corpus
+
+        return sample_corpus(df, cfg["sample_fractions"], seed=cfg["seed"])
+    if stage == "pack":
+        from gorilla_stream_spark.packing import pack_sequences
+
+        return pack_sequences(df, cfg["seq_len"])
+    if stage == "encode":
+        from gorilla_stream_spark.engine import encode, encode_multi
+
+        if packed:
+            # packed rows carry doc_spans lineage — keep it next to the
+            # tokens as a second per-block column (RLE-friendly)
+            return encode_multi(
+                df.withColumn("seq_id", F.col("seq_id").cast("string"))
+                .withColumn("doc_spans", F.col("doc_spans").cast("array<int>")),
+                ["tokens", "doc_spans"],
+                id_col="seq_id",
+                num_partitions=cfg["num_partitions"],
+                codec=cfg["codec"],
+            )
+        return encode(
+            df,
+            codec=cfg["codec"],
+            num_partitions=cfg["num_partitions"],
+            container=cfg["container"],
+        )
+    raise ValueError(f"unknown stage {stage!r}")
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    workdir: str,
+    output_path: str,
+    stages: list[str] | tuple[str, ...] = ("clean", "dedup", "encode"),
+    *,
+    eval_path: str | None = None,
+    threshold_pct: int = 70,
+    decontaminate_metric: str = "jaccard",
+    min_logprob: float | None = None,
+    sample_fractions: dict[str, float] | float | None = None,
+    seed: int = 1337,
+    seq_len: int = 2048,
+    codec: str = "auto",
+    num_partitions: int | None = None,
+    container: str = "none",
+    resume: bool = True,
+) -> list[dict[str, Any]]:
+    """Run the staged pipeline; returns one report dict per stage:
+    ``{stage, skipped, rows, secs, output}``.
+
+    ``stages`` must be a subsequence of :data:`PIPELINE_STAGES` (the
+    canonical order is the only sound one: dedup before decontaminate
+    keeps the eval join small, score/sample before pack keeps packed
+    sequences free of dropped docs, encode is terminal).  Stage outputs
+    are parquet-or-Iceberg tables (``catalog`` adapter) under
+    ``workdir/NN_<stage>``; the encode stage writes to ``output_path``.
+    """
+    order = {s: i for i, s in enumerate(PIPELINE_STAGES)}
+    stages = list(stages)
+    if not stages:
+        raise ValueError("stages must be non-empty")
+    unknown = [s for s in stages if s not in order]
+    if unknown:
+        raise ValueError(f"unknown stages {unknown}; valid: {PIPELINE_STAGES}")
+    if [order[s] for s in stages] != sorted(order[s] for s in stages) or len(
+        set(stages)
+    ) != len(stages):
+        raise ValueError(
+            f"stages must follow the canonical order without repeats: "
+            f"{PIPELINE_STAGES}"
+        )
+    if "encode" in stages and stages[-1] != "encode":
+        raise ValueError("encode must be the last stage")
+    if "decontaminate" in stages and not eval_path:
+        raise ValueError("decontaminate stage requires eval_path")
+    if "score" in stages and min_logprob is None:
+        raise ValueError("score stage requires min_logprob")
+    if "sample" in stages and sample_fractions is None:
+        raise ValueError("sample stage requires sample_fractions")
+
+    cfg = {
+        "eval_path": eval_path,
+        "threshold_pct": threshold_pct,
+        "decontaminate_metric": decontaminate_metric,
+        "min_logprob": min_logprob,
+        "sample_fractions": sample_fractions,
+        "seed": seed,
+        "seq_len": seq_len,
+        "codec": codec,
+        "num_partitions": num_partitions,
+        "container": container,
+    }
+
+    os.makedirs(workdir, exist_ok=True)
+    reports: list[dict[str, Any]] = []
+    cur_path = input_path
+    fp = _fingerprint("input", {"path": os.path.abspath(input_path)}, "")
+    packed = False
+    for i, stage in enumerate(stages):
+        fp = _fingerprint(stage, _stage_params(stage, cfg), fp)
+        out = (
+            output_path
+            if stage == "encode"
+            else os.path.join(workdir, f"{i:02d}_{stage}")
+        )
+        fp_file = os.path.join(workdir, f"{i:02d}_{stage}.fp")
+        prev_fp = None
+        if os.path.exists(fp_file):
+            with open(fp_file) as fh:
+                prev_fp = fh.read().strip()
+        t0 = time.time()
+        if resume and prev_fp == fp and _committed(out):
+            df = read_table(spark, out)
+            reports.append(
+                {
+                    "stage": stage,
+                    "skipped": True,
+                    "rows": df.count(),
+                    "secs": round(time.time() - t0, 3),
+                    "output": out,
+                }
+            )
+        else:
+            src = read_table(spark, cur_path)
+            res = _apply_stage(spark, stage, src, cfg, packed)
+            write_table(res, out)
+            with open(fp_file, "w") as fh:
+                fh.write(fp)
+            df = read_table(spark, out)
+            reports.append(
+                {
+                    "stage": stage,
+                    "skipped": False,
+                    "rows": df.count(),
+                    "secs": round(time.time() - t0, 3),
+                    "output": out,
+                }
+            )
+        cur_path = out
+        if stage == "pack":
+            packed = True
+    return reports

@@ -66,8 +66,18 @@ def dedup_exact(df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
     scale.  Keep-first is deterministic (``row_number`` ordered by id),
     matching the reference's sort-and-dedup validator semantics
     (``validator.ex:205-216``) applied to content.
+
+    ``content_col`` may be a string/binary column (documents) or an
+    ``array`` column (the native tokens table): arrays are keyed by
+    ``(md5(cast(col as string)), size(col))`` — the string form of an int
+    array is separator-unambiguous, so the key is exactly as collision-
+    safe as the text path.
     """
-    w = Window.partitionBy(F.md5(F.col(content_col)), F.length(content_col)).orderBy(id_col)
+    if dict(df.dtypes).get(content_col, "").startswith("array"):
+        key, ln = F.md5(F.col(content_col).cast("string")), F.size(content_col)
+    else:
+        key, ln = F.md5(F.col(content_col)), F.length(content_col)
+    w = Window.partitionBy(key, ln).orderBy(id_col)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

@@ -479,3 +479,30 @@ def test_score_cli(spark, tmp_path, capsys):
     a = spark.read.parquet(out).select("doc_id", "logprob")
     b = spark.read.parquet(out2).select("doc_id", "logprob")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pipeline_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "plsrc")
+    wd = str(tmp_path / "plwd")
+    out = str(tmp_path / "plenc")
+    _mk_tokens(spark, src)
+    argv = [
+        "pipeline", "--input", src, "--workdir", wd, "--output", out,
+        "--stages", "clean,dedup,sample,encode",
+        "--sample-fractions", "0.9", "--partitions", "4",
+    ]
+    assert jobs.main(argv) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert list(stages) == ["clean", "dedup", "sample", "encode"]
+    assert all(not s["skipped"] for s in m["stages"])
+    # encoded output round-trips against the sample-stage table
+    assert jobs.main([
+        "verify", "--source", stages["sample"]["output"], "--encoded", out,
+    ]) == 0
+    v = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert v["ok"] is True
+    # re-run: every stage skipped
+    assert jobs.main(argv) == 0
+    m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(s["skipped"] for s in m2["stages"])

@@ -500,3 +500,18 @@ def test_decontaminate_tokens_containment_catches_embedded_eval(spark):
     }
     assert (0, 700) not in jac  # diluted jaccard
     assert (0, 700) in con and (1, 701) not in con
+
+
+def test_dedup_exact_token_arrays(spark):
+    from gorilla_stream_spark.textops import dedup_exact
+
+    rows = [
+        ("1", [1, 2, 3]),
+        ("2", [1, 2, 3]),   # exact dup of 1
+        ("3", [1, 2]),
+        ("4", [12, 3]),     # concatenation trap: str form differs from [1,2,3]
+        ("5", [1, 23]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    out = dedup_exact(df, content_col="tokens")
+    assert sorted(r["doc_id"] for r in out.collect()) == ["1", "3", "4", "5"]
