@@ -1072,6 +1072,47 @@ def q_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reduce(lambda a, b: a.unionAll(b), parts)
 
 
+def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged pipeline orchestrator (run_pipeline): plant an exact
+    duplicate (id 'zz_'+doc_id, same tokens) for every doc_id%5==0, run
+    clean → dedup → encode through the orchestrator's materialize-and-
+    fingerprint machinery, decode the encoded output, and emit per-doc
+    length + position-weighted checksum.  The oracle replays the same
+    union + keep-min-id dedup in SQL — exact equality proves the staged
+    flow preserves content and drops exactly the planted copies."""
+    import tempfile
+
+    from gorilla_stream_spark import decode
+    from gorilla_stream_spark.pipeline import run_pipeline
+
+    src = _tokens_from_documents(spark, sf_dir)
+    dups = src.filter(F.col("doc_id").cast("long") % 5 == 0).select(
+        F.concat(F.lit("zz_"), F.col("doc_id")).alias("doc_id"),
+        "tokens",
+        "source",
+        "n_tok",
+    )
+    base = tempfile.mkdtemp(prefix="gss_q71_")
+    src.unionByName(dups).write.mode("overwrite").parquet(f"{base}/in")
+    run_pipeline(
+        spark,
+        f"{base}/in",
+        f"{base}/wd",
+        f"{base}/enc",
+        stages=["clean", "dedup", "encode"],
+        num_partitions=4,
+        resume=False,
+    )
+    return decode(spark.read.parquet(f"{base}/enc")).select(
+        "doc_id",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.expr(
+            "aggregate(zip_with(tokens, sequence(1, size(tokens)),"
+            " (t, i) -> CAST(t AS BIGINT) * i), 0L, (a, x) -> a + x)"
+        ).alias("checksum"),
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level snapshot diff (snapshot_diff): same old→new mutation as
     q67 (delete doc_id%13==0, append token 65 where doc_id%7==0, add
@@ -1161,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_delete_docs": q_delete_docs,
         "q69_unigram_logprob": q_unigram_logprob,
         "q70_snapshot_diff": q_snapshot_diff,
+        "q71_pipeline": q_pipeline,
     }
 
 
@@ -1589,6 +1631,29 @@ SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
        CAST(sum(c) AS BIGINT) AS sum_cnt
 FROM tok JOIN cnt USING (t)
 GROUP BY doc_id
+""",
+        "q71_pipeline": """
+WITH allrows AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  UNION ALL
+  SELECT 'zz_' || CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+  WHERE CAST(doc_id AS BIGINT) % 5 = 0
+),
+kept AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM allrows
+  ) WHERE rn = 1
+),
+exp AS (
+  SELECT doc_id, length(text) AS n, text,
+         unnest(range(1, length(text) + 1)) AS i
+  FROM kept
+)
+SELECT doc_id, CAST(any_value(n) AS INTEGER) AS n_tok,
+       CAST(sum(i * ascii(substr(text, CAST(i AS INTEGER), 1))) AS BIGINT) AS checksum
+FROM exp GROUP BY doc_id
 """,
         "q70_snapshot_diff": """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'removed' AS status
