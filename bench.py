@@ -83,6 +83,8 @@ _DROP_ORDER = [
     "encode_bucketed_tokens_per_sec",
     "q5_encode_timeseries",
     "timeseries_points_per_sec",
+    "q5f_kernel_encode_5m",
+    "q5g_kernel_decode_5m",
     "dup_span_docs",
     "q8e_dup_spans",
     "q1c_incremental_encode",
@@ -400,6 +402,38 @@ def run_pass(spark, toks, tokens_path, total_tokens, enc_path, sf):
     encode_timeseries(pts5, assume_sorted=True).agg(F.sum("enc_bytes")).first()
     queries["q5e_encode_5m_presorted"] = time.time() - t0
     extras["ts5m_encode_presorted_points_per_sec"] = n5m / queries["q5e_encode_5m_presorted"]
+
+    # q5f/q5g: KERNEL-ONLY single-thread encode/decode of the same 5M
+    # points — the true apples-to-apples against the reference NIF's
+    # in-memory single-stream benchmark (five_million_benchmark.exs runs
+    # one C++ thread on one in-memory list; every Spark row above also
+    # pays scan + shuffle + Arrow transfer + scheduling, which that
+    # baseline never measures).  Arrays come straight from the parquet
+    # fixture via pyarrow — no Spark in the timed region.
+    import numpy as np
+    import pyarrow.parquet as _pq
+
+    from gorilla_stream_spark.codecs import decode_array, encode_array
+
+    _t5 = _pq.read_table(os.path.join(CACHE, "ts5m"))
+    _ts_arr = _t5.column("ts").to_numpy().astype("int64", copy=False)
+    _val_arr = _t5.column("value").to_numpy().astype("float64", copy=False)
+    _order = np.argsort(_ts_arr, kind="stable")
+    _ts_arr, _val_arr = _ts_arr[_order], _val_arr[_order]
+    t0 = time.time()
+    _tbuf = encode_array(_ts_arr, codec="auto")
+    _vbuf = encode_array(_val_arr, codec="fauto")
+    queries["q5f_kernel_encode_5m"] = time.time() - t0
+    extras["ts5m_kernel_encode_points_per_sec"] = n5m / queries["q5f_kernel_encode_5m"]
+    t0 = time.time()
+    _tdec = decode_array(_tbuf)
+    _vdec = decode_array(_vbuf)
+    queries["q5g_kernel_decode_5m"] = time.time() - t0
+    extras["ts5m_kernel_decode_points_per_sec"] = n5m / queries["q5g_kernel_decode_5m"]
+    assert np.array_equal(_tdec, _ts_arr) and np.array_equal(
+        _vdec.view(np.uint64), _val_arr.view(np.uint64)
+    )
+    del _t5, _ts_arr, _val_arr, _tbuf, _vbuf, _tdec, _vdec
 
     # q6: per-codec fixed encode micro-benches on the synthetic table
     for codec in ("for", "forc", "rle", "dict", "delta", "dod", "fsst"):
