@@ -89,6 +89,29 @@ _DROP_ORDER = [
     "q8e_dup_spans",
     "q1c_incremental_encode",
     "incremental_tokens_per_sec",
+    # every remaining per-query timing is droppable — the throughput /
+    # ratio extras carry the headline signal and BENCH_DETAIL.json keeps
+    # the full record
+    "q9b_encode_vectors_int8",
+    "q11_ann_pruned",
+    "q10b_pq_train_encode_search",
+    "q12_wire_encode_5m",
+    "q12b_wire_decode_5m",
+    "q13_pack_sequences",
+    "q14_stream_neardup",
+    "q8b_simhash_kernel",
+    "q8d_decontaminate",
+    "q7_dedup_exact",
+    "q4b_compact_blocks",
+    "q4_encode_documents",
+    "q8_neardup_minhash",
+    "q9_encode_vectors",
+    "q5b_encode_5m_points",
+    "q5c_decode_5m_points",
+    "q5d_encode_5m_nosink",
+    "q5e_encode_5m_presorted",
+    "q2_decode",
+    "q1_encode_auto",
 ]
 
 
@@ -104,6 +127,11 @@ def compact_final_line(out: dict, limit: int = _FINAL_LINE_LIMIT) -> str:
             break
         out.pop(k, None)
         out["queries"].pop(k, None)
+        line = json.dumps(out)
+    if len(line) > limit:
+        # last resort: the per-query map goes entirely (BENCH_DETAIL.json
+        # keeps it); headline extras always fit
+        out["queries"] = {}
         line = json.dumps(out)
     return line
 
