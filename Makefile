@@ -20,6 +20,7 @@ scaling-neardup:
 ship:
 	rm -f engine.zip && zip -qr engine.zip gorilla_stream_spark
 	@echo "spark-submit --py-files engine.zip gorilla_stream_spark/jobs.py encode --input ... --output ... --checkpoint ..."
+	@echo "spark-submit --py-files engine.zip gorilla_stream_spark/jobs.py pipeline --input ... --workdir ... --output ... --stages clean,dedup,encode"
 
 smoke:
 	python -c "import __spark_entry__ as e; \
