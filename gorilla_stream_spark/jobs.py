@@ -541,8 +541,8 @@ def cmd_score(args) -> int:
 
 def cmd_pipeline(args) -> int:
     """Staged prepare-and-encode pipeline with fingerprinted resume:
-    clean → dedup → decontaminate → score → sample → pack → encode
-    (any in-order subset).  Re-runs skip committed stages whose
+    clean → dedup → neardup → decontaminate → score → sample → pack →
+    encode (any in-order subset).  Re-runs skip committed stages whose
     fingerprint (params + upstream chain + input location) matches; the
     input's CONTENT is not digested — if the input table was rewritten
     in place, pass --no-resume (or a fresh --workdir)."""
@@ -562,6 +562,7 @@ def cmd_pipeline(args) -> int:
         args.output,
         stages=args.stages.split(","),
         eval_path=args.eval,
+        neardup_threshold_pct=args.neardup_threshold_pct,
         threshold_pct=args.threshold_pct,
         decontaminate_metric=args.metric,
         min_logprob=args.min_logprob,
@@ -1045,9 +1046,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="stage outputs + fingerprints live here")
     pl.add_argument("--output", required=True, help="encoded table destination")
     pl.add_argument("--stages", default="clean,dedup,encode",
-                    help="comma list, in-order subset of "
-                         "clean,dedup,decontaminate,score,sample,pack,encode")
+                    help="comma list, in-order subset of clean,dedup,"
+                         "neardup,decontaminate,score,sample,pack,encode")
     pl.add_argument("--eval", default=None, help="eval corpus (decontaminate)")
+    pl.add_argument("--neardup-threshold-pct", type=int, default=85)
     pl.add_argument("--threshold-pct", type=int, default=70)
     pl.add_argument("--metric", default="jaccard", choices=["jaccard", "containment"])
     pl.add_argument("--min-logprob", type=float, default=None, help="score filter")

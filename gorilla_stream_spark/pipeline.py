@@ -4,7 +4,7 @@ Composes the engine's LLM-pipeline operators into the canonical
 prepare-and-encode flow over the native corpus shape
 ``(doc_id string, tokens array<int>, n_tok int, source string)``:
 
-    clean → dedup → decontaminate → score → sample → pack → encode
+    clean → dedup → neardup → decontaminate → score → sample → pack → encode
 
 WHY an orchestrator when every stage is one function call: at the 10^12-
 sequence target the pipeline is days of cluster time — each stage MUST
@@ -29,6 +29,8 @@ Stage inventory (scale shapes documented on the wrapped functions):
 clean     ``validate.clean`` — null/range/dup-id hygiene (scan-only)
 dedup     ``textops.dedup_exact`` on the token arrays (fixed-width
           md5 keys, map-side window group limit)
+neardup   ``textops.neardup_pairs_tokens`` → greedy pair-loser drop
+          (banded LSH, never all-pairs; keep the smaller id per pair)
 decontaminate  ``textops.decontaminate_tokens`` pairs → ``left_anti``
           against an eval corpus (train side never fully shuffles)
 score     ``vocab.unigram_logprob`` + threshold filter (one counting
@@ -60,6 +62,7 @@ __all__ = ["PIPELINE_STAGES", "run_pipeline"]
 PIPELINE_STAGES = (
     "clean",
     "dedup",
+    "neardup",
     "decontaminate",
     "score",
     "sample",
@@ -85,6 +88,8 @@ def _stage_params(stage: str, cfg: dict[str, Any]) -> dict[str, Any]:
         return {}
     if stage == "dedup":
         return {}
+    if stage == "neardup":
+        return {"threshold_pct": cfg["neardup_threshold_pct"]}
     if stage == "decontaminate":
         return {
             "eval_path": cfg["eval_path"],
@@ -117,6 +122,24 @@ def _apply_stage(
         from gorilla_stream_spark.textops import dedup_exact
 
         return dedup_exact(df, content_col="tokens")
+    if stage == "neardup":
+        from gorilla_stream_spark.textops import neardup_pairs_tokens
+
+        pairs = neardup_pairs_tokens(
+            df, threshold_pct=cfg["neardup_threshold_pct"]
+        )
+        # greedy pair-loser drop (the standard production policy): keep
+        # the numerically-smaller id of every verified pair.  Greedy, not
+        # connected-components — a chain a~b~c where a!~c also drops c;
+        # documented over-drop, bounded by the pairs themselves.  The
+        # token minhash path keys docs by CAST(id AS LONG) (fixed-width
+        # shuffle keys); mirror that cast for the anti-join.
+        losers = pairs.select(
+            F.greatest("doc_a", "doc_b").alias("__loser")
+        ).distinct()
+        return df.join(
+            losers, F.col("doc_id").cast("long") == F.col("__loser"), "left_anti"
+        )
     if stage == "decontaminate":
         from gorilla_stream_spark.textops import decontaminate_tokens
 
@@ -180,6 +203,7 @@ def run_pipeline(
     stages: list[str] | tuple[str, ...] = ("clean", "dedup", "encode"),
     *,
     eval_path: str | None = None,
+    neardup_threshold_pct: int = 85,
     threshold_pct: int = 70,
     decontaminate_metric: str = "jaccard",
     min_logprob: float | None = None,
@@ -195,8 +219,9 @@ def run_pipeline(
     ``{stage, skipped, rows, secs, output}``.
 
     ``stages`` must be a subsequence of :data:`PIPELINE_STAGES` (the
-    canonical order is the only sound one: dedup before decontaminate
-    keeps the eval join small, score/sample before pack keeps packed
+    canonical order is the only sound one: dedup before neardup kills
+    the quadratic exact-copy bucket blowup, dedup/neardup before
+    decontaminate keep the eval join small, score/sample before pack keeps packed
     sequences free of dropped docs, encode is terminal).  Stage outputs
     are parquet-or-Iceberg tables (``catalog`` adapter) under
     ``workdir/NN_<stage>``; the encode stage writes to ``output_path``.
@@ -226,6 +251,7 @@ def run_pipeline(
 
     cfg = {
         "eval_path": eval_path,
+        "neardup_threshold_pct": neardup_threshold_pct,
         "threshold_pct": threshold_pct,
         "decontaminate_metric": decontaminate_metric,
         "min_logprob": min_logprob,

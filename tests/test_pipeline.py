@@ -156,3 +156,34 @@ def test_score_stage_filters_low_probability(spark, corpus_path, tmp_path):
     by = {r["stage"]: r for r in reports}
     expected = scored.filter(F.col("logprob") >= med).count()
     assert by["score"]["rows"] == expected
+
+
+def test_neardup_stage_drops_pair_losers(spark, tmp_path):
+    rng = np.random.default_rng(23)
+    base = [int(v) for v in rng.integers(0, 3000, size=400)]
+    rows = []
+    for i in range(60):
+        toks = [int(v) for v in rng.integers(0, 3000, size=400)]
+        rows.append((str(i), toks, "src0"))
+    # docs 100/101 are near-copies of doc 90 (tail edits, >>85% trigram overlap)
+    rows.append(("90", base, "src0"))
+    rows.append(("100", base[:-5] + [int(v) for v in rng.integers(0, 3000, size=5)], "src0"))
+    rows.append(("101", base[:-3] + [int(v) for v in rng.integers(0, 3000, size=3)], "src0"))
+    src = str(tmp_path / "ndsrc")
+    spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string"
+    ).withColumn("n_tok", F.size("tokens").cast("int")).write.mode("overwrite").parquet(src)
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "enc")
+    reports = run_pipeline(
+        spark, src, wd, out,
+        stages=["neardup", "encode"], neardup_threshold_pct=85, num_partitions=4,
+    )
+    by = {r["stage"]: r for r in reports}
+    survivors = {
+        r["doc_id"]
+        for r in spark.read.parquet(by["neardup"]["output"]).select("doc_id").collect()
+    }
+    # pair losers (the larger id of each verified pair) dropped; canonical kept
+    assert "90" in survivors
+    assert not {"100", "101"} & survivors
+    assert by["neardup"]["rows"] == 61
