@@ -129,10 +129,21 @@ def compact_final_line(out: dict, limit: int = _FINAL_LINE_LIMIT) -> str:
         out["queries"].pop(k, None)
         line = json.dumps(out)
     if len(line) > limit:
-        # last resort: the per-query map goes entirely (BENCH_DETAIL.json
-        # keeps it); headline extras always fit
+        # the per-query map goes entirely (BENCH_DETAIL.json keeps it)
         out["queries"] = {}
         line = json.dumps(out)
+    if len(line) > limit:
+        # final resort: shed newest extras first (reverse insertion
+        # order), keeping the core identity keys — never return an
+        # over-cap line
+        core = {"metric", "value", "unit", "sf", "queries"}
+        for k in reversed(list(out)):
+            if len(line) <= limit:
+                break
+            if k in core:
+                continue
+            out.pop(k, None)
+            line = json.dumps(out)
     return line
 
 

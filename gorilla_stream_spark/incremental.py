@@ -305,10 +305,10 @@ def snapshot_diff(
 
     Precondition: ``id_col`` is unique within each snapshot (the corpus
     contract everywhere in this engine); duplicate ids would cross-product
-    in the full-outer join.  ``source_col`` participates in the content
-    hash only when present in BOTH frames' columns being compared — it is
-    resolved per frame, so dropping the column from one snapshot reads as
-    every doc changed (a schema change IS a content change).
+    in the full-outer join.  ``source_col`` is resolved PER FRAME: each
+    side hashes it iff that side has the column — so dropping the column
+    from one snapshot reads as every doc changed (a schema change IS a
+    content change); pass ``source_col=None`` to exclude it from both.
     """
     def proj(df: DataFrame, side: str) -> DataFrame:
         src = source_col if source_col and source_col in df.columns else None

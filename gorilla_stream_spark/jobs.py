@@ -514,6 +514,12 @@ def cmd_score(args) -> int:
     from gorilla_stream_spark.vocab import token_counts, unigram_logprob
 
     spark = _spark("gss-score")
+    if args.counts and args.save_counts:
+        raise SystemExit(
+            "--counts and --save-counts are mutually exclusive: pass "
+            "--counts to reuse a persisted table, --save-counts to write "
+            "a fresh one"
+        )
     df = read_table(spark, args.input)
     counts = read_table(spark, args.counts) if args.counts else None
     if counts is None and args.save_counts:
@@ -552,9 +558,12 @@ def cmd_pipeline(args) -> int:
     fractions = None
     if args.sample_fractions:
         parsed = json.loads(args.sample_fractions)
-        fractions = parsed if isinstance(parsed, (dict, float, int)) else None
-        if fractions is None:
+        ok = isinstance(parsed, dict) or (
+            isinstance(parsed, (float, int)) and not isinstance(parsed, bool)
+        )
+        if not ok:
             raise SystemExit("--sample-fractions must be a JSON number or object")
+        fractions = parsed
     reports = run_pipeline(
         spark,
         args.input,

@@ -78,7 +78,38 @@ def _fingerprint(stage: str, params: dict[str, Any], parent_fp: str) -> str:
 
 
 def _committed(path: str) -> bool:
+    # local-filesystem probe; an Iceberg/URI location never reports
+    # committed, so its stage recomputes on every run (see run_pipeline
+    # docstring)
     return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def _input_identity(path: str) -> str:
+    """URIs and catalog names keep their verbatim string; local paths
+    normalize so a driver restarted from a different cwd doesn't silently
+    invalidate the whole fingerprint chain."""
+    if "://" in path or path.startswith("iceberg:"):
+        return path
+    return os.path.abspath(path)
+
+
+def _require_long_ids(df: DataFrame, stage: str) -> None:
+    """The minhash/decontaminate kernels key docs by CAST(doc_id AS LONG)
+    (fixed-width shuffle keys); a non-castable id would silently drop out
+    of candidate generation — fail loud instead.  (Distinct ids that cast
+    to the SAME long — '5' vs '05' — are the caller's contract violation;
+    ids are engine-wide unique keys.)"""
+    bad = df.filter(
+        F.expr("try_cast(doc_id AS BIGINT)").isNull()
+    ).limit(1).collect()
+    if bad:
+        raise ValueError(
+            f"{stage} stage requires doc_id values castable to BIGINT "
+            f"(the near-dup kernels shuffle fixed-width long keys); found "
+            f"e.g. {bad[0]['doc_id']!r}. Remap ids first (a zipWithIndex-"
+            f"style surrogate) or run the stage functions directly with "
+            f"string-keyed variants."
+        )
 
 
 def _stage_params(stage: str, cfg: dict[str, Any]) -> dict[str, Any]:
@@ -125,6 +156,7 @@ def _apply_stage(
     if stage == "neardup":
         from gorilla_stream_spark.textops import neardup_pairs_tokens
 
+        _require_long_ids(df, "neardup")
         pairs = neardup_pairs_tokens(
             df, threshold_pct=cfg["neardup_threshold_pct"]
         )
@@ -138,11 +170,14 @@ def _apply_stage(
             F.greatest("doc_a", "doc_b").alias("__loser")
         ).distinct()
         return df.join(
-            losers, F.col("doc_id").cast("long") == F.col("__loser"), "left_anti"
+            losers,
+            F.expr("try_cast(doc_id AS BIGINT)") == F.col("__loser"),
+            "left_anti",
         )
     if stage == "decontaminate":
         from gorilla_stream_spark.textops import decontaminate_tokens
 
+        _require_long_ids(df, "decontaminate")
         ev = read_table(spark, cfg["eval_path"])
         pairs = decontaminate_tokens(
             df,
@@ -154,7 +189,9 @@ def _apply_stage(
         # shuffle keys); mirror that cast for the anti-join
         leaked = pairs.select(F.col("train_id").alias("__leak_id")).distinct()
         return df.join(
-            leaked, F.col("doc_id").cast("long") == F.col("__leak_id"), "left_anti"
+            leaked,
+            F.expr("try_cast(doc_id AS BIGINT)") == F.col("__leak_id"),
+            "left_anti",
         )
     if stage == "score":
         from gorilla_stream_spark.vocab import unigram_logprob
@@ -225,6 +262,13 @@ def run_pipeline(
     sequences free of dropped docs, encode is terminal).  Stage outputs
     are parquet-or-Iceberg tables (``catalog`` adapter) under
     ``workdir/NN_<stage>``; the encode stage writes to ``output_path``.
+
+    Resume scope: fingerprint files and ``_SUCCESS`` probes are driver-
+    local file IO, so ``workdir`` must be a driver-visible path (enforced
+    — URI/Iceberg workdirs raise).  An Iceberg ``output_path`` is legal
+    but never probes as committed, so the encode stage recomputes on
+    every run (Iceberg overwrite is snapshot-atomic, so that is safe,
+    just not skip-cached).
     """
     order = {s: i for i, s in enumerate(PIPELINE_STAGES)}
     stages = list(stages)
@@ -248,6 +292,20 @@ def run_pipeline(
         raise ValueError("score stage requires min_logprob")
     if "sample" in stages and sample_fractions is None:
         raise ValueError("sample stage requires sample_fractions")
+    if "pack" in stages and "encode" in stages and container != "none":
+        raise ValueError(
+            "container is not supported on the packed (multi-column) "
+            "encode stage — encode_multi has no container wrapper; drop "
+            "--container or the pack stage"
+        )
+    if "://" in workdir or workdir.startswith("iceberg:"):
+        raise ValueError(
+            "workdir must be a driver-visible filesystem path: the resume "
+            "machinery (fingerprint files, _SUCCESS probes) is local file "
+            "IO.  On a multi-driver deployment put workdir on a shared "
+            "mount; an object-store workdir needs a Hadoop-FS resume layer "
+            "this sandbox cannot exercise."
+        )
 
     cfg = {
         "eval_path": eval_path,
@@ -266,7 +324,7 @@ def run_pipeline(
     os.makedirs(workdir, exist_ok=True)
     reports: list[dict[str, Any]] = []
     cur_path = input_path
-    fp = _fingerprint("input", {"path": os.path.abspath(input_path)}, "")
+    fp = _fingerprint("input", {"path": _input_identity(input_path)}, "")
     packed = False
     for i, stage in enumerate(stages):
         fp = _fingerprint(stage, _stage_params(stage, cfg), fp)
@@ -276,18 +334,26 @@ def run_pipeline(
             else os.path.join(workdir, f"{i:02d}_{stage}")
         )
         fp_file = os.path.join(workdir, f"{i:02d}_{stage}.fp")
-        prev_fp = None
+        prev: dict[str, Any] = {}
         if os.path.exists(fp_file):
             with open(fp_file) as fh:
-                prev_fp = fh.read().strip()
+                raw = fh.read().strip()
+            try:
+                prev = json.loads(raw)
+            except ValueError:
+                prev = {"fp": raw}  # pre-JSON fp files from earlier runs
         t0 = time.time()
-        if resume and prev_fp == fp and _committed(out):
-            df = read_table(spark, out)
+        if resume and prev.get("fp") == fp and _committed(out):
+            # rows were recorded by the run that wrote the table — no
+            # count job over a possibly-huge materialized stage on resume
+            rows = prev.get("rows")
+            if rows is None:
+                rows = read_table(spark, out).count()
             reports.append(
                 {
                     "stage": stage,
                     "skipped": True,
-                    "rows": df.count(),
+                    "rows": rows,
                     "secs": round(time.time() - t0, 3),
                     "output": out,
                 }
@@ -296,14 +362,14 @@ def run_pipeline(
             src = read_table(spark, cur_path)
             res = _apply_stage(spark, stage, src, cfg, packed)
             write_table(res, out)
+            rows = read_table(spark, out).count()
             with open(fp_file, "w") as fh:
-                fh.write(fp)
-            df = read_table(spark, out)
+                fh.write(json.dumps({"fp": fp, "rows": rows}))
             reports.append(
                 {
                     "stage": stage,
                     "skipped": False,
-                    "rows": df.count(),
+                    "rows": rows,
                     "secs": round(time.time() - t0, 3),
                     "output": out,
                 }

@@ -187,3 +187,22 @@ def test_neardup_stage_drops_pair_losers(spark, tmp_path):
     assert "90" in survivors
     assert not {"100", "101"} & survivors
     assert by["neardup"]["rows"] == 61
+
+
+def test_guards_fail_loud(spark, corpus_path, tmp_path):
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "enc")
+    # container has no packed (multi-column) encode path
+    with pytest.raises(ValueError, match="container"):
+        run_pipeline(spark, corpus_path, wd, out,
+                     stages=["pack", "encode"], container="zlib")
+    # resume machinery is driver-local file IO
+    with pytest.raises(ValueError, match="driver-visible"):
+        run_pipeline(spark, corpus_path, "s3://bucket/wd", out,
+                     stages=["clean", "encode"])
+    # non-long-castable ids would silently drop out of the minhash kernels
+    bad = str(tmp_path / "badids")
+    spark.read.parquet(corpus_path).withColumn(
+        "doc_id", F.concat(F.lit("uuid-"), F.col("doc_id"))
+    ).write.mode("overwrite").parquet(bad)
+    with pytest.raises(ValueError, match="castable to BIGINT"):
+        run_pipeline(spark, bad, wd, out, stages=["neardup", "encode"])
