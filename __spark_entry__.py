@@ -1113,6 +1113,30 @@ def q_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard writer (write_training_shards): pack the corpus into
+    512-token sequences, write Hive-partitioned shards of 16 sequences,
+    and return the read-back per-shard manifest — n_seqs proves balance,
+    min/max prove density, sum_tok pins content placement (a sequence in
+    the wrong shard changes two shards' sums).  The oracle groups the
+    q52 packing model by seq_id // 16."""
+    import tempfile
+
+    from gorilla_stream_spark.packing import (
+        pack_sequences,
+        shard_manifest,
+        write_training_shards,
+    )
+
+    src = _tokens_from_documents(spark, sf_dir)
+    packed = pack_sequences(src, 512, num_partitions=4)
+    base = tempfile.mkdtemp(prefix="gss_q72_")
+    write_training_shards(packed, f"{base}/shards", seqs_per_shard=16)
+    return shard_manifest(spark, f"{base}/shards").select(
+        "shard_id", "n_seqs", "min_seq", "max_seq", "n_tokens", "sum_tok"
+    )
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-level snapshot diff (snapshot_diff): same old→new mutation as
     q67 (delete doc_id%13==0, append token 65 where doc_id%7==0, add
@@ -1203,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q69_unigram_logprob": q_unigram_logprob,
         "q70_snapshot_diff": q_snapshot_diff,
         "q71_pipeline": q_pipeline,
+        "q72_shards": q_shards,
     }
 
 
@@ -1631,6 +1656,21 @@ SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tok,
        CAST(sum(c) AS BIGINT) AS sum_cnt
 FROM tok JOIN cnt USING (t)
 GROUP BY doc_id
+""",
+        "q72_shards": """
+WITH c AS (SELECT CAST(doc_id AS VARCHAR) AS did, text FROM documents),
+t AS (SELECT did, ord(substr(text, CAST(i AS INTEGER), 1)) AS tok, i
+      FROM (SELECT did, text, unnest(range(1, length(text) + 1)) AS i
+            FROM c) WHERE length(text) > 0),
+g AS (SELECT tok, row_number() OVER (ORDER BY did, i) - 1 AS gpos FROM t),
+s AS (SELECT gpos // 512 AS seq_id, tok FROM g)
+SELECT CAST(seq_id // 16 AS BIGINT) AS shard_id,
+       CAST(count(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(min(seq_id) AS BIGINT) AS min_seq,
+       CAST(max(seq_id) AS BIGINT) AS max_seq,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(tok) AS BIGINT) AS sum_tok
+FROM s GROUP BY 1
 """,
         "q71_pipeline": """
 WITH allrows AS (

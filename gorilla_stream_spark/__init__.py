@@ -50,7 +50,11 @@ from gorilla_stream_spark.incremental import (
     incremental_encode,
     snapshot_diff,
 )
-from gorilla_stream_spark.packing import pack_sequences
+from gorilla_stream_spark.packing import (
+    pack_sequences,
+    shard_manifest,
+    write_training_shards,
+)
 from gorilla_stream_spark.pipeline import run_pipeline
 from gorilla_stream_spark.vocab import unigram_logprob
 from gorilla_stream_spark.textops import (
@@ -111,6 +115,8 @@ __all__ = [
     "snapshot_diff",
     "unigram_logprob",
     "run_pipeline",
+    "write_training_shards",
+    "shard_manifest",
     "read_timerange",
     "analyze_and_recommend",
     "validate",

@@ -587,6 +587,30 @@ def cmd_pipeline(args) -> int:
     return 0
 
 
+def cmd_shards(args) -> int:
+    """Write packed sequences as size-balanced training shards
+    (Hive-partitioned shard_id=N/ layout) and print the manifest rollup."""
+    from gorilla_stream_spark.packing import shard_manifest, write_training_shards
+
+    spark = _spark("gss-shards")
+    df = read_table(spark, args.input)
+    write_training_shards(df, args.output, seqs_per_shard=args.seqs_per_shard)
+    man = shard_manifest(spark, args.output)
+    if args.manifest:
+        write_table(man, args.manifest)
+    agg = man.agg(
+        F.count("*").alias("shards"),
+        F.sum("n_seqs").alias("seqs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.max("n_seqs").alias("max_seqs_per_shard"),
+    ).first()
+    print(json.dumps({
+        "shards": agg["shards"], "seqs": agg["seqs"], "tokens": agg["tokens"],
+        "max_seqs_per_shard": agg["max_seqs_per_shard"],
+    }))
+    return 0
+
+
 def cmd_delete(args) -> int:
     """Targeted delete: remove named docs from an encoded table in place
     (affected blocks re-encode, everything else passes through)."""
@@ -1072,6 +1096,13 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--no-resume", action="store_true",
                     help="recompute every stage (input rewritten in place)")
     pl.set_defaults(fn=cmd_pipeline)
+
+    sh = sub.add_parser("shards", help="write packed sequences as balanced training shards")
+    sh.add_argument("--input", required=True, help="packed-sequence table (pack output)")
+    sh.add_argument("--output", required=True)
+    sh.add_argument("--seqs-per-shard", type=int, default=1024)
+    sh.add_argument("--manifest", default=None, help="write the per-shard manifest here")
+    sh.set_defaults(fn=cmd_shards)
 
     dl = sub.add_parser("delete", help="targeted delete of docs from an encoded table")
     dl.add_argument("--input", required=True, help="encoded table")

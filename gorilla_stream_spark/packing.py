@@ -33,7 +33,7 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "write_training_shards", "shard_manifest"]
 
 
 def _frag_schema() -> str:
@@ -246,3 +246,67 @@ def pack_sequences(
     if drop_last and total_tokens % L:
         result = result.filter(F.col("seq_id") != total_tokens // L)
     return result
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    seqs_per_shard: int = 1024,
+    id_col: str = "seq_id",
+) -> None:
+    """Write packed sequences as size-balanced training shards — the
+    consumption end of the pipeline (WebDataset/Megatron-style: a data
+    loader claims whole shards, so shards must be equal-sized and their
+    membership deterministic).
+
+    ``shard_id = seq_id // seqs_per_shard`` — a pure function of the
+    sequence id, so shard membership is reproducible across runs and
+    engines, and shards are balanced by construction (pack_sequences
+    emits dense 0-based seq_ids; every shard except the last holds
+    exactly ``seqs_per_shard`` sequences).  One shuffle keyed by
+    shard_id (skew-free — equal rows per key), rows sorted by seq_id
+    within each shard, Hive-partitioned layout ``shard_id=N/`` so a
+    loader (or Spark itself) prunes to its claimed shards by directory.
+
+    Scale shape at 10^12 sequences: shard count = seqs/seqs_per_shard
+    (about 10^9 at the default — raise seqs_per_shard so directory
+    listings stay sane; 65536 gives ~15M shards of ~512 MB at 2k-token
+    sequences int32-raw).
+    """
+    if seqs_per_shard <= 0:
+        raise ValueError("seqs_per_shard must be positive")
+    sharded = df.withColumn(
+        "shard_id", F.floor(F.col(id_col) / F.lit(seqs_per_shard)).cast("long")
+    )
+    (
+        sharded.repartition("shard_id")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .option("compression", "zstd")
+        .parquet(path)
+    )
+
+
+def shard_manifest(spark, path: str, tokens_col: str = "tokens") -> DataFrame:
+    """Per-shard manifest of a :func:`write_training_shards` layout:
+    ``(shard_id, n_seqs, min_seq, max_seq, n_tokens, sum_tok)``.  One
+    scan; ``sum_tok`` pins content placement (a sequence in the wrong
+    shard changes two shards' sums), the min/max pair proves density."""
+    return (
+        spark.read.parquet(path)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").cast("long").alias("n_seqs"),
+            F.min("seq_id").cast("long").alias("min_seq"),
+            F.max("seq_id").cast("long").alias("max_seq"),
+            F.sum(F.size(tokens_col)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.aggregate(
+                    tokens_col,
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x.cast("long"),
+                )
+            ).alias("sum_tok"),
+        )
+    )

@@ -506,3 +506,24 @@ def test_pipeline_cli(spark, tmp_path, capsys):
     assert jobs.main(argv) == 0
     m2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert all(s["skipped"] for s in m2["stages"])
+
+
+def test_shards_cli(spark, tmp_path, capsys):
+    src = str(tmp_path / "shsrc")
+    packed_path = str(tmp_path / "shpacked")
+    out = str(tmp_path / "shards")
+    man = str(tmp_path / "shman")
+    _mk_tokens(spark, src)
+    assert jobs.main([
+        "pack", "--input", src, "--output", packed_path, "--seq-len", "256",
+    ]) == 0
+    capsys.readouterr()
+    assert jobs.main([
+        "shards", "--input", packed_path, "--output", out,
+        "--seqs-per-shard", "8", "--manifest", man,
+    ]) == 0
+    m = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n_seqs = spark.read.parquet(packed_path).count()
+    assert m["seqs"] == n_seqs and m["max_seqs_per_shard"] <= 8
+    assert m["shards"] == (n_seqs + 7) // 8
+    assert spark.read.parquet(man).count() == m["shards"]

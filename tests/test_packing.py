@@ -107,3 +107,37 @@ def test_pack_rejects_bad_seq_len_and_nulls(spark):
 def test_pack_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, tokens array<int>")
     assert pack_sequences(df, 16).count() == 0
+
+
+def test_write_training_shards_balanced_deterministic(spark, tmp_path):
+    from gorilla_stream_spark.packing import shard_manifest, write_training_shards
+
+    rng = np.random.default_rng(5)
+    docs = [list(map(int, rng.integers(0, 999, rng.integers(10, 60)))) for _ in range(80)]
+    packed = pack_sequences(_mk(spark, docs), 64, num_partitions=4)
+    n_seqs = packed.count()
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(packed, p1, seqs_per_shard=4)
+    write_training_shards(packed, p2, seqs_per_shard=4)
+    m1 = sorted(shard_manifest(spark, p1).collect(), key=lambda r: r["shard_id"])
+    m2 = sorted(shard_manifest(spark, p2).collect(), key=lambda r: r["shard_id"])
+    assert [r.asDict() for r in m1] == [r.asDict() for r in m2]  # deterministic
+    # balance: every shard except possibly the last holds exactly 4 seqs
+    assert all(r["n_seqs"] == 4 for r in m1[:-1]) and 0 < m1[-1]["n_seqs"] <= 4
+    assert sum(r["n_seqs"] for r in m1) == n_seqs
+    # density: min/max are exactly the shard's id range
+    for r in m1:
+        assert r["min_seq"] == r["shard_id"] * 4
+        assert r["max_seq"] == r["min_seq"] + r["n_seqs"] - 1
+    # shard membership is a pure function of seq_id → directory pruning:
+    # reading one shard dir returns exactly its sequences
+    one = spark.read.parquet(f"{p1}/shard_id=2")
+    assert sorted(r["seq_id"] for r in one.select("seq_id").collect()) == [8, 9, 10, 11]
+
+
+def test_write_training_shards_rejects_bad_size(spark, tmp_path):
+    from gorilla_stream_spark.packing import write_training_shards
+
+    packed = pack_sequences(_mk(spark, [[1, 2, 3]]), 2)
+    with pytest.raises(ValueError, match="positive"):
+        write_training_shards(packed, str(tmp_path / "x"), seqs_per_shard=0)
