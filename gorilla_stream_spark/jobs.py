@@ -578,6 +578,7 @@ def cmd_pipeline(args) -> int:
         sample_fractions=fractions,
         seed=args.seed,
         seq_len=args.seq_len,
+        seqs_per_shard=args.seqs_per_shard,
         codec=args.codec,
         num_partitions=args.partitions,
         container=args.container,
@@ -1079,8 +1080,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="stage outputs + fingerprints live here")
     pl.add_argument("--output", required=True, help="encoded table destination")
     pl.add_argument("--stages", default="clean,dedup,encode",
-                    help="comma list, in-order subset of clean,dedup,"
-                         "neardup,decontaminate,score,sample,pack,encode")
+                    help="comma list, in-order subset of clean,dedup,neardup,"
+                         "decontaminate,score,sample,pack,shards|encode")
     pl.add_argument("--eval", default=None, help="eval corpus (decontaminate)")
     pl.add_argument("--neardup-threshold-pct", type=int, default=85)
     pl.add_argument("--threshold-pct", type=int, default=70)
@@ -1090,6 +1091,7 @@ def main(argv: list[str] | None = None) -> int:
                     help="JSON: global fraction or {source: fraction}")
     pl.add_argument("--seed", type=int, default=1337)
     pl.add_argument("--seq-len", type=int, default=2048)
+    pl.add_argument("--seqs-per-shard", type=int, default=1024)
     pl.add_argument("--codec", default="auto")
     pl.add_argument("--partitions", type=int, default=None)
     pl.add_argument("--container", default="none")

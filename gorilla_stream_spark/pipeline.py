@@ -4,7 +4,8 @@ Composes the engine's LLM-pipeline operators into the canonical
 prepare-and-encode flow over the native corpus shape
 ``(doc_id string, tokens array<int>, n_tok int, source string)``:
 
-    clean → dedup → neardup → decontaminate → score → sample → pack → encode
+    clean → dedup → neardup → decontaminate → score → sample → pack →
+    (shards | encode)
 
 WHY an orchestrator when every stage is one function call: at the 10^12-
 sequence target the pipeline is days of cluster time — each stage MUST
@@ -39,6 +40,9 @@ sample    ``textops.sample_corpus`` — deterministic stratified mix
           (pure scan predicate, zero shuffle)
 pack      ``packing.pack_sequences`` → ``(seq_id, tokens, n_tok,
           doc_spans)`` (interior chunks never shuffle)
+shards    ``packing.write_training_shards`` — loader-facing terminal:
+          balanced Hive-partitioned shards of the packed sequences
+          (mutually exclusive with encode; requires pack)
 encode    ``engine.encode`` — or ``engine.encode_multi`` after pack so
           ``doc_spans`` survives as a second per-block column
 ========  ==============================================================
@@ -67,6 +71,7 @@ PIPELINE_STAGES = (
     "score",
     "sample",
     "pack",
+    "shards",
     "encode",
 )
 
@@ -133,6 +138,8 @@ def _stage_params(stage: str, cfg: dict[str, Any]) -> dict[str, Any]:
         return {"fractions": cfg["sample_fractions"], "seed": cfg["seed"]}
     if stage == "pack":
         return {"seq_len": cfg["seq_len"]}
+    if stage == "shards":
+        return {"seqs_per_shard": cfg["seqs_per_shard"]}
     if stage == "encode":
         return {
             "codec": cfg["codec"],
@@ -247,6 +254,7 @@ def run_pipeline(
     sample_fractions: dict[str, float] | float | None = None,
     seed: int = 1337,
     seq_len: int = 2048,
+    seqs_per_shard: int = 1024,
     codec: str = "auto",
     num_partitions: int | None = None,
     container: str = "none",
@@ -292,6 +300,15 @@ def run_pipeline(
         raise ValueError("score stage requires min_logprob")
     if "sample" in stages and sample_fractions is None:
         raise ValueError("sample stage requires sample_fractions")
+    if "shards" in stages and "pack" not in stages:
+        raise ValueError("shards stage requires the pack stage (it shards packed sequences)")
+    if "shards" in stages and "encode" in stages:
+        raise ValueError(
+            "shards and encode are alternative terminals: shards writes the "
+            "loader-facing packed layout, encode the compressed block table — "
+            "run two pipelines off the shared pack stage (resume makes the "
+            "second run skip straight to it)"
+        )
     if "pack" in stages and "encode" in stages and container != "none":
         raise ValueError(
             "container is not supported on the packed (multi-column) "
@@ -316,6 +333,7 @@ def run_pipeline(
         "sample_fractions": sample_fractions,
         "seed": seed,
         "seq_len": seq_len,
+        "seqs_per_shard": seqs_per_shard,
         "codec": codec,
         "num_partitions": num_partitions,
         "container": container,
@@ -330,7 +348,7 @@ def run_pipeline(
         fp = _fingerprint(stage, _stage_params(stage, cfg), fp)
         out = (
             output_path
-            if stage == "encode"
+            if stage in ("encode", "shards")
             else os.path.join(workdir, f"{i:02d}_{stage}")
         )
         fp_file = os.path.join(workdir, f"{i:02d}_{stage}.fp")
@@ -360,8 +378,15 @@ def run_pipeline(
             )
         else:
             src = read_table(spark, cur_path)
-            res = _apply_stage(spark, stage, src, cfg, packed)
-            write_table(res, out)
+            if stage == "shards":
+                from gorilla_stream_spark.packing import write_training_shards
+
+                write_training_shards(
+                    src, out, seqs_per_shard=cfg["seqs_per_shard"]
+                )
+            else:
+                res = _apply_stage(spark, stage, src, cfg, packed)
+                write_table(res, out)
             rows = read_table(spark, out).count()
             with open(fp_file, "w") as fh:
                 fh.write(json.dumps({"fp": fp, "rows": rows}))

@@ -206,3 +206,31 @@ def test_guards_fail_loud(spark, corpus_path, tmp_path):
     ).write.mode("overwrite").parquet(bad)
     with pytest.raises(ValueError, match="castable to BIGINT"):
         run_pipeline(spark, bad, wd, out, stages=["neardup", "encode"])
+
+
+def test_shards_terminal_stage(spark, corpus_path, tmp_path):
+    from gorilla_stream_spark.packing import shard_manifest
+
+    wd, out = str(tmp_path / "wd"), str(tmp_path / "shards")
+    reports = run_pipeline(
+        spark, corpus_path, wd, out,
+        stages=["clean", "dedup", "pack", "shards"],
+        seq_len=64, seqs_per_shard=4,
+    )
+    by = {r["stage"]: r for r in reports}
+    man = shard_manifest(spark, out).collect()
+    assert sum(r["n_seqs"] for r in man) == by["pack"]["rows"]
+    assert all(r["n_seqs"] <= 4 for r in man)
+    # resume: identical re-run skips everything including the shard write
+    r2 = run_pipeline(
+        spark, corpus_path, wd, out,
+        stages=["clean", "dedup", "pack", "shards"],
+        seq_len=64, seqs_per_shard=4,
+    )
+    assert all(r["skipped"] for r in r2)
+    # shards and encode are alternative terminals
+    with pytest.raises(ValueError, match="alternative terminals"):
+        run_pipeline(spark, corpus_path, wd, out,
+                     stages=["pack", "shards", "encode"])
+    with pytest.raises(ValueError, match="requires the pack stage"):
+        run_pipeline(spark, corpus_path, wd, out, stages=["clean", "shards"])
