@@ -348,24 +348,47 @@ def simhash(
 
 
 def simhash_hof(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """SQL higher-order-function SimHash — the portable oracle formulation
-    (see :func:`simhash` for the bit definition and the production kernel).
+    """Pure-SQL SimHash — the portable oracle formulation (see
+    :func:`simhash` for the bit definition and the production kernel).
+
+    Same definition as before — per word ``h = first 60 md5 bits``, bit i
+    of the signature set iff ``#{words with bit i set} * 2 >= n_words`` —
+    but expressed as ``explode`` + 60 codegen'd aggregate sums instead of a
+    per-word ``zip_with`` over a 60-slot accumulator.  Spark evaluates HOF
+    lambdas interpreted (no whole-stage codegen), so the old fold cost
+    O(words x 60) lambda invocations per doc; the explode/groupBy form
+    keeps every per-word expression inside codegen and shuffles only
+    ~61 longs per doc.  Output is bit-identical (kernel parity test), and
+    the formulation stays portable SQL: every construct (split, md5, conv,
+    bit ops, conditional sums) is standard.
+
+    A synthetic row key keeps the contract row-per-row: duplicate
+    ``id_col`` values still yield one output row each, and a NULL text
+    yields a NULL signature (its split() produces no words to count).
     """
-    # acc = 60-vector of +-1 sums, folded over the words array in one pass
-    expr = f"""
-    aggregate(
-      transform(split({text_col}, ' '),
-                w -> conv(substring(md5(w), 1, 15), 16, 10)),
-      array_repeat(0L, {SIMHASH_BITS}),
-      (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
-                           (a, i) -> a + CASE WHEN (shiftright(CAST(h AS LONG), i) & 1L) = 1L
-                                          THEN 1L ELSE -1L END),
-      acc -> aggregate(zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
-                                (a, i) -> CASE WHEN a >= 0L THEN shiftleft(1L, i) ELSE 0L END),
-                       0L, (s, v) -> s + v)
+    base = df.select(
+        F.col(id_col), F.col(text_col), F.monotonically_increasing_id().alias("__rid")
     )
-    """
-    return df.select(F.col(id_col), F.expr(expr).cast("long").alias("simhash"))
+    words = base.select(
+        "__rid",
+        F.col(id_col),
+        F.explode_outer(F.split(F.col(text_col), " ")).alias("__w"),
+    ).withColumn(
+        "__h", F.expr("CAST(conv(substring(md5(__w), 1, 15), 16, 10) AS LONG)")
+    )
+    aggs = [F.count("__w").alias("__n")] + [
+        F.sum(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))).alias(f"__b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    grouped = words.groupBy("__rid", id_col).agg(*aggs)
+    sig = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(
+            2 * F.col(f"__b{i}") >= F.col("__n"), F.lit(1 << i).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + term
+    out = F.when(F.col("__n") > 0, sig).otherwise(F.lit(None).cast("long"))
+    return grouped.select(F.col(id_col), out.alias("simhash"))
 
 
 def simhash_bands(sig_df: DataFrame, id_col: str = "doc_id", n_bands: int = 4) -> DataFrame:
@@ -1227,6 +1250,11 @@ def token_stats(
 _RH_B = 0x9E3779B97F4A7C15  # odd multiplier (invertible mod 2^64)
 _RH_B2 = 0xC2B2AE3D27D4EB4F | 1  # independent radix for the anchor hash
 
+# duplicate_spans: duplicated-hash sets up to this many entries attach to
+# the window table via broadcast (8 B/hash -> ~64 MB at the cap); beyond it
+# the attach falls back to a shuffle join (identical rows)
+_DUP_BROADCAST_MAX = 8_000_000
+
 
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — bijective, so it de-structures the
@@ -1267,6 +1295,8 @@ def _window_table(
     stride: int,
     anchored: bool,
     anchor_gram: int,
+    hashes_only: bool = False,
+    match_bc=None,
 ) -> DataFrame:
     """Exploded (id, pos, wh) window table via ONE vectorized Arrow pass.
 
@@ -1286,43 +1316,103 @@ def _window_table(
 
     g = min(anchor_gram, k)
 
+    def selected(rb):
+        """(ids_arrow, doc_idx, pos, selected window hashes) for one batch."""
+        ids = rb.column(0)
+        flat, lens = _flatten_arrow(rb.column(1))
+        n = int(flat.size)
+        if n == 0 or n < k:
+            return None
+        wh = _rolling_hashes(flat, n, k, _RH_B)
+        starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        m = np.maximum(lens - k + 1, 0)  # windows per doc
+        total = int(m.sum())
+        if total == 0:
+            return None
+        doc_idx = np.repeat(np.arange(lens.size), m)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(m)))[:-1], m
+        )
+        gpos = starts[doc_idx] + pos  # global window start
+        if stride > 1:
+            if anchored:
+                ah = _rolling_hashes(flat, n, g, _RH_B2)
+                keep = ah[gpos] % np.uint64(stride) == 0
+            else:
+                keep = pos % stride == 0
+            doc_idx, pos, gpos = doc_idx[keep], pos[keep], gpos[keep]
+        if pos.size == 0:
+            return None
+        return ids, doc_idx, pos, wh[gpos]
+
     def fn(batches):
         for rb in batches:
-            ids = rb.column(0)
-            flat, lens = _flatten_arrow(rb.column(1))
-            n = int(flat.size)
-            if n == 0 or n < k:
+            sel = selected(rb)
+            if sel is None:
                 continue
-            wh = _rolling_hashes(flat, n, k, _RH_B)
-            starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
-            m = np.maximum(lens - k + 1, 0)  # windows per doc
-            total = int(m.sum())
-            if total == 0:
-                continue
-            doc_idx = np.repeat(np.arange(lens.size), m)
-            pos = np.arange(total, dtype=np.int64) - np.repeat(
-                np.concatenate(([0], np.cumsum(m)))[:-1], m
-            )
-            gpos = starts[doc_idx] + pos  # global window start
-            if stride > 1:
-                if anchored:
-                    ah = _rolling_hashes(flat, n, g, _RH_B2)
-                    keep = ah[gpos] % np.uint64(stride) == 0
-                else:
-                    keep = pos % stride == 0
-                doc_idx, pos, gpos = doc_idx[keep], pos[keep], gpos[keep]
-            if pos.size == 0:
-                continue
+            ids, doc_idx, pos, whs = sel
             yield pa.RecordBatch.from_arrays(
                 [
                     ids.take(pa.array(doc_idx)).cast(pa.string()),
                     pa.array(pos.astype(np.int32), pa.int32()),
-                    pa.array(wh[gpos].view(np.int64), pa.int64()),
+                    pa.array(whs.view(np.int64), pa.int64()),
                 ],
                 names=["__sd_id", "pos", "wh"],
             )
 
+    def fn_match(batches):
+        # match mode: the duplicated-hash set rides a task broadcast as one
+        # sorted int64 array; membership is a vectorized searchsorted, so
+        # ONLY duplicated-window rows (rare by nature) ever cross the Arrow
+        # boundary — no join, no full window table materialized anywhere.
+        dup_sorted = match_bc.value
+        for rb in batches:
+            if dup_sorted.size == 0:
+                continue
+            sel = selected(rb)
+            if sel is None:
+                continue
+            ids, doc_idx, pos, whs = sel
+            w64 = whs.view(np.int64)
+            p = np.minimum(np.searchsorted(dup_sorted, w64), dup_sorted.size - 1)
+            hit = dup_sorted[p] == w64
+            if not hit.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(pa.array(doc_idx[hit])).cast(pa.string()),
+                    pa.array(pos[hit].astype(np.int32), pa.int32()),
+                    pa.array(w64[hit], pa.int64()),
+                ],
+                names=["__sd_id", "pos", "wh"],
+            )
+
+    def fn_counts(batches):
+        # counting mode: per-TASK partial aggregation of window-hash counts
+        # (np.unique over the task's selected hashes), so the duplicate-hash
+        # shuffle carries one (wh, cnt) row per distinct hash per task —
+        # never doc ids or positions.  This is the dup-detection analog of
+        # vocab.token_counts' map-side combine.
+        parts: list[np.ndarray] = []
+        for rb in batches:
+            sel = selected(rb)
+            if sel is not None:
+                parts.append(sel[3])
+        if parts:
+            uniq, cnt = np.unique(np.concatenate(parts), return_counts=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(uniq.view(np.int64), pa.int64()),
+                    pa.array(cnt.astype(np.int64), pa.int64()),
+                ],
+                names=["wh", "cnt"],
+            )
+
     slim = df.select(F.col(id_col).cast("string"), tokens_col)
+    if hashes_only:
+        return slim.mapInArrow(fn_counts, "wh long, cnt long")
+    if match_bc is not None:
+        return slim.mapInArrow(fn_match, "__sd_id string, pos int, wh long")
     return slim.mapInArrow(fn, "__sd_id string, pos int, wh long")
 
 
@@ -1352,12 +1442,15 @@ def duplicate_spans(
     — when ``keep_first``); per doc, marked positions merge into maximal
     spans with linear array HOFs.
 
-    Scale: the only large shuffle is the exploded window table —
-    ``n_tokens/stride`` fixed-width rows (id, pos, hash) — hashed once on
-    the window hash; duplicate counting and canonical-occurrence choice are
-    window functions over that single Exchange (no second shuffle of the
-    window table, no join back).  The span merge shuffles only marked
-    positions grouped by doc.  ``stride > 1`` bounds the window table at
+    Scale: the only corpus-sized shuffle is the duplicate-hash COUNT — the
+    kernel pre-aggregates per task, so it moves one 16-byte ``(wh, cnt)``
+    row per distinct hash per task and hash-aggregates (no sort, no ids,
+    no positions).  The surviving duplicated hashes (rare by nature)
+    broadcast back onto a second kernel pass of the window table — the
+    re-scan is O(tokens) vectorized work, far cheaper than shuffling the
+    wide (id, pos, hash) table — and only duplicated-window rows reach the
+    doc-level regroup.  Degenerate corpora whose dup-hash set exceeds the
+    broadcast budget fall back to a shuffle join (identical rows).  ``stride > 1`` bounds the window table at
     1/stride; set ``anchored=True`` with it so off-phase copies still
     collide (fixed stride detects only same-alignment duplicates).  Spans
     shorter than ``k + stride - 1`` tokens can be missed at stride > 1 —
@@ -1370,12 +1463,43 @@ def duplicate_spans(
     """
     if k < 1 or stride < 1 or min_count < 2:
         raise ValueError(f"bad k={k} stride={stride} min_count={min_count}")
-    w = _window_table(df, tokens_col, id_col, k, stride, anchored, anchor_gram)
-    byh = Window.partitionBy("wh")
-    m = w.withColumn("__cnt", F.count("*").over(byh)).filter(
-        F.col("__cnt") >= min_count
+    # Pass 1 — find DUPLICATED window hashes only.  The kernel's counting
+    # mode emits per-task (wh, cnt) partials, so the only corpus-sized
+    # shuffle carries 16-byte rows hash-aggregated (no sort, no doc ids, no
+    # positions); the old shape shuffled AND SORTED the full (id, pos, wh)
+    # window table under a Window function — ~3x the bytes plus an O(W log W)
+    # sort for what is a pure counting question.
+    counts = _window_table(
+        df, tokens_col, id_col, k, stride, anchored, anchor_gram, hashes_only=True
     )
+    dup = (
+        counts.groupBy("wh")
+        .agg(F.sum("cnt").alias("__cnt"))
+        .filter(F.col("__cnt") >= min_count)
+        .select("wh")
+        .persist()
+    )
+    n_dup = dup.count()
+    # Pass 2 — re-run the window kernel (O(tokens) vectorized; the re-scan
+    # is far cheaper than shuffling the wide (id, pos, wh) table) with the
+    # duplicated-hash set as a task-broadcast sorted array: membership is
+    # one searchsorted per batch and ONLY duplicated-window rows (rare by
+    # nature) are emitted — no join, no full window table anywhere.  A
+    # degenerate corpus past the broadcast budget falls back to a shuffle
+    # join of the full window table (identical rows).
+    broadcastable = n_dup <= _DUP_BROADCAST_MAX
+    if broadcastable:
+        dup_arr = np.sort(dup.toPandas()["wh"].to_numpy(np.int64))
+        dup.unpersist()
+        bc = df.sparkSession.sparkContext.broadcast(dup_arr)
+        m = _window_table(
+            df, tokens_col, id_col, k, stride, anchored, anchor_gram, match_bc=bc
+        )
+    else:
+        w = _window_table(df, tokens_col, id_col, k, stride, anchored, anchor_gram)
+        m = w.join(dup, "wh")
     if keep_first:
+        byh = Window.partitionBy("wh")
         m = m.withColumn(
             "__first", F.min(F.struct("__sd_id", "pos")).over(byh)
         ).filter(
@@ -1394,7 +1518,7 @@ def duplicate_spans(
         f"                                   p + {k}, -1)), x -> x >= 0),"
         " (s, e) -> named_struct('s', s, 'e', e))"
     )
-    return ps.select(
+    res = ps.select(
         F.col("__sd_id").alias(id_col),
         spans.alias("spans"),
         F.size("ps").cast("long").alias("n_dup_windows"),
@@ -1405,6 +1529,11 @@ def duplicate_spans(
         F.size("spans").alias("n_spans"),
         F.expr("aggregate(spans, 0L, (a, sp) -> a + sp.e - sp.s)").alias("dup_tokens"),
     )
+    if broadcastable:
+        # the broadcast path's lineage references only the task broadcast —
+        # res stays LAZY (re-evaluation re-runs just the pass-2 kernel)
+        return res
+    return _finalize_unpersist(res, [dup])
 
 
 def strip_duplicate_spans(
