@@ -74,7 +74,10 @@ def token_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
         c_parts: list[np.ndarray] = []
         for rb in batches:
             tok_arr = rb.column(rb.schema.get_field_index(tokens_col))
-            flat, _ = _flatten_arrow(tok_arr)
+            # dtype=None: keep the Arrow child buffer's own dtype (int32 for
+            # the engine's token schema) — counting never needs the widening
+            # copy to int64 that the default would pay per batch
+            flat, _ = _flatten_arrow(tok_arr, dtype=None)
             if flat.size == 0:
                 continue
             lo, hi = int(flat.min()), int(flat.max())
@@ -88,7 +91,7 @@ def token_counts(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:
                 c_parts.append(hist[nz].astype(np.int64))
             else:
                 uniq, cnt = np.unique(flat, return_counts=True)
-                u_parts.append(uniq)
+                u_parts.append(uniq.astype(np.int64, copy=False))
                 c_parts.append(cnt.astype(np.int64))
         if u_parts:
             cat_u = np.concatenate(u_parts)
@@ -207,29 +210,59 @@ def _remap_fn(tokens_col: str, bc, strict: bool, inverse: bool):
 
     def fn(batches: Iterator) -> Iterator:
         toks, ranks = bc.value
+        # gather tables in int32 (max_vocab bounds both values): the kernel
+        # then runs int32 in -> int32 out with no widening copies — the old
+        # int64 path copied every batch twice (flatten widen + final cast)
+        ranks32 = ranks.astype(np.int32, copy=False)
+        # dense fast path: every real tokenizer vocabulary spans a compact
+        # id range, so token -> rank is one LUT gather (O(n)) instead of a
+        # searchsorted (O(n log V)); sparse/wide vocabularies keep the
+        # searchsorted path (identical results, pinned by tests)
+        lut = None
+        if toks.size and int(toks[-1]) - int(toks[0]) < (1 << 24):
+            lo_t = np.int64(toks[0])
+            lut = np.full(int(toks[-1]) - int(toks[0]) + 1, -1, dtype=np.int32)
+            lut[(toks - lo_t).astype(np.intp)] = ranks32
         if inverse:
             # ranks are dense 0..V-1 -> direct int32 gather table
-            inv = np.empty(ranks.size, dtype=np.int64)
-            inv[ranks] = toks
+            inv = np.empty(ranks.size, dtype=np.int32)
+            inv[ranks] = toks.astype(np.int32)
         for rb in batches:
             idx = rb.schema.get_field_index(tokens_col)
             tok_arr = rb.column(idx)
-            flat, lens = _flatten_arrow(tok_arr)
+            flat, lens = _flatten_arrow(tok_arr, dtype=None)
+            toks_t = toks.astype(flat.dtype, copy=False)
             if inverse:
                 if flat.size and (flat.min() < 0 or flat.max() >= ranks.size):
                     raise ValueError(
                         "rank outside dictionary range — table was not"
                         " produced by remap_tokens with this dictionary"
                     )
-                out = inv[flat] if flat.size else flat
+                out = inv[flat] if flat.size else flat.astype(np.int32)
             elif toks.size == 0:
                 if strict and flat.size:
                     raise ValueError("empty global dictionary with non-empty tokens")
-                out = np.full(flat.shape, -1, dtype=np.int64)
+                out = np.full(flat.shape, -1, dtype=np.int32)
+            elif lut is not None:
+                lo_t = np.int64(toks[0])
+                inb = (flat >= toks[0]) & (flat <= toks[-1])
+                out = np.full(flat.shape, -1, dtype=np.int32)
+                if inb.all():
+                    out = lut[(flat.astype(np.int64) - lo_t)]
+                elif inb.any():
+                    out[inb] = lut[(flat[inb].astype(np.int64) - lo_t)]
+                if strict and flat.size:
+                    miss = int((out < 0).sum())
+                    if miss:
+                        raise ValueError(
+                            f"{miss} token(s) absent from the global"
+                            " dictionary — rebuild the dict over the full"
+                            " corpus or pass strict=False (maps to -1)"
+                        )
             else:
-                pos = np.searchsorted(toks, flat)
-                safe = np.minimum(pos, toks.size - 1)
-                hit = (pos < toks.size) & (toks[safe] == flat)
+                pos = np.searchsorted(toks_t, flat)
+                safe = np.minimum(pos, toks_t.size - 1)
+                hit = (pos < toks_t.size) & (toks_t[safe] == flat)
                 if strict:
                     if flat.size and not hit.all():
                         raise ValueError(
@@ -237,13 +270,13 @@ def _remap_fn(tokens_col: str, bc, strict: bool, inverse: bool):
                             " dictionary — rebuild the dict over the full"
                             " corpus or pass strict=False (maps to -1)"
                         )
-                    out = ranks[safe] if flat.size else flat
+                    out = ranks32[safe] if flat.size else flat.astype(np.int32)
                 else:
-                    out = np.where(hit, ranks[safe], -1)
+                    out = np.where(hit, ranks32[safe], np.int32(-1))
             offsets = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
             new_col = pa.ListArray.from_arrays(
                 pa.array(offsets, type=pa.int32()),
-                pa.array(out.astype(np.int32), type=pa.int32()),
+                pa.array(out.astype(np.int32, copy=False), type=pa.int32()),
             )
             arrays = [
                 new_col if i == idx else rb.column(i) for i in range(rb.num_columns)
