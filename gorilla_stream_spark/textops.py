@@ -684,14 +684,17 @@ def _grouped_bucket_pairs(
     cond = F.col("__bc") >= 2
     if max_bucket:
         cond = cond & (F.col("__bc") <= max_bucket)
-    hotq = counts.filter(cond).select(*key_cols)
-    # bounded probe: colliding buckets are rare, so the key set normally
-    # fits the driver — rebuilt as a literal frame it has no lineage (the
-    # count pass runs exactly once) and nothing to cache or leak.  Past the
-    # budget, fall back to a shuffle semi-join (counts recompute once —
-    # the degenerate-corpus path only).
-    hot_local = hotq.limit(_HOT_BUCKET_BROADCAST_MAX + 1).toPandas()
-    if len(hot_local) <= _HOT_BUCKET_BROADCAST_MAX:
+    hotq = counts.filter(cond).select(*key_cols).persist()
+    # colliding buckets are rare, so the key set normally fits the driver —
+    # rebuilt as a literal frame it has no lineage and nothing cached (the
+    # transient persist covers exactly the count+collect pair and is
+    # released before returning; a LIMIT probe instead would execute as
+    # sequential CollectLimit waves).  Past the budget, fall back to a
+    # shuffle semi-join against the still-persisted counts.
+    n_hot = hotq.count()
+    if n_hot <= _HOT_BUCKET_BROADCAST_MAX:
+        hot_local = hotq.toPandas()
+        hotq.unpersist()
         hot = df.sparkSession.createDataFrame(hot_local, schema=hotq.schema)
         surv = df.join(F.broadcast(hot), key_cols, "left_semi")
     else:
@@ -1288,25 +1291,92 @@ def _mix64(x: np.ndarray) -> np.ndarray:
     return x ^ (x >> np.uint64(31))
 
 
-def _rolling_hashes(flat: np.ndarray, n: int, k: int, radix: int) -> np.ndarray:
-    """All k-window polynomial hashes of ``flat`` (uint64, wraparound) in
-    O(n) vectorized work: prefix sums of ``t[j]*B^j`` normalized by
-    ``B^-i`` (B odd ⇒ invertible mod 2^64) give every window in one pass
-    — the Rabin-Karp rolling hash, batch-vectorized.  Returns H where
-    H[i] = mix64(Σ_{j<k} flat[i+j]·B^j); windows crossing doc boundaries
-    are present but the caller never selects them."""
+_RH_CHUNK = 1 << 17  # 128K elements: every per-chunk temporary stays ~1 MB
+_RH_POWS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _rh_pows(radix: int) -> tuple[np.ndarray, np.ndarray]:
+    """Chunk-local (B^i, B^-i) tables for i < _RH_CHUNK — computed once per
+    worker per radix and reused forever (B odd ⇒ invertible mod 2^64)."""
+    cached = _RH_POWS.get(radix)
+    if cached is not None:
+        return cached
     B = np.uint64(radix)
     Binv = np.uint64(pow(radix, -1, 1 << 64))
-    powB = np.ones(n, dtype=np.uint64)
-    if n > 1:
-        powB[1:] = np.cumprod(np.full(n - 1, B, dtype=np.uint64))
-    powBinv = np.ones(n, dtype=np.uint64)
-    if n > 1:
-        powBinv[1:] = np.cumprod(np.full(n - 1, Binv, dtype=np.uint64))
-    pref = np.zeros(n + 1, dtype=np.uint64)
-    np.cumsum(flat.astype(np.uint64) * powB, out=pref[1:])
+    powB = np.ones(_RH_CHUNK, dtype=np.uint64)
+    if _RH_CHUNK > 1:
+        powB[1:] = np.cumprod(np.full(_RH_CHUNK - 1, B, dtype=np.uint64))
+    powBinv = np.ones(_RH_CHUNK, dtype=np.uint64)
+    if _RH_CHUNK > 1:
+        powBinv[1:] = np.cumprod(np.full(_RH_CHUNK - 1, Binv, dtype=np.uint64))
+    _RH_POWS[radix] = (powB, powBinv)
+    return powB, powBinv
+
+
+def _rolling_hashes(flat: np.ndarray, n: int, k: int, radix: int) -> np.ndarray:
+    """All k-window polynomial hashes of ``flat`` (uint64, wraparound):
+    prefix sums of ``t[j]*B^j`` normalized by ``B^-i`` (B odd ⇒ invertible
+    mod 2^64) give every window — the Rabin-Karp rolling hash, batch-
+    vectorized.  Returns H where H[i] = mix64(Σ_{j<k} flat[i+j]·B^j);
+    windows crossing doc boundaries are present but the caller never
+    selects them.
+
+    Computed CHUNKWISE (1 MB temporaries, cached power tables, carry
+    propagation — every step exact mod 2^64, so output is bit-identical to
+    the whole-array formulation): the straightforward version allocated
+    ~10 n-sized uint64 temporaries per call, and under 32 concurrent
+    workers the resulting mmap/page-fault churn plus DRAM traffic made the
+    kernel ~10x slower than its single-process speed (see engine
+    _KERNEL_SLICE_TOKENS).  Chunking keeps the working set cache-resident
+    and the worker heap warm."""
+    powB, powBinv = _rh_pows(radix)
+    # chunk-step exponents as python ints mod 2^64 (scalar uint64 numpy
+    # multiplies would raise overflow RuntimeWarnings; array ops wrap
+    # silently and exactly)
+    mod = 1 << 64
+    b_step = pow(radix, _RH_CHUNK, mod)
+    binv_step = pow(pow(radix, -1, mod), _RH_CHUNK, mod)
+    u = flat.view(np.uint64) if flat.dtype == np.int64 else flat.astype(np.uint64)
+    pref = np.empty(n + 1, dtype=np.uint64)
+    pref[0] = 0
+    t = np.empty(min(_RH_CHUNK, n), dtype=np.uint64)
+    base = 1  # B^s for the current chunk start s
+    for s in range(0, n, _RH_CHUNK):
+        e = min(s + _RH_CHUNK, n)
+        c = e - s
+        tc = t[:c]
+        np.multiply(u[s:e], powB[:c], out=tc)
+        if base != 1:
+            np.multiply(tc, np.uint64(base), out=tc)
+        np.cumsum(tc, out=pref[s + 1 : e + 1])
+        if s:
+            pref[s + 1 : e + 1] += pref[s]
+        base = (base * b_step) % mod
     m = n - k + 1  # window count (callers guarantee n >= k)
-    return _mix64((pref[k : k + m] - pref[:m]) * powBinv[:m])
+    out = np.empty(m, dtype=np.uint64)
+    ibase = 1  # B^-s for the current chunk start s
+    M1 = np.uint64(0xBF58476D1CE4E5B9)
+    M2 = np.uint64(0x94D049BB133111EB)
+    for s in range(0, m, _RH_CHUNK):
+        e = min(s + _RH_CHUNK, m)
+        c = e - s
+        w = out[s:e]
+        np.subtract(pref[s + k : e + k], pref[s:e], out=w)
+        np.multiply(w, powBinv[:c], out=w)
+        if ibase != 1:
+            np.multiply(w, np.uint64(ibase), out=w)
+        # in-place splitmix64 finalizer — identical to _mix64
+        sc = t[:c]
+        np.right_shift(w, np.uint64(30), out=sc)
+        np.bitwise_xor(w, sc, out=w)
+        np.multiply(w, M1, out=w)
+        np.right_shift(w, np.uint64(27), out=sc)
+        np.bitwise_xor(w, sc, out=w)
+        np.multiply(w, M2, out=w)
+        np.right_shift(w, np.uint64(31), out=sc)
+        np.bitwise_xor(w, sc, out=w)
+        ibase = (ibase * binv_step) % mod
+    return out
 
 
 def _window_table(
@@ -1334,7 +1404,7 @@ def _window_table(
     """
     import pyarrow as pa
 
-    from gorilla_stream_spark.engine import _flatten_arrow
+    from gorilla_stream_spark.engine import _flatten_arrow, _token_batch_slices
 
     g = min(anchor_gram, k)
 
@@ -1368,7 +1438,8 @@ def _window_table(
         return ids, doc_idx, pos, wh[gpos]
 
     def fn(batches):
-        for rb in batches:
+        for rb0 in batches:
+          for rb in _token_batch_slices(rb0, 1):
             sel = selected(rb)
             if sel is None:
                 continue
@@ -1388,7 +1459,8 @@ def _window_table(
         # ONLY duplicated-window rows (rare by nature) ever cross the Arrow
         # boundary — no join, no full window table materialized anywhere.
         dup_sorted = match_bc.value
-        for rb in batches:
+        for rb0 in batches:
+          for rb in _token_batch_slices(rb0, 1):
             if dup_sorted.size == 0:
                 continue
             sel = selected(rb)
@@ -1416,7 +1488,8 @@ def _window_table(
         # never doc ids or positions.  This is the dup-detection analog of
         # vocab.token_counts' map-side combine.
         parts: list[np.ndarray] = []
-        for rb in batches:
+        for rb0 in batches:
+          for rb in _token_batch_slices(rb0, 1):
             sel = selected(rb)
             if sel is not None:
                 parts.append(sel[3])

@@ -245,12 +245,22 @@ def _remap_fn(tokens_col: str, bc, strict: bool, inverse: bool):
                 out = np.full(flat.shape, -1, dtype=np.int32)
             elif lut is not None:
                 lo_t = np.int64(toks[0])
-                inb = (flat >= toks[0]) & (flat <= toks[-1])
-                out = np.full(flat.shape, -1, dtype=np.int32)
-                if inb.all():
-                    out = lut[(flat.astype(np.int64) - lo_t)]
-                elif inb.any():
-                    out[inb] = lut[(flat[inb].astype(np.int64) - lo_t)]
+                hi_t = np.int64(toks[-1])
+                # chunked gather: the int64 index temporary stays ~16 MB so
+                # worker heap is reused batch-to-batch (engine
+                # _KERNEL_SLICE_TOKENS rationale)
+                out = np.empty(flat.shape, dtype=np.int32)
+                ch = 2_000_000
+                for s0 in range(0, flat.size, ch):
+                    seg = flat[s0 : s0 + ch]
+                    inb = (seg >= lo_t) & (seg <= hi_t)
+                    if inb.all():
+                        out[s0 : s0 + ch] = lut[(seg.astype(np.int64) - lo_t)]
+                    else:
+                        o = np.full(seg.shape, -1, dtype=np.int32)
+                        if inb.any():
+                            o[inb] = lut[(seg[inb].astype(np.int64) - lo_t)]
+                        out[s0 : s0 + ch] = o
                 if strict and flat.size:
                     miss = int((out < 0).sum())
                     if miss:
