@@ -441,31 +441,43 @@ def simhash_neardup_stream(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     max_state_per_bucket: int = 65536,
+    state_buckets: int = 64,
 ):
     """Streaming near-dup candidate pairs across ALL micro-batches
     (``applyInPandasWithState`` — the stateful analog of
     ``textops.simhash_neardup_pairs``).
 
     Each batch computes 60-bit SimHash signatures row-locally with the
-    pure-SQL HOF expression (a column expression, hence streaming-safe and
-    bit-identical to the batch operator); rows bucket by the 4-band
-    pigeonhole split, and each bucket's state holds the (doc_id, simhash)
+    fused Arrow kernel (bit-identical to the batch operator); rows bucket
+    by ``(band_idx, hash(band_bits) % state_buckets)`` — a COARSENED
+    pigeonhole split — and each bucket's state holds the (doc_id, simhash)
     pairs seen so far (16 B/doc/band).  Arrivals are hamming-checked in one
     vectorized XOR+popcount matrix per micro-batch (history and in-batch
     cross products, tiled to bound memory) — no per-row Python — and the
-    state grows by a single append per batch.  Recall is DETERMINISTIC for
-    hamming <= ``max_hamming`` across the whole stream, exactly like the
-    batch operator — a pair found in several shared bands is emitted once
-    per band; run ``dropDuplicates(["id_a","id_b"])`` on the sink (or a
-    batch ``distinct``) for the deduplicated pair set.
+    state grows by a single append per batch.
 
-    State bound: each (band, band_bits) bucket keeps the most recent
+    Why the coarse key is EXACT: the emitted-pair criterion is the full
+    60-bit hamming distance, and by pigeonhole every pair within
+    ``max_hamming`` shares at least one identical band value — hence also
+    at least one coarse bucket — so bucketing only has to bring candidate
+    pairs together, never to decide.  Comparing all same-bucket rows finds
+    exactly the batch operator's pair set (pinned by the stream-vs-batch
+    parity test), while state groups drop from one per DISTINCT band value
+    (~one per doc per band — each paying per-group pandas + state-store
+    overhead every micro-batch) to ``(max_hamming+1) * state_buckets``
+    total.  Recall is DETERMINISTIC for hamming <= ``max_hamming`` across
+    the whole stream; a pair may be emitted once per shared bucket — run
+    ``dropDuplicates(["id_a","id_b"])`` on the sink (or a batch
+    ``distinct``) for the deduplicated pair set.
+
+    State bound: each (band, bucket) group keeps the most recent
     ``max_state_per_bucket`` docs (insertion-order eviction, 16 B each —
-    1 MiB/bucket at the default).  Recall impact: a pair whose members are
-    separated by more than that many same-bucket insertions is missed in
-    that band (it can still surface via another shared band); unbounded
-    history is ``max_state_per_bucket=0``.  Back the query with the
-    RocksDB state store at scale.
+    1 MiB/group at the default).  Recall impact: a pair whose members are
+    separated by more than that many same-group insertions is missed in
+    that group (it can still surface via another shared band's bucket);
+    unbounded history is ``max_state_per_bucket=0``.  Raise
+    ``state_buckets`` together with corpus rate so per-group state stays
+    small, and back the query with the RocksDB state store at scale.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -482,7 +494,9 @@ def simhash_neardup_stream(
         id_col="doc_id",
         impl="kernel",
     )
-    bands = simhash_bands(sig, id_col="doc_id", n_bands=max_hamming + 1)
+    bands = simhash_bands(sig, id_col="doc_id", n_bands=max_hamming + 1).withColumn(
+        "__sb", F.pmod(F.xxhash64("band_bits"), F.lit(int(state_buckets)))
+    )
 
     def fn(key, pdfs, state):
         blob = state.get[0] if state.exists else b""
@@ -492,7 +506,7 @@ def simhash_neardup_stream(
         if pairs is not None:
             yield pairs
 
-    return bands.groupBy("band_idx", "band_bits").applyInPandasWithState(
+    return bands.groupBy("band_idx", "__sb").applyInPandasWithState(
         fn,
         outputStructType="id_a long, id_b long",
         stateStructType="seen binary",

@@ -1131,7 +1131,10 @@ def token_shingle_minhash(
     )
 
     def fn(batches):
-        for rb in batches:
+        from gorilla_stream_spark.engine import _token_batch_slices
+
+        for rb0 in batches:
+          for rb in _token_batch_slices(rb0, 1):
             if rb.num_rows == 0:
                 continue
             ids = rb.column(0).to_numpy(zero_copy_only=False)

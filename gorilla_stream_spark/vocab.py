@@ -411,8 +411,11 @@ def unigram_logprob(
     denom = float(n_total) + alpha * (v_total + 1)
 
     def fn(batches: Iterator) -> Iterator:
+        from gorilla_stream_spark.engine import _token_batch_slices
+
         vt, vc = bc.value
-        for rb in batches:
+        for rb0 in batches:
+          for rb in _token_batch_slices(rb0, 1):
             if rb.num_rows == 0:
                 continue
             ids = rb.column(0)
