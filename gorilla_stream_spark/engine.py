@@ -734,16 +734,14 @@ def merge_tables(enc_a: DataFrame, enc_b: DataFrame) -> DataFrame:
     mx = enc_a.agg(F.max("part_id")).first()[0]
     base = int(mx if mx is not None else -1) + 1
     shifted = F.col("part_id").cast("long") + F.lit(base)
+    # the overflow guard lives ON the evaluated expression path: a check in
+    # a separate immediately-dropped column could be pruned by Catalyst and
+    # never evaluate, letting an overflowing part_id wrap silently
+    guarded = F.when(shifted < F.lit((1 << 31) - 1), shifted).otherwise(
+        F.raise_error(F.lit("merged part_id would overflow int32")).cast("long")
+    )
     nb = (
-        enc_b.withColumn(
-            "__chk",
-            F.assert_true(
-                shifted < F.lit((1 << 31) - 1),
-                F.lit("merged part_id would overflow int32"),
-            ),
-        )
-        .withColumn("part_id", shifted.cast("int"))
-        .drop("__chk")
+        enc_b.withColumn("part_id", guarded.cast("int"))
         .withColumn(
             "block_id",
             F.shiftleft(F.col("part_id").cast("long"), 24).bitwiseOR(
@@ -1458,12 +1456,28 @@ def widen_multi(enc_df: DataFrame, token_cols: list[str] | None = None) -> DataF
         token_cols = list(row["col_names"])
     cols = [F.col(c) for c in _WIDE_BASE_COLS if c in enc_df.columns]
     cols.append(F.col("col_names"))
-    for ci, c in enumerate(token_cols):
+    for c in token_cols:
+        # resolve each column's slot by NAME per row, not by position in
+        # the caller's list: widen_multi(enc, ['mask']) on a
+        # ['tokens','mask'] table must take slot 2, and a name absent from
+        # a block's col_names must fail loudly — positional indexing
+        # silently relabeled buffers (crc travels with the buffer, so
+        # decode and fsck would both pass on wrong data)
+        pos = F.array_position(F.col("col_names"), F.lit(c))
+        idx = F.when(pos > 0, pos.cast("int")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"widen_multi: column '{c}' absent from block "),
+                    F.col("block_id").cast("string"),
+                    F.lit("'s col_names"),
+                )
+            ).cast("int")
+        )
         cols += [
-            F.element_at("codecs", ci + 1).alias(f"codec_{c}"),
-            F.element_at("col_lens", ci + 1).alias(f"lens_{c}"),
-            F.element_at("crc32_bufs", ci + 1).alias(f"crc32_{c}"),
-            F.element_at("buffers", ci + 1).alias(f"buf_{c}"),
+            F.element_at("codecs", idx).alias(f"codec_{c}"),
+            F.element_at("col_lens", idx).alias(f"lens_{c}"),
+            F.element_at("crc32_bufs", idx).alias(f"crc32_{c}"),
+            F.element_at("buffers", idx).alias(f"buf_{c}"),
         ]
     return enc_df.select(*cols)
 

@@ -163,11 +163,23 @@ def build_token_index(
     )
 
 
-def _index_params(index_df: DataFrame) -> tuple[int, int]:
-    row = index_df.select("bloom_words", "k").first()
-    if row is None:
-        return DEFAULT_BLOOM_WORDS, DEFAULT_BLOOM_K  # empty index: no blocks
-    return int(row["bloom_words"]), int(row["k"])
+def _index_params(index_df: DataFrame) -> list[tuple[int, int]]:
+    """Distinct (bloom_words, k) build-parameter groups of the index.
+
+    A unioned index (the documented incremental-maintenance shape) may mix
+    parameters; probes must be computed PER GROUP and OR'd, or rows built
+    with other parameters would be silently excluded — a false negative,
+    violating the 'false positives waste a decode, never a wrong answer'
+    contract.  Bounded: more than 16 groups is a mis-assembled index."""
+    rows = index_df.select("bloom_words", "k").distinct().limit(17).collect()
+    if len(rows) > 16:
+        raise ValueError(
+            "token index mixes >16 distinct (bloom_words, k) parameter"
+            " groups — rebuild it instead of unioning further"
+        )
+    if not rows:
+        return [(DEFAULT_BLOOM_WORDS, DEFAULT_BLOOM_K)]  # empty index
+    return sorted((int(r["bloom_words"]), int(r["k"])) for r in rows)
 
 
 def _candidate_filter(token: int, bloom_words: int, k: int):
@@ -222,9 +234,11 @@ def prune_blocks_for_token(
     The index scan is JVM-only; the surviving ids prune the encoded table
     via literal-IN pushdown (selective case — reaches the parquet row-group
     stats) or a broadcast semi-join (large candidate sets)."""
-    bloom_words, k = _index_params(index_df)
-    cand = _candidate_ids(index_df, _candidate_filter(int(token), bloom_words, k))
-    return _prune_with(enc_df, cand)
+    cond = None
+    for bloom_words, k in _index_params(index_df):
+        c = _candidate_filter(int(token), bloom_words, k)
+        cond = c if cond is None else (cond | c)
+    return _prune_with(enc_df, _candidate_ids(index_df, cond))
 
 
 def find_docs_with_token(
@@ -312,11 +326,14 @@ def find_docs_with_phrase(
             enc_df, index_df, ph[0], strict=strict, container_dict=container_dict
         )
 
-    bloom_words, k = _index_params(index_df)
+    groups = _index_params(index_df)
     cond = None
     for t in sorted(set(ph)):
-        c = _candidate_filter(t, bloom_words, k)
-        cond = c if cond is None else (cond & c)
+        tc = None
+        for bloom_words, k in groups:
+            c = _candidate_filter(t, bloom_words, k)
+            tc = c if tc is None else (tc | c)
+        cond = tc if cond is None else (cond & tc)
     pruned = _prune_with(enc_df, _candidate_ids(index_df, cond))
 
     def fn(batches: Iterator) -> Iterator:

@@ -90,8 +90,10 @@ def candidate_sizes(
     )
     # rle
     rv, rl = f["_run_vals"], f["_run_lens"]
-    sizes["rle"] = (12 + intcodecs.for_encoded_size(rv.size, int(rv.max() - rv.min()))
-                    + intcodecs.for_encoded_size(rl.size, int(rl.max() - rl.min())))
+    # python-int subtraction: numpy's scalar subtract wraps (and warns) on
+    # int64-extreme inputs; the size estimate must use the exact range
+    sizes["rle"] = (12 + intcodecs.for_encoded_size(rv.size, int(rv.max()) - int(rv.min()))
+                    + intcodecs.for_encoded_size(rl.size, int(rl.max()) - int(rl.min())))
     # dict
     vocab = f["_vocab"]
     sizes["dict"] = 13 + _delta_size_of(vocab) + _pack_size(n, bitio.bit_width(vocab.size - 1))
@@ -171,8 +173,8 @@ def sampled_sizes(
     nruns = max(1, int(round(rv.size * scale)))
     sizes["rle"] = (
         12
-        + intcodecs.for_encoded_size(nruns, int(rv.max() - rv.min()))
-        + intcodecs.for_encoded_size(nruns, int(rl.max() - rl.min()))
+        + intcodecs.for_encoded_size(nruns, int(rv.max()) - int(rv.min()))
+        + intcodecs.for_encoded_size(nruns, int(rl.max()) - int(rl.min()))
     )
     card = _extrapolate_card(f["card"], ns, n)
     vocab_bytes = int(_delta_size_of(f["_vocab"]) * (card / max(f["card"], 1)))

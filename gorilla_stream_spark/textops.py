@@ -366,9 +366,15 @@ def simhash_hof(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     ``id_col`` values still yield one output row each, and a NULL text
     yields a NULL signature (its split() produces no words to count).
     """
-    base = df.select(
-        F.col(id_col), F.col(text_col), F.monotonically_increasing_id().alias("__rid")
-    )
+    slim = df.select(F.col(id_col), F.col(text_col))
+    # a limited/cached sample arrives as ONE partition and the whole
+    # explode+aggregate would run on one core; round-robin it out first
+    # (before the row key is assigned, so retried tasks keep deterministic
+    # grouping via Spark's sort-before-repartition)
+    P = df.sparkSession.sparkContext.defaultParallelism
+    if slim.rdd.getNumPartitions() < P:
+        slim = slim.repartition(P)
+    base = slim.withColumn("__rid", F.monotonically_increasing_id())
     words = base.select(
         "__rid",
         F.col(id_col),
@@ -1558,6 +1564,15 @@ def duplicate_spans(
     ``(id_col, spans array<struct<s,e>>, n_dup_windows, n_spans,
     dup_tokens)`` — spans are [s, e) 0-based token positions,
     ``dup_tokens`` the number of covered positions.
+
+    Exactness caveat: window equality is decided by 64-bit rolling-hash
+    equality without re-verifying token content, so two DIFFERENT windows
+    collide with probability ~2^-64 per pair.  At ~10^12 windows the
+    birthday bound yields an expected handful of false duplicate windows
+    corpus-wide (each marking one k-token span spuriously); treat
+    "exact" as exact-up-to-2^-64-hash-collisions at that scale, or run a
+    content compare over the (tiny) flagged span set before destructive
+    stripping.
     """
     if k < 1 or stride < 1 or min_count < 2:
         raise ValueError(f"bad k={k} stride={stride} min_count={min_count}")

@@ -136,9 +136,12 @@ def compare_corpora(
     new source / re-sample do to the token distribution?".  Output one row
     per token seen in either corpus (with ``cnt >= min_count`` on at least
     one side): ``(token, cnt_a, cnt_b, rate_a, rate_b, log2_ratio)`` where
-    rates are per-corpus frequencies and ``log2_ratio =
-    log2(rate_b / rate_a)`` with zero-side rows mapped to +/-inf — sort by
-    it to see what grew/vanished.
+    ``log2_ratio = log2(rate_b / rate_a)`` with zero-side rows mapped to
+    +/-inf — sort by it to see what grew/vanished.  Rates are frequencies
+    over the RETAINED rows: with ``min_count > 1`` the denominators are
+    the post-filter totals (the q62 oracle pins this definition), so
+    near-threshold drift signs are relative to the filtered distribution —
+    pass ``min_count=1`` (default) for whole-corpus rates.
 
     Cost: two counting passes (each the partial-agg kernel from
     :func:`token_counts` — shuffles vocabulary rows, never tokens) and one

@@ -491,3 +491,25 @@ def test_fsst_decode_rejects_forged_count_on_dict_fallback():
     forged = struct.pack("<I", n + 3) + buf[4:]
     with pytest.raises(ValueError, match="count mismatch"):
         fsst_decode(forged)
+
+
+def test_selector_estimate_int64_extremes_no_warning():
+    # int64-extreme inputs: the size estimator must use exact python-int
+    # ranges — numpy scalar subtraction wrapped (and raised a
+    # RuntimeWarning) here before; the estimate itself must price the
+    # full 64-bit residual width, matching what for_encode would emit
+    import warnings
+
+    import numpy as np
+
+    from gorilla_stream_spark.selector import block_estimate
+
+    a = np.array(
+        [np.iinfo(np.int64).min, 0, np.iinfo(np.int64).max] * 40, dtype=np.int64
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        feats, sizes = block_estimate(a)
+    # exact range is ~2^64-1 -> 64-bit FOR residuals: 13 header + 8 B/value
+    assert sizes["for"] == 13 + a.size * 8
+    assert all(v > 0 for v in sizes.values())

@@ -269,3 +269,23 @@ def test_prune_falls_back_to_broadcast_above_limit(spark, enc_and_truth, monkeyp
         for r in idxmod.find_docs_with_token(enc, idx, 777777).collect()
     }
     assert got == truth
+
+
+def test_mixed_parameter_union_index_no_false_negatives(spark, enc_and_truth):
+    # incremental maintenance unions indexes that may have been built with
+    # different (bloom_words, k); probes must be computed per parameter
+    # group and OR'd — rows built with the "other" parameters previously
+    # never decoded (silent false negatives)
+    enc, truth = enc_and_truth
+    blocks = sorted(r["block_id"] for r in enc.select("block_id").collect())
+    half = set(blocks[: len(blocks) // 2])
+    enc_a = enc.filter(F.col("block_id").isin([int(b) for b in half]))
+    enc_b = enc.filter(~F.col("block_id").isin([int(b) for b in half]))
+    mixed = build_token_index(enc_a, bloom_words=4, k=3).unionByName(
+        build_token_index(enc_b, bloom_words=8, k=4)
+    )
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in find_docs_with_token(enc, mixed, 777777).collect()
+    }
+    assert got == truth

@@ -116,3 +116,15 @@ def test_point_lookup_on_wide(src, enc):
 def test_narrow_requires_wide(enc):
     with pytest.raises(ValueError, match="buf_"):
         narrow_multi(enc.drop("buffers").drop("codecs"), None)
+
+
+def test_widen_subset_resolves_by_name(enc, src):
+    # widen_multi(enc, ['mask']) must take the MASK slot (index 2), not
+    # slot 1 — positional mapping silently relabeled the tokens buffer
+    import pyspark.sql.functions as F
+
+    wide = widen_multi(enc, ["mask"])
+    dec = decode_multi(wide, token_cols=["mask"])
+    got = {r["doc_id"]: list(r["mask"]) for r in dec.collect()}
+    want = {r["doc_id"]: list(r["mask"]) for r in src.collect()}
+    assert got == want
