@@ -171,15 +171,21 @@ def _index_params(index_df: DataFrame) -> list[tuple[int, int]]:
     with other parameters would be silently excluded — a false negative,
     violating the 'false positives waste a decode, never a wrong answer'
     contract.  Bounded: more than 16 groups is a mis-assembled index."""
+    r = index_df.agg(
+        F.min("bloom_words").alias("bw0"), F.max("bloom_words").alias("bw1"),
+        F.min("k").alias("k0"), F.max("k").alias("k1"),
+    ).first()
+    if r is None or r["bw0"] is None:
+        return [(DEFAULT_BLOOM_WORDS, DEFAULT_BLOOM_K)]  # empty index
+    if r["bw0"] == r["bw1"] and r["k0"] == r["k1"]:
+        return [(int(r["bw0"]), int(r["k0"]))]  # homogeneous (the normal case)
     rows = index_df.select("bloom_words", "k").distinct().limit(17).collect()
     if len(rows) > 16:
         raise ValueError(
             "token index mixes >16 distinct (bloom_words, k) parameter"
             " groups — rebuild it instead of unioning further"
         )
-    if not rows:
-        return [(DEFAULT_BLOOM_WORDS, DEFAULT_BLOOM_K)]  # empty index
-    return sorted((int(r["bloom_words"]), int(r["k"])) for r in rows)
+    return sorted((int(row["bloom_words"]), int(row["k"])) for row in rows)
 
 
 def _candidate_filter(token: int, bloom_words: int, k: int):

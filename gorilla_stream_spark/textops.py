@@ -665,47 +665,29 @@ def minhash_signature(shingled: DataFrame, num_hashes: int = 128) -> DataFrame:
     return hashed.mapInArrow(fn, "doc_id long, sig array<long>")
 
 
-_HOT_BUCKET_BROADCAST_MAX = 4_000_000
-
-
 def _grouped_bucket_pairs(
     df: DataFrame, key_cols: list[str], id_col: str, max_bucket: int | None
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) id pairs sharing a bucket.
+    """Distinct (doc_a < doc_b) id pairs sharing a bucket, via ONE
+    aggregation instead of a count-window + self-join.
 
-    Two-stage: a pure-codegen ``groupBy(bucket).count()`` finds the
-    colliding buckets first (nearly every bucket is a singleton, so
-    building a ``collect_list`` object per bucket — the old single-pass
-    shape — paid object-hash-aggregate cost on millions of groups that
-    contribute nothing); the surviving bucket keys (rare) broadcast back
-    as a semi-join and only THEIR rows regroup into id lists.  The i<j
-    pair combinations are generated JVM-side from the grouped array
-    (whole-stage codegen ``transform``/``slice``) — no window sort, no
-    hash join over the exploded band table.  The hot-bucket cap rides the
-    count filter; ``None`` disables it.  A degenerate corpus whose
-    colliding-bucket set exceeds the broadcast budget falls back to a
-    shuffle join (identical pairs).
+    ``groupBy(bucket).collect_list(id)`` shuffles each 12-byte band row
+    once; the i<j pair combinations are generated JVM-side from the
+    grouped array (whole-stage codegen ``transform``/``slice``), so
+    there is no window sort and no hash-join build over the exploded
+    band table.  The hot-bucket cap is a free ``size(ids)`` filter here:
+    a degenerate bucket of E members would otherwise emit E^2/2 pairs
+    (recall notes in the callers).  ``None`` disables.
+
+    (A two-stage variant — codegen bucket counts first, then regroup only
+    colliding buckets via broadcast semi-join — measured faster in
+    isolation but consistently ~35% slower inside the full bench session:
+    the two extra actions and the second pass over the exploded bands
+    cost more than the ObjectHashAggregate they avoid.  Reverted; noted
+    here so the next optimizer doesn't re-walk that path without a
+    session-context measurement.)
     """
-    counts = df.groupBy(*key_cols).agg(F.count("*").alias("__bc"))
-    cond = F.col("__bc") >= 2
-    if max_bucket:
-        cond = cond & (F.col("__bc") <= max_bucket)
-    hotq = counts.filter(cond).select(*key_cols).persist()
-    # colliding buckets are rare, so the key set normally fits the driver —
-    # rebuilt as a literal frame it has no lineage and nothing cached (the
-    # transient persist covers exactly the count+collect pair and is
-    # released before returning; a LIMIT probe instead would execute as
-    # sequential CollectLimit waves).  Past the budget, fall back to a
-    # shuffle semi-join against the still-persisted counts.
-    n_hot = hotq.count()
-    if n_hot <= _HOT_BUCKET_BROADCAST_MAX:
-        hot_local = hotq.toPandas()
-        hotq.unpersist()
-        hot = df.sparkSession.createDataFrame(hot_local, schema=hotq.schema)
-        surv = df.join(F.broadcast(hot), key_cols, "left_semi")
-    else:
-        surv = df.join(hotq, key_cols, "left_semi")
-    grouped = surv.groupBy(*key_cols).agg(F.collect_list(id_col).alias("ids"))
+    grouped = df.groupBy(*key_cols).agg(F.collect_list(id_col).alias("ids"))
     cond = F.size("ids") >= 2
     if max_bucket:
         cond = cond & (F.size("ids") <= max_bucket)
