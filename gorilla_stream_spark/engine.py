@@ -1103,7 +1103,11 @@ def estimate(
                 )
 
     slim = df.select(tokens_col)
-    if num_partitions:
+    if num_partitions and slim.rdd.getNumPartitions() < num_partitions:
+        # only shuffle when the input genuinely under-uses the cluster: a
+        # keyless repartition pays a local sort of every row (Spark sorts
+        # before round-robin so task retries reproduce the assignment) —
+        # pure overhead when the scan already has enough splits
         slim = slim.repartition(num_partitions)
     return slim.mapInArrow(fn, ESTIMATE_SCHEMA)
 

@@ -1010,12 +1010,13 @@ def _decontaminate_impl(
         )
         return _finalize_unpersist(res, [shm_e])
     # jaccard: the 10^12-doc shape — corpus-wide pass computes SIGNATURES
-    # only (~1 KB/doc cached); the heavy per-doc shingle sets are
-    # recomputed for CANDIDATE train docs only (broadcast-semi-pruned),
-    # so they are never materialized for the non-candidate bulk
-    # (the neardup_pairs verify="recompute" strategy)
-    sig_t = shingler(tr, False, True).persist()
-    sig_t.count()
+    # only (~1 KB/doc, never cached: the band table below is its ONLY
+    # consumer, so persisting it just paid one extra full kernel pass);
+    # the heavy per-doc shingle sets are recomputed for CANDIDATE train
+    # docs only (broadcast-semi-pruned), so they are never materialized
+    # for the non-candidate bulk (the neardup_pairs verify="recompute"
+    # strategy)
+    sig_t = shingler(tr, False, True)
     bt = _sig_bands(sig_t.select("doc_id", "sig"), rows_per_band, num_hashes)
     be = _sig_bands(shm_e.select("doc_id", "sig"), rows_per_band, num_hashes).withColumnRenamed(
         "doc_id", "eval_id"
@@ -1035,7 +1036,7 @@ def _decontaminate_impl(
         sh_df_b=shm_e.select("doc_id", "sh"),
         a_col="train_id", b_col="eval_id", broadcast_b=True,
     )
-    return _finalize_unpersist(res, [sig_t, shm_e, cand, shc])
+    return _finalize_unpersist(res, [shm_e, cand, shc])
 
 
 def corpus_report(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
