@@ -140,3 +140,21 @@ def test_merge_lazy_uncached_encodes(spark):
     assert got == want
     n = m.count()
     assert m.select("block_id").distinct().count() == n
+
+
+def test_merge_part_id_overflow_raises(spark):
+    # the guard lives on the evaluated part_id expression (a dropped-column
+    # assert could be pruned); an overflowing shift must fail the action
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from gorilla_stream_spark.engine import merge_tables
+
+    cols = "block_id long, part_id int, seq_in_part int"
+    a = spark.createDataFrame([((2**31 - 2) << 24, 2**31 - 2, 0)], cols)
+    b = spark.createDataFrame([(0, 0, 0)], cols)
+    with pytest.raises(SparkRuntimeException, match="overflow"):
+        merge_tables(a, b).collect()
+    # non-overflow path unaffected
+    ok = merge_tables(b, b)
+    assert {r["part_id"] for r in ok.collect()} == {0, 1}
