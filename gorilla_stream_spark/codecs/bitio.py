@@ -72,6 +72,13 @@ def pack(values: np.ndarray, width: int) -> bytes:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if width == 64:
         return v.astype(">u8").tobytes()
+    if width & 7 == 0:
+        # byte-multiple widths: each value is exactly the trailing width/8
+        # bytes of its 8-byte big-endian form — one pass, no lane loop
+        nb = width >> 3
+        return np.ascontiguousarray(
+            v.astype(">u8").view(np.uint8).reshape(n, 8)[:, 8 - nb :]
+        ).tobytes()
     ngroups = (n + 7) >> 3
     if ngroups << 3 != n:
         v = np.concatenate([v, np.zeros((ngroups << 3) - n, dtype=np.uint64)])
@@ -114,6 +121,13 @@ def unpack(buf: bytes | np.ndarray, width: int, n: int) -> np.ndarray:
             raise ValueError(f"unpack: buffer has {raw.size} bytes, need {nbytes}")
     if width == 64:
         return raw.view(">u8").astype(np.uint64)
+    if width & 7 == 0:
+        # inverse of the byte-multiple fast path: left-pad each value's
+        # width/8 bytes back to 8-byte big-endian words
+        nb = width >> 3
+        mat8 = np.zeros((n, 8), dtype=np.uint8)
+        mat8[:, 8 - nb :] = raw.reshape(n, nb)
+        return mat8.view(">u8").ravel().astype(np.uint64)
     ngroups = (n + 7) >> 3
     mat = np.zeros(ngroups * width, dtype=np.uint8)
     mat[: raw.size] = raw

@@ -47,9 +47,13 @@ def train_pair_table(sample: np.ndarray, table_size: int = 1024, min_count: int 
     """
     if sample.size < 2:
         return np.empty(0, dtype=np.uint64)
+    return _train_from_keys(_pair_keys(_as_tokens(sample)), table_size, min_count)
+
+
+def _train_from_keys(pair_keys: np.ndarray, table_size: int, min_count: int) -> np.ndarray:
     # np.unique (sort-based) beats hash factorize here: pair keys are
     # near-unique (card ~ n), where hashing a million-entry table loses
-    keys, counts = np.unique(_pair_keys(_as_tokens(sample)), return_counts=True)
+    keys, counts = np.unique(pair_keys, return_counts=True)
     good = counts >= min_count
     keys, counts = keys[good], counts[good]
     if keys.size > table_size:
@@ -66,18 +70,16 @@ def _as_tokens(a: np.ndarray) -> np.ndarray:
     return a
 
 
-def _greedy_matches(match: np.ndarray) -> np.ndarray:
-    """Boolean mask of greedily-selected non-overlapping match positions.
+def _greedy_match_positions(match: np.ndarray) -> np.ndarray:
+    """Sorted positions of greedily-selected non-overlapping matches.
 
     Greedy left-to-right over pair positions: a match is taken iff the
     previous position was not taken.  Within each maximal run of True, that
     selects even offsets — computable vectorized from run starts.
     """
-    if match.size == 0:
-        return match
     pos = np.flatnonzero(match)
     if pos.size == 0:
-        return np.zeros_like(match)
+        return pos
     # run starts: first position, or position whose predecessor isn't a match
     new_run = np.empty(pos.size, dtype=bool)
     new_run[0] = True
@@ -85,8 +87,13 @@ def _greedy_matches(match: np.ndarray) -> np.ndarray:
     run_id = np.cumsum(new_run) - 1
     run_start = pos[new_run][run_id]
     taken = ((pos - run_start) & 1) == 0
+    return pos[taken]
+
+
+def _greedy_matches(match: np.ndarray) -> np.ndarray:
+    """Boolean mask of greedily-selected non-overlapping match positions."""
     out = np.zeros(match.size, dtype=bool)
-    out[pos[taken]] = True
+    out[_greedy_match_positions(match)] = True
     return out
 
 
@@ -102,8 +109,10 @@ def fsst_encode(a: np.ndarray, table: np.ndarray | None = None, passes: int = 2)
 
     a = _as_tokens(a)
     n = a.size
+    # pair keys are needed by both training and matching — build them once
+    keys = _pair_keys(a) if n >= 2 else np.empty(0, dtype=np.uint64)
     if table is None:
-        table = train_pair_table(a)
+        table = _train_from_keys(keys, 1024, 4) if n >= 2 else np.empty(0, dtype=np.uint64)
     table = np.asarray(table, dtype=np.uint64)
     if table.size > MAX_TABLE:
         # the header stores table size as u16 — fail before doing the work,
@@ -112,20 +121,19 @@ def fsst_encode(a: np.ndarray, table: np.ndarray | None = None, passes: int = 2)
     if n < 2 or table.size == 0:
         body = bytes([DICT]) + intcodecs.dict_encode(a)
         return struct.pack("<IIH", n, 0, 0) + body
-    keys = _pair_keys(a)
     idx = np.searchsorted(table, keys)
     idx_c = np.minimum(idx, table.size - 1)
     match = table[idx_c] == keys
-    taken = _greedy_matches(match)
-    base = int(a.max()) + 1 if n else 1
+    take_pos = _greedy_match_positions(match)
+    base = int(a.max()) + 1
     # rewrite: at taken pair-start positions emit base+table_index, drop the
-    # follower token (taken is over the n-1 pair positions)
-    take_pos = np.flatnonzero(taken)
-    out = a.copy()
-    out[take_pos] = base + idx_c[take_pos].astype(_I64)
-    drop = np.zeros(n, dtype=bool)
-    drop[take_pos + 1] = True
-    rewritten = out[~drop]
+    # follower token (positions index the n-1 pair starts); a kept element at
+    # old position p lands at p - (#drops before p), and exactly i drops
+    # precede the i-th non-overlapping take position
+    keep = np.ones(n, dtype=bool)
+    keep[take_pos + 1] = False
+    rewritten = a[keep]
+    rewritten[take_pos - np.arange(take_pos.size)] = base + idx_c[take_pos].astype(_I64)
     body = bytes([DICT]) + intcodecs.dict_encode(rewritten)
     if passes > 1 and rewritten.size >= 1024 and int(rewritten.max()) < 0xFFFFFFFF - 1:
         # the recursive pass costs as much as the first; pay it only when a
@@ -138,7 +146,8 @@ def fsst_encode(a: np.ndarray, table: np.ndarray | None = None, passes: int = 2)
         if tab2.size:
             k2 = _pair_keys(s)
             i2 = np.minimum(np.searchsorted(tab2, k2), tab2.size - 1)
-            go_deeper = _greedy_matches(tab2[i2] == k2).mean() >= 0.05
+            # k/m float division: exactly the old mask.mean() >= 0.05 predicate
+            go_deeper = _greedy_match_positions(tab2[i2] == k2).size / k2.size >= 0.05
         if go_deeper:
             deeper = bytes([FSST]) + fsst_encode(rewritten, passes=passes - 1)
             if len(deeper) < len(body):

@@ -211,10 +211,33 @@ def rle_decode(buf: bytes) -> np.ndarray:
 # instead of a sliding 128-slot one.
 # ---------------------------------------------------------------------------
 
+# Dense-LUT cap: bool bitmap + int64 LUT scratch stays ≤ ~36 MB and the
+# common token case (vocab ids in a ~2^17 range) uses a few hundred KB —
+# far under the 32 MB malloc-mmap churn threshold documented in
+# OPTIMIZATION_r06.md.
+_DENSE_RANGE_CAP = 1 << 22
+
+
 def sorted_unique_inverse(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """np.unique(a, return_inverse=True) via pandas' hash-based factorize —
-    O(n + card log card) instead of a full O(n log n) sort, 2-4x faster on
-    token-like data; byte-identical output."""
+    """np.unique(a, return_inverse=True) without the full O(n log n) sort.
+
+    Compact value ranges (token ids, FSST-rewritten streams) take an O(n +
+    range) dense-LUT path: bitmap the values seen, rank them with one
+    flatnonzero, gather the inverse.  Wide ranges fall back to pandas'
+    hash-based factorize (O(n + card log card)).  Byte-identical output
+    either way."""
+    n = a.size
+    if n:
+        vmin, vmax = int(a.min()), int(a.max())
+        rng = vmax - vmin + 1  # python ints: immune to int64 overflow
+        if rng <= min(_DENSE_RANGE_CAP, max(4 * n, 1 << 16)):
+            off = a - vmin
+            seen = np.zeros(rng, dtype=bool)
+            seen[off] = True
+            vocab_off = np.flatnonzero(seen)
+            lut = np.empty(rng, dtype=_I64)
+            lut[vocab_off] = np.arange(vocab_off.size)
+            return vocab_off + vmin, lut[off]
     import pandas as pd
 
     codes, uniq = pd.factorize(a, sort=False)

@@ -513,3 +513,44 @@ def test_selector_estimate_int64_extremes_no_warning():
     # exact range is ~2^64-1 -> 64-bit FOR residuals: 13 header + 8 B/value
     assert sizes["for"] == 13 + a.size * 8
     assert all(v > 0 for v in sizes.values())
+
+
+def test_bitio_pack_msb_layout_all_widths():
+    # pin the wire format (MSB-first fixed-width stream) against a scalar
+    # python-int reference for every width, so the byte-multiple fast path
+    # and the lane path can never drift apart
+    rng = np.random.default_rng(99)
+    for width in range(1, 65):
+        hi = 2**width if width < 64 else 2**63
+        vals = rng.integers(0, hi, 37).astype(np.uint64)
+        acc = 0
+        for v in vals:
+            acc = (acc << width) | int(v)
+        nbits = 37 * width
+        pad = (-nbits) % 8
+        expect = (acc << pad).to_bytes((nbits + pad) // 8, "big")
+        assert bitio.pack(vals, width) == expect, f"width {width}"
+        np.testing.assert_array_equal(bitio.unpack(expect, width, 37), vals)
+
+
+def test_sorted_unique_inverse_dense_matches_unique():
+    # the dense-LUT fast path (compact ranges) and the factorize fallback
+    # (wide ranges) must both reproduce np.unique(return_inverse=True)
+    from gorilla_stream_spark.codecs.intcodecs import sorted_unique_inverse
+
+    rng = np.random.default_rng(17)
+    cases = [
+        rng.integers(0, 50_000, 100_000).astype(np.int64),  # dense path
+        rng.integers(-500, 500, 10_000).astype(np.int64),  # dense, negatives
+        rng.integers(-(2**62), 2**62, 20_000).astype(np.int64),  # fallback
+        np.array(  # fallback: extreme range must not overflow the subtract
+            [np.iinfo(np.int64).min, np.iinfo(np.int64).max, 3, 3], dtype=np.int64
+        ),
+        rng.integers(0, 10_000_000, 100).astype(np.int64),  # tiny n, wide rng
+    ]
+    for a in cases:
+        vocab, codes = sorted_unique_inverse(a)
+        v_ref, c_ref = np.unique(a, return_inverse=True)
+        np.testing.assert_array_equal(vocab, v_ref)
+        np.testing.assert_array_equal(codes, c_ref)
+        assert vocab.dtype == np.int64
