@@ -199,6 +199,13 @@ def rle_decode(buf: bytes) -> np.ndarray:
     mv = memoryview(buf)
     vals = for_decode(mv[12 : 12 + vlen])
     lens = for_decode(mv[12 + vlen :])
+    if vals.size != nruns or lens.size != nruns:
+        # corrupt sub-stream counts must not reach np.repeat: a 1-element
+        # lens against a k-element vals repeats EVERY val lens[0] times
+        # (k * n output from a tiny buffer) while lens.sum() still == n
+        raise ValueError(
+            f"rle stream counts {vals.size}/{lens.size} != n_runs {nruns}"
+        )
     if lens.sum() != n:  # corrupt header must not turn into a giant repeat
         raise ValueError(f"rle run lengths sum {lens.sum()} != count {n}")
     return np.repeat(vals, lens)

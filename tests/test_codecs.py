@@ -554,3 +554,21 @@ def test_sorted_unique_inverse_dense_matches_unique():
         np.testing.assert_array_equal(vocab, v_ref)
         np.testing.assert_array_equal(codes, c_ref)
         assert vocab.dtype == np.int64
+
+
+def test_rle_decode_rejects_mismatched_stream_counts():
+    # a single corrupted byte can rewrite the embedded FOR sub-stream header
+    # so vals decodes to k elements while lens stays [n]: np.repeat(vals,
+    # lens) would then emit k*n values (hypothesis-found, 150M from a 39-byte
+    # buffer) while the lens.sum() == n guard still passes
+    import struct as _struct
+
+    from gorilla_stream_spark.codecs import decode_array, encode_array
+
+    vals = np.zeros(135, dtype=np.int64)
+    buf = bytearray(encode_array(vals, codec="rle"))
+    buf[15] = 31  # inside the vals FOR sub-stream header
+    with pytest.raises(ValueError, match="rle stream counts"):
+        decode_array(bytes(buf))
+    # intact buffers still round-trip
+    np.testing.assert_array_equal(decode_array(bytes(encode_array(vals, codec="rle"))), vals)
