@@ -218,11 +218,11 @@ def rle_decode(buf: bytes) -> np.ndarray:
 # instead of a sliding 128-slot one.
 # ---------------------------------------------------------------------------
 
-# Dense-LUT cap: bool bitmap + int64 LUT scratch stays ≤ ~36 MB and the
-# common token case (vocab ids in a ~2^17 range) uses a few hundred KB —
-# far under the 32 MB malloc-mmap churn threshold documented in
-# OPTIMIZATION_r06.md.
-_DENSE_RANGE_CAP = 1 << 22
+# Dense-LUT cap: bool bitmap + int64 LUT scratch stays ≤ ~18 MB — under
+# the 32 MB malloc-mmap churn threshold documented in OPTIMIZATION_r06.md
+# even with both buffers live; the common token case (vocab ids in a
+# ~2^17 range) uses a few hundred KB.
+_DENSE_RANGE_CAP = 1 << 21
 
 
 def sorted_unique_inverse(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
